@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Pure `Column` builders for every scalar operator in SURVEY.md §2.2/§2.3.
+  *
+  * Everything here composes Spark built-ins only — no UDFs — so each stays
+  * inside whole-stage codegen and survives Catalyst's constant folding,
+  * predicate pushdown and column pruning. That is the scale story: a filter
+  * built from these reaches the parquet scan as a pushed predicate.
+  */
+object Exprs {
+
+  /** Great-circle distance in meters (reference `main.py:75-86`): haversine
+    * with R=6371000 and the `min(1, sqrt(a))` clamp. Codegen-friendly
+    * composition of built-in math functions — not a UDF.
+    */
+  def haversineMeters(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val dLat = radians(lat2 - lat1) / 2
+    val dLon = radians(lon2 - lon1) / 2
+    val a = pow(sin(dLat), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon), 2)
+    lit(2.0 * 6371000.0) * asin(least(lit(1.0), sqrt(a)))
+  }
+
+  /** ISO-8601 parse with the reference's `Z`→`+00:00` normalization
+    * (`main.py:60-72`); unparseable → null (matching `None`), hence
+    * `try_to_timestamp` (ANSI mode is on in Spark 4 — a plain cast throws).
+    */
+  def parseIsoTs(c: Column): Column =
+    try_to_timestamp(regexp_replace(c, "Z$", "+00:00"),
+      lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]XXX"))
+
+  /** Unit coalesce chain (`main.py:183-194`, sensor side `main.py:160`):
+    * first non-null of the candidates, else "".
+    */
+  def unitCoalesce(cands: Column*): Column =
+    coalesce(cands :+ lit(""): _*)
+
+  /** Name coalesce (`main.py:223`): `name or locality or s"id:$id"`.
+    * Python `or` treats "" as falsy, so empty strings fall through too.
+    */
+  def nameCoalesce(name: Column, locality: Column, id: Column): Column =
+    coalesce(nullifEmpty(name), nullifEmpty(locality), concat(lit("id:"), id))
+
+  private def nullifEmpty(c: Column): Column = when(c =!= "", c)
+
+  /** Numeric validation (`main.py:245-252`): value must parse as a float
+    * (lexical "NaN"/"Infinity"/"1e3" all pass) but the ORIGINAL string is
+    * what gets emitted. This is the validity predicate only.
+    */
+  def numericValid(c: Column): Column = c.try_cast("double").isNotNull
+
+  /** Station freshness F1 (`main.py:89-97`): last-seen within the window,
+    * missing/unparseable last-seen DROPPED (null comparison → null → false).
+    */
+  def freshDropNull(ts: Column, cutoff: Column): Column = ts >= cutoff
+
+  /** Measurement freshness F8 (`main.py:255-259`): drop only when the date
+    * parses AND is stale — unparseable/missing dates are KEPT. The deliberate
+    * asymmetry vs F1.
+    */
+  def freshKeepNull(ts: Column, cutoff: Column): Column =
+    ts.isNull || ts >= cutoff
+
+  /** Sensor-id validity F6 (`main.py:233-239`): non-null after int coercion
+    * and non-zero (Python falsy check drops id 0).
+    */
+  def sensorIdValid(c: Column): Column = {
+    val id = c.try_cast("long")
+    id.isNotNull && id =!= 0L
+  }
+
+  /** Engine-portable 60-bit deterministic hash: bigint from the first 15 hex
+    * chars of md5. DuckDB spells the identical value as
+    * `('0x' || substr(md5(x), 1, 15))::BIGINT`, which is what every
+    * dedup/fingerprint oracle uses — exact integer equality across engines.
+    */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Word shingles of size `n` (word n-grams) from a token array; documents
+    * shorter than `n` tokens collapse to one whole-text shingle. Built from
+    * higher-order functions so it runs distributed with no UDF.
+    */
+  def wordShingles(tokens: Column, n: Int): Column = {
+    val k = size(tokens)
+    when(k >= n,
+      transform(sequence(lit(1), k - (n - 1)),
+        i => array_join(slice(tokens, i, lit(n)), " ")))
+      .otherwise(array(array_join(tokens, " ")))
+  }
+
+  /** Dot product of two double arrays via zip_with + left-to-right aggregate —
+    * bit-identical to the oracle's `list_reduce(list_prepend(0.0::DOUBLE,
+    * list_transform(...)))` fold in DuckDB.
+    */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Cosine similarity of two float-array embeddings. Elements are cast to
+    * double BEFORE multiplying (so DuckDB's `x::DOUBLE * y::DOUBLE` matches
+    * bit-for-bit), and the final formula is `dot / sqrt(na * nb)` — keep the
+    * oracle character-identical.
+    */
+  def cosineSim(a: Column, b: Column): Column = {
+    val ad = transform(a, _.cast("double"))
+    val bd = transform(b, _.cast("double"))
+    dotProduct(ad, bd) / sqrt(dotProduct(ad, ad) * dotProduct(bd, bd))
+  }
+}

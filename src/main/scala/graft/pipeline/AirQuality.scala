@@ -1,0 +1,216 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.Exprs._
+import graft.ops.Selection
+
+/** The flagship pipeline — the reference's whole ETL re-expressed as ONE
+  * declarative Spark plan (SURVEY.md §3.1):
+  *
+  * locations → F1 freshness → F3/F4 geo guards → explode(sensors) → F5
+  * parameter membership → A1 coverage count → O2 top-40/city → O4 greedy
+  * prefix selection → J1 join latest measurements on sensor id → F6/F7/F8
+  * quirk predicates → P3/P4/P7 projection → union across cities (implicit:
+  * city is a column, not a loop).
+  *
+  * Scale design: the per-station N+1 fetch (`main.py:220-279`) becomes a
+  * single broadcast hash join of measurements against the (tiny, ≤40
+  * stations/city) selected-sensor map; the per-city Python loop becomes a
+  * `city` column so ANY number of cities runs in one plan. The only
+  * collect() is the ≤40-row/city candidate summary that feeds the greedy
+  * walk — bounded by MAX_CANDIDATES, not by data size.
+  */
+object AirQuality {
+
+  /** Target pollutant parameters (`main.py:25`). */
+  val Parameters: Set[String] = Set("pm25", "pm10", "o3", "no2")
+  val MaxCandidates = 40
+  val FreshDays = 30
+  val MinUsed = 3
+
+  // ── OpenAQ-payload-shaped rows (FIXTURES.md §A) ───────────────────────
+  final case class Coordinates(latitude: Option[Double], longitude: Option[Double])
+  final case class DatetimeLast(utc: Option[String], local: Option[String])
+  final case class ParameterInfo(name: Option[String], units: Option[String])
+  final case class Sensor(id: Option[Long], parameter: Option[ParameterInfo],
+      units: Option[String], unit: Option[String])
+  final case class Location(city: String, id: Long, name: Option[String],
+      locality: Option[String], coordinates: Option[Coordinates],
+      datetimeLast: Option[DatetimeLast], sensors: Seq[Sensor])
+  final case class LatestRow(location_id: Long, sensorsId: Option[String],
+      value: Option[String], unit: Option[String],
+      datetime_utc: Option[String], datetime_local: Option[String],
+      date: Option[String])
+  final case class City(city: String, lat: Double, lon: Double)
+
+  /** Full pipeline over location + measurement snapshots. Both inputs are
+    * DataFrames so the same plan runs on fixture data, JSON snapshots of the
+    * real API, or a 100 TB measurement lake.
+    */
+  def run(spark: SparkSession, locations: DataFrame, latest: DataFrame,
+      cities: DataFrame): DataFrame = {
+
+    // F1: freshness vs data-derived cutoff (max last-seen − 30 days);
+    // missing/unparseable last-seen DROPPED (null >= x is null → filtered)
+    val parsedLast = parseIsoTs(col("datetimeLast.utc"))
+    val cutoff = locations.agg(max(parseIsoTs(col("datetimeLast.utc")))
+      .as("max_seen"))
+    val fresh = locations.crossJoin(broadcast(cutoff))
+      .filter(freshDropNull(parsedLast,
+        col("max_seen") - expr(s"INTERVAL $FreshDays DAYS")))
+
+    // F3/F4: coordinate guard + 75 km fallback radius around the city
+    val withCity = fresh.join(broadcast(cities), "city")
+    val geo = withCity
+      .filter(col("coordinates.latitude").isNotNull &&
+        col("coordinates.longitude").isNotNull)
+      .filter(haversineMeters(col("lat"), col("lon"),
+        col("coordinates.latitude"), col("coordinates.longitude")) <= 75000.0)
+
+    // explode sensors → per-sensor rows with P3 unit / P5 lowercase
+    val sensors = geo.select(col("city"), col("id").as("loc_id"),
+        nameCoalesce(col("name"), col("locality"), col("id")).as("loc_name"),
+        explode(col("sensors")).as("sensor"))
+      .select(col("city"), col("loc_id"), col("loc_name"),
+        col("sensor.id").as("sensor_id"),
+        lower(col("sensor.parameter.name")).as("pname"),
+        unitCoalesce(col("sensor.parameter.units"), col("sensor.units"),
+          col("sensor.unit")).as("punit"))
+      .filter(col("sensor_id").isNotNull && col("pname").isNotNull)
+
+    // F5 + A1: coverage count per station, O2: top-40 per city
+    val matched = sensors.filter(col("pname").isin(Parameters.toSeq: _*))
+    val candidates = matched
+      .groupBy("city", "loc_id")
+      .agg(countDistinct("pname").as("matches"),
+        array_sort(collect_set("pname")).as("covered"))
+      .withColumn("rank", row_number().over(Window.partitionBy("city")
+        .orderBy(col("matches").desc, col("loc_id"))))
+      .filter(col("rank") <= MaxCandidates)
+
+    // O4: greedy early-terminated selection — driver walk over the ≤40-row
+    // per-city summary (bounded by MAX_CANDIDATES, never by data volume)
+    val summary = candidates.orderBy("city", "rank")
+      .select("city", "loc_id", "covered")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getSeq[String](2).toSet))
+      .toSeq
+    val chosen = Selection.greedySelect(summary, Parameters, MinUsed)
+    val chosenIds = chosen.toSeq.flatMap { case (c, ids) => ids.map((c, _)) }
+    val chosenDf = spark.createDataFrame(chosenIds)
+      .toDF("city", "loc_id")
+
+    // J1: measurements ⋈ selected sensor map — broadcast hash join (the
+    // sensor map is ≤ cities × 40 stations × sensors, always tiny)
+    val sensorMap = matched.join(broadcast(chosenDf), Seq("city", "loc_id"))
+    val meas = latest
+      .withColumn("sid", col("sensorsId").try_cast("long"))
+      .filter(sensorIdValid(col("sensorsId")))                       // F6
+      .filter(numericValid(col("value")))                            // F7
+    val joined = meas.join(broadcast(sensorMap),
+      meas("sid") === sensorMap("sensor_id") &&
+        meas("location_id") === sensorMap("loc_id"))
+
+    // F8: keep-unparseable measurement freshness vs the same cutoff
+    val dateStr = coalesce(col("datetime_utc"), col("datetime_local"), col("date"))
+    val withDates = joined.crossJoin(broadcast(cutoff))
+      .filter(freshKeepNull(parseIsoTs(dateStr),
+        col("max_seen") - expr(s"INTERVAL $FreshDays DAYS")))
+
+    // P3/P4/P7: final six-column projection; city union is implicit
+    withDates.select(
+      col("city"),
+      col("loc_name").as("location"),
+      col("pname").as("parameter"),
+      col("value"),
+      unitCoalesce(col("punit"), col("unit")).as("unit"),
+      dateStr.as("date"))
+      .orderBy("city", "location", "parameter", "value", "date")
+  }
+
+  /** Flagship entry: the full pipeline over the inline OpenAQ-shaped
+    * fixture (FIXTURES.md §A) — every quirk row included.
+    */
+  def flagship(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val (locations, latest, cities) = fixture(spark)
+    run(spark, locations.toDF(), latest.toDF(), cities.toDF())
+  }
+
+  /** FIXTURES.md §A.1/§A.2 as in-code datasets. */
+  def fixture(spark: SparkSession): (org.apache.spark.sql.Dataset[Location],
+      org.apache.spark.sql.Dataset[LatestRow], org.apache.spark.sql.Dataset[City]) = {
+    import spark.implicits._
+    def sens(id: Long, p: String, u: String) =
+      Sensor(Some(id), Some(ParameterInfo(Some(p), Some(u))), None, None)
+    val wokalna = Location("Warsaw", 101, Some("Warszawa, ul. Wokalna"), Some("Warsaw"),
+      Some(Coordinates(Some(52.22), Some(21.05))),
+      Some(DatetimeLast(Some("2025-09-07T19:00:00Z"), None)),
+      Seq(Sensor(Some(9001), Some(ParameterInfo(Some("PM25"), Some("µg/m³"))), None, None),
+        Sensor(Some(9002), Some(ParameterInfo(Some("no2"), None)), Some("µg/m³"), None),
+        Sensor(Some(9003), Some(ParameterInfo(Some("so2"), Some("µg/m³"))), None, None)))
+    val kondrat = Location("Warsaw", 102, None, Some("Kondratowicza"),
+      Some(Coordinates(Some(52.25), Some(21.04))),
+      Some(DatetimeLast(Some("2025-09-06T10:00:00Z"), None)),
+      Seq(sens(9101, "pm10", "µg/m³"), sens(9102, "o3", "µg/m³"),
+        sens(9103, "no2", "µg/m³"), sens(9104, "pm25", "µg/m³")))
+    val stale = Location("Warsaw", 103, Some("Stale Station"), None,
+      Some(Coordinates(Some(52.2), Some(21.0))),
+      Some(DatetimeLast(Some("2020-01-01T00:00:00Z"), None)),
+      Seq(sens(9201, "pm25", "µg/m³")))
+    val noCoords = Location("Warsaw", 104, Some("NoCoords"), None,
+      Some(Coordinates(None, Some(21.0))),
+      Some(DatetimeLast(Some("2025-09-07T12:00:00Z"), None)),
+      Seq(sens(9301, "pm25", "µg/m³")))
+    val farAway = Location("Warsaw", 105, Some("Gdansk"), None,
+      Some(Coordinates(Some(54.35), Some(18.65))),  // ~300 km from Warsaw
+      Some(DatetimeLast(Some("2025-09-07T12:00:00Z"), None)),
+      Seq(sens(9401, "pm25", "µg/m³")))
+    val noLastSeen = Location("Warsaw", 106, Some("NoLastSeen"), None,
+      Some(Coordinates(Some(52.23), Some(21.02))), None,
+      Seq(sens(9501, "pm25", "µg/m³")))
+    val bronx = Location("New York", 201, Some("Bronx - IS52"), None,
+      Some(Coordinates(Some(40.816), Some(-73.902))),
+      Some(DatetimeLast(Some("2025-09-07T19:00:00Z"), None)),
+      Seq(sens(8001, "o3", "ppm"), sens(8002, "pm25", "µg/m³")))
+    val queens = Location("New York", 202, Some("Queens"), None,
+      Some(Coordinates(Some(40.737), Some(-73.82))),
+      Some(DatetimeLast(Some("2025-09-07T18:00:00Z"), None)),
+      Seq(sens(8101, "pm25", "µg/m³"), sens(8102, "pm10", "µg/m³"),
+        sens(8103, "no2", "µg/m³"), sens(8104, "o3", "ppm")))
+    val manhattan = Location("New York", 203, Some("Manhattan"), None,
+      Some(Coordinates(Some(40.78), Some(-73.97))),
+      Some(DatetimeLast(Some("2025-09-07T17:00:00Z"), None)),
+      Seq(sens(8201, "no2", "µg/m³"), sens(8202, "pm10", "µg/m³"),
+        Sensor(Some(0), Some(ParameterInfo(Some("pm25"), Some("µg/m³"))), None, None)))
+
+    val latestRows = Seq(
+      LatestRow(101, Some("9001"), Some("10.3"), None, Some("2025-09-07T19:00:00Z"), None, None),
+      LatestRow(101, Some("9002"), Some("35.1"), Some("µg/m³"), None, Some("2025-09-07T21:00:00+02:00"), None),
+      LatestRow(101, Some("9003"), Some("4.0"), None, Some("2025-09-07T19:00:00Z"), None, None), // so2: non-target
+      LatestRow(101, Some("9001"), Some("nan"), None, Some("2025-09-07T18:00:00Z"), None, None), // lexical nan KEPT
+      LatestRow(101, Some("4242"), Some("1.0"), None, Some("2025-09-07T19:00:00Z"), None, None), // unknown sensor
+      LatestRow(102, Some("9101"), Some("21.0"), None, Some("2025-09-06T10:00:00Z"), None, None),
+      LatestRow(102, Some("9102"), Some("9.1"), None, Some("2025-09-06T10:00:00Z"), None, None),
+      LatestRow(102, Some("9103"), Some("14.5"), None, Some("not-a-date"), None, None),          // unparseable KEPT
+      LatestRow(102, Some("9104"), Some("5.5"), None, Some("2020-01-01T00:00:00Z"), None, None), // stale DROPPED
+      LatestRow(102, Some("9104"), None, None, Some("2025-09-06T10:00:00Z"), None, None),        // null value DROPPED
+      LatestRow(201, Some("8001"), Some("0.027"), None, Some("2025-09-07T19:00:00Z"), None, None),
+      LatestRow(201, Some("8002"), Some("12.0"), None, None, None, Some("2025-09-07T19:00:00Z")),
+      LatestRow(202, Some("8101"), Some("10.3"), None, Some("2025-09-07T18:00:00Z"), None, None),
+      LatestRow(202, Some("8102"), Some("18.2"), None, Some("2025-09-07T18:00:00Z"), None, None),
+      LatestRow(202, Some("8103"), Some("22.9"), None, Some("2025-09-07T18:00:00Z"), None, None),
+      LatestRow(202, Some("8104"), Some("0.031"), None, Some("2025-09-07T18:00:00Z"), None, None),
+      LatestRow(203, Some("8201"), Some("30.0"), None, Some("2025-09-07T17:00:00Z"), None, None),
+      LatestRow(203, Some("8202"), Some("oops"), None, Some("2025-09-07T17:00:00Z"), None, None), // invalid value
+      LatestRow(203, Some("0"), Some("9.9"), None, Some("2025-09-07T17:00:00Z"), None, None))     // sensor id 0
+
+    val cities = Seq(City("Warsaw", 52.2297, 21.0122), City("New York", 40.7128, -74.0060))
+    (Seq(wokalna, kondrat, stale, noCoords, farAway, noLastSeen,
+      bronx, queens, manhattan).toDS(),
+      latestRows.toDS(), cities.toDS())
+  }
+}

@@ -1,0 +1,294 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model.Tables._
+
+/** Aggregations, windows, set operations and the greedy-prefix encoding —
+  * SURVEY.md §2.5–§2.7, §2.9.
+  *
+  * Scale notes:
+  *   - all aggregations are plain `groupBy.agg` → Catalyst plans partial
+  *     (map-side) aggregation automatically, so the shuffle carries one row
+  *     per (partition × group), not per input row;
+  *   - money sums go through DECIMAL(18,2) — exact, order-insensitive, and
+  *     therefore both deterministic at any parallelism AND oracle-stable;
+  *   - windows shuffle once on their partition key; the greedy-prefix query
+  *     is the fully-relational encoding of the reference's data-dependent
+  *     early termination (`main.py:277-279`, SURVEY.md §7.4).
+  */
+object Aggregates {
+
+  val all: Seq[Q] = Seq(
+
+    // ── A1/A5: TPC-H Q1-shaped grouped aggregate ────────────────────────
+    Q("q_group_count",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) {
+      (s, d) =>
+        val qty = col("l_quantity").cast("decimal(18,2)")
+        val price = col("l_extendedprice").cast("decimal(18,2)")
+        val disc = col("l_discount").cast("decimal(18,2)")
+        lineitem(s, d)
+          .filter(col("l_shipdate") <= to_timestamp(lit("2000-09-02 00:00:00")))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"),
+            sum(qty).cast("double").as("sum_qty"),
+            sum(price).cast("double").as("sum_price"),
+            sum(price * (lit(1) - disc)).cast("double").as("sum_disc_price"),
+            (sum(qty).cast("double") / count(lit(1))).as("avg_qty"))
+          .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ── A2: collected set, sorted for determinism ───────────────────────
+    Q("q_collect_set",
+      """SELECT user_id,
+        |  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types,
+        |  count(DISTINCT event_type) AS n_types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) {
+      (s, d) =>
+        events(s, d).groupBy("user_id")
+          .agg(array_join(array_sort(collect_set(col("event_type"))), ",").as("types"),
+            countDistinct(col("event_type")).as("n_types"))
+          .orderBy("user_id")
+    },
+
+    // ── A3: distinct ────────────────────────────────────────────────────
+    Q("q_distinct",
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin) {
+      (s, d) =>
+        events(s, d).select("user_id", "event_type").distinct()
+          .orderBy("user_id", "event_type")
+    },
+
+    // ── A4: coverage superset test ──────────────────────────────────────
+    Q("q_coverage",
+      """SELECT user_id,
+        |  count(DISTINCT CASE WHEN event_type IN ('click','view','purchase','signup')
+        |                      THEN event_type END) AS covered,
+        |  CAST(CASE WHEN count(DISTINCT CASE WHEN event_type IN
+        |    ('click','view','purchase','signup') THEN event_type END) = 4
+        |    THEN 1 ELSE 0 END AS BIGINT) AS full_cov
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) {
+      (s, d) =>
+        val target = Seq("click", "view", "purchase", "signup")
+        events(s, d).groupBy("user_id")
+          .agg(countDistinct(
+            when(col("event_type").isin(target: _*), col("event_type"))).as("covered"))
+          .withColumn("full_cov", (col("covered") === 4).cast("long"))
+          .orderBy("user_id")
+    },
+
+    // ── parity: rollup ──────────────────────────────────────────────────
+    Q("q_rollup",
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS prio,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status, prio""".stripMargin) {
+      (s, d) =>
+        orders(s, d)
+          .rollup("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+          .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+            col("n"), col("sum_price"))
+          .orderBy("status", "prio")
+    },
+
+    // ── U1: union across branches (the two-city append) ─────────────────
+    Q("q_union",
+      """SELECT o_orderkey, o_orderstatus, 'hi' AS src FROM orders
+        |WHERE o_totalprice > 200000
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, 'lo' AS src FROM orders
+        |WHERE o_totalprice <= 50000
+        |ORDER BY o_orderkey, src""".stripMargin) {
+      (s, d) =>
+        val o = orders(s, d)
+        val hi = o.filter(col("o_totalprice") > 200000)
+          .select(col("o_orderkey"), col("o_orderstatus"), lit("hi").as("src"))
+        val lo = o.filter(col("o_totalprice") <= 50000)
+          .select(col("o_orderkey"), col("o_orderstatus"), lit("lo").as("src"))
+        hi.unionByName(lo).orderBy("o_orderkey", "src")
+    },
+
+    // ── parity: except ──────────────────────────────────────────────────
+    Q("q_except",
+      """SELECT o_orderkey FROM orders
+        |EXCEPT
+        |SELECT o_orderkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |ORDER BY o_orderkey""".stripMargin) {
+      (s, d) =>
+        val o = orders(s, d).select("o_orderkey")
+        val recent = orders(s, d)
+          .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01 00:00:00")))
+          .select("o_orderkey")
+        o.except(recent).orderBy("o_orderkey")
+    },
+
+    // ── latest-per-key: THE semantic translation of the reference's
+    //    `/latest` endpoint (S4 → row_number over ordered window) ─────────
+    Q("q_row_number",
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS od
+        |FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+        |        row_number() OVER (PARTITION BY o_custkey
+        |                           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |      FROM orders) t
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin) {
+      (s, d) =>
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("o_custkey"), col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"))
+          .orderBy("o_custkey")
+    },
+
+    // ── running frame (exact decimal running sum) ───────────────────────
+    Q("q_window_frame",
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey,
+        |             l_quantity, l_extendedprice
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""".stripMargin) {
+      (s, d) =>
+        // (l_orderkey, l_linenumber) is non-unique: the window order carries
+        // extra columns so the running sum is deterministic, and running_qty
+        // joins the final sort so tied output rows are identical.
+        val w = Window.partitionBy("l_suppkey")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_partkey",
+            "l_quantity", "l_extendedprice")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        lineitem(s, d)
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            sum(col("l_quantity").cast("decimal(18,2)")).over(w)
+              .cast("double").as("running_qty"))
+          .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+    },
+
+    // ── dense_rank within partition ─────────────────────────────────────
+    Q("q_rank",
+      """SELECT p_brand, p_partkey, p_retailprice,
+        |  CAST(dense_rank() OVER (PARTITION BY p_brand
+        |                          ORDER BY p_retailprice DESC) AS BIGINT) AS rk
+        |FROM part ORDER BY p_brand, rk, p_partkey""".stripMargin) {
+      (s, d) =>
+        val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc)
+        part(s, d)
+          .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+            dense_rank().over(w).cast("long").as("rk"))
+          .orderBy("p_brand", "rk", "p_partkey")
+    },
+
+    // ── O4: greedy coverage-driven prefix, fully-relational encoding ────
+    // Mirror of the reference's early termination: per group, walk
+    // candidates in coverage-rank order, stop once ≥3 candidates are used
+    // AND all 4 target types are covered; keep the whole prefix.
+    Q("q_greedy_prefix",
+      """WITH cand AS (
+        |  SELECT user_id % 5 AS grp, user_id,
+        |    count(DISTINCT CASE WHEN event_type IN ('click','view','purchase','signup')
+        |                        THEN event_type END) AS m
+        |  FROM events GROUP BY user_id % 5, user_id
+        |  HAVING count(DISTINCT CASE WHEN event_type IN ('click','view','purchase','signup')
+        |                             THEN event_type END) > 0),
+        |ranked AS (
+        |  SELECT grp, user_id, m,
+        |    CAST(row_number() OVER (PARTITION BY grp ORDER BY m DESC, user_id) AS BIGINT) AS rank
+        |  FROM cand),
+        |pairs AS (
+        |  SELECT DISTINCT e.user_id % 5 AS grp, e.user_id, e.event_type
+        |  FROM events e
+        |  WHERE e.event_type IN ('click','view','purchase','signup')),
+        |firsts AS (
+        |  SELECT p.grp, p.user_id, p.event_type, r.rank,
+        |    CASE WHEN row_number() OVER (PARTITION BY p.grp, p.event_type
+        |                                 ORDER BY r.rank) = 1 THEN 1 ELSE 0 END AS is_first
+        |  FROM pairs p JOIN ranked r ON p.grp = r.grp AND p.user_id = r.user_id),
+        |percand AS (
+        |  SELECT grp, user_id, rank, SUM(is_first) AS new_types
+        |  FROM firsts GROUP BY grp, user_id, rank),
+        |cum AS (
+        |  SELECT grp, user_id, rank,
+        |    SUM(new_types) OVER (PARTITION BY grp ORDER BY rank
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cov
+        |  FROM percand),
+        |stop AS (
+        |  SELECT grp, min(rank) AS stop_rank FROM cum
+        |  WHERE cum_cov >= 4 AND rank >= 3 GROUP BY grp)
+        |SELECT c.grp, c.rank, c.user_id, CAST(c.cum_cov AS BIGINT) AS cum_cov
+        |FROM cum c LEFT JOIN stop s ON c.grp = s.grp
+        |WHERE c.rank <= coalesce(s.stop_rank, 9223372036854775807)
+        |ORDER BY c.grp, c.rank""".stripMargin) {
+      (s, d) =>
+        graft.ops.Selection.greedyPrefix(events(s, d))
+    },
+
+    // ── streaming-surface parity (batch form): tumbling window ──────────
+    Q("q_window_tumbling",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+        |  event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin) {
+      (s, d) =>
+        events(s, d)
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
+          .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+            col("event_type"), col("n"), col("sum_v"))
+          .orderBy("ws", "event_type")
+    },
+
+    // ── streaming-surface parity (batch form): session window ───────────
+    // Spark semantics: session = [first ts, last ts + gap); a new session
+    // starts when the next event is >= gap after the previous one.
+    Q("q_session_window",
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM x)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+        |  count(*) AS n
+        |FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin) {
+      (s, d) =>
+        events(s, d)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("user_id"),
+            date_format(col("session_window.start"),
+              "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+            date_format(col("session_window.end"),
+              "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+            col("n"))
+          .orderBy("user_id", "session_start")
+    }
+  )
+}

@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model.Tables._
+
+/** Joins — SURVEY.md §2.4 (J1–J3 + declared parity semi/anti/as-of).
+  *
+  * Scale notes:
+  *   - dimension sides (nation/region/supplier, and orders-per-key dims) are
+  *     wrapped in `broadcast()` — at 100 TB the fact side streams and never
+  *     shuffles for these joins;
+  *   - the fact⋈fact join (lineitem⋈orders) shuffles on the join key, which
+  *     is the partitioning a production layout would bucket on
+  *     (`bucketBy(l_orderkey)`), making it shuffle-free;
+  *   - the as-of join uses the union + ordered-window idiom: ONE shuffle of
+  *     both inputs on the partition key, no row explosion, no per-key
+  *     nested-loop — this is the 100 TB-safe replacement for the reference's
+  *     N+1 "latest per station" endpoint (`main.py:175-180`).
+  */
+object Joins {
+
+  val all: Seq[Q] = Seq(
+
+    // ── J1: fact ⋈ fact hash equi-join (reference's sensor-map probe) ───
+    Q("q_join_inner",
+      """SELECT l_orderkey, l_linenumber, o_custkey, o_orderstatus, l_quantity
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin) {
+      (s, d) =>
+        // (l_orderkey, l_linenumber) is non-unique → include l_quantity so
+        // any remaining ties are identical output rows.
+        lineitem(s, d)
+          .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .select("l_orderkey", "l_linenumber", "o_custkey", "o_orderstatus",
+            "l_quantity")
+          .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+    },
+
+    // ── J1 broadcast flavor: fact ⋈ small dims, zero fact-side shuffle ──
+    Q("q_broadcast_join",
+      """SELECT n_name, s_name, count(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name, s_name ORDER BY n_name, s_name""".stripMargin) {
+      (s, d) =>
+        lineitem(s, d)
+          .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .groupBy("n_name", "s_name")
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+          .orderBy("n_name", "s_name")
+    },
+
+    // ── J2: snowflake dimension enrichment ──────────────────────────────
+    Q("q_join_dim",
+      """SELECT r_name, n_name, count(*) AS n_cust
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin) {
+      (s, d) =>
+        customer(s, d)
+          .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(count(lit(1)).as("n_cust"))
+          .orderBy("r_name", "n_name")
+    },
+
+    // ── F6/J1: semi-join (membership half of the sensor-map probe) ──────
+    Q("q_semi_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin) {
+      (s, d) =>
+        customer(s, d)
+          .join(orders(s, d).filter(col("o_totalprice") > 300000),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+    },
+
+    // ── parity: anti join ───────────────────────────────────────────────
+    Q("q_join_anti",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin) {
+      (s, d) =>
+        customer(s, d)
+          .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+    },
+
+    // ── parity: as-of join via union + last(ignoreNulls) over window ────
+    // "latest view at-or-before each purchase, per user" — the scalable
+    // single-shuffle encoding of the reference's latest-per-station lookup.
+    Q("q_asof",
+      """WITH u AS (
+        |  SELECT user_id, ts, 0 AS m, event_id AS vid, NULL::BIGINT AS pid
+        |  FROM events WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT user_id, ts, 1 AS m, NULL::BIGINT AS vid, event_id AS pid
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT user_id, ts, m, pid,
+        |    last_value(vid IGNORE NULLS) OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY ts, m, coalesce(vid, pid)
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS matched_vid
+        |  FROM u)
+        |SELECT pid AS purchase_id, user_id, matched_vid, epoch_us(ts) AS ts_us
+        |FROM w WHERE m = 1 ORDER BY purchase_id""".stripMargin) {
+      (s, d) =>
+        val e = events(s, d)
+        val views = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), lit(0).as("m"),
+            col("event_id").as("vid"), lit(null).cast("long").as("pid"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), lit(1).as("m"),
+            lit(null).cast("long").as("vid"), col("event_id").as("pid"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("m"), coalesce(col("vid"), col("pid")))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        views.unionByName(purchases)
+          .withColumn("matched_vid", last(col("vid"), ignoreNulls = true).over(w))
+          .filter(col("m") === 1)
+          .select(col("pid").as("purchase_id"), col("user_id"),
+            col("matched_vid"), unix_micros(col("ts")).as("ts_us"))
+          .orderBy("purchase_id")
+    }
+  )
+}

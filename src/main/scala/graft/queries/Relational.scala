@@ -1,0 +1,299 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.model.Tables._
+import graft.ops.Exprs._
+
+/** Scans, projections, scalar functions, filters, sorts and limits —
+  * SURVEY.md §2.1–§2.3, §2.6. One declared query per operator row.
+  *
+  * Scale notes: every query here is scan → narrow ops (→ optional global
+  * sort). Filters and projections are expressed directly over the parquet
+  * scan so Catalyst pushes them down (PushedFilters/ReadSchema); the only
+  * shuffles are the final ORDER BYs demanded by oracle determinism, which at
+  * production scale would be dropped (a sink doesn't need a total order) or
+  * handled by range partitioning.
+  */
+object Relational {
+
+  /** Synthetic deterministic coordinates derived from an integer key — the
+    * testdata stand-in for station coordinates (SURVEY.md §2.2 P1).
+    */
+  private def latOf(k: org.apache.spark.sql.Column) = k.cast("double") * 4.7 - 60.0
+  private def lonOf(k: org.apache.spark.sql.Column) = k.cast("double") * 13.3 - 170.0
+
+  // DuckDB spelling of Exprs.haversineMeters — keep term-for-term identical
+  // so double results are bit-equal (see Exprs.scaladoc).
+  private val havSql =
+    """2.0 * 6371000.0 * asin(least(1.0, sqrt(
+      |  pow(sin(radians(lat2 - lat1) / 2), 2) +
+      |  cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(radians(lon2 - lon1) / 2), 2))))""".stripMargin
+
+  private val coordPairsSql =
+    """SELECT a.n_nationkey AS k1, b.n_nationkey AS k2,
+      |       a.n_nationkey * 4.7 - 60.0 AS lat1, a.n_nationkey * 13.3 - 170.0 AS lon1,
+      |       b.n_nationkey * 4.7 - 60.0 AS lat2, b.n_nationkey * 13.3 - 170.0 AS lon2
+      |FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // ── S1: plain columnar scan with projection (pushdown-checked) ──────
+    Q("q_scan_parquet",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin) {
+      (s, d) =>
+        // (l_orderkey, l_linenumber) is NOT unique in the testdata — order by
+        // every output column so ties are identical rows (oracle-stable).
+        lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+          .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    },
+
+    // ── S3/O3: limit (ordered for determinism) ──────────────────────────
+    Q("q_limit",
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 100") {
+      (s, d) =>
+        orders(s, d).select("o_orderkey", "o_totalprice")
+          .orderBy("o_orderkey").limit(100)
+    },
+
+    // ── P1: haversine distance as a composed codegen'd expression ───────
+    Q("q_haversine",
+      s"""WITH p AS ($coordPairsSql)
+         |SELECT k1, k2, round($havSql, 3) AS dist_m
+         |FROM p ORDER BY k1, k2""".stripMargin) {
+      (s, d) =>
+        val a = nation(s, d).select(col("n_nationkey").as("k1"))
+        val b = nation(s, d).select(col("n_nationkey").as("k2"))
+        a.join(b, col("k1") < col("k2"))
+          .select(col("k1"), col("k2"),
+            round(haversineMeters(latOf(col("k1")), lonOf(col("k1")),
+              latOf(col("k2")), lonOf(col("k2"))), 3).as("dist_m"))
+          .orderBy("k1", "k2")
+    },
+
+    // ── F4: distance predicate over the same expression ─────────────────
+    Q("q_haversine_filter",
+      s"""WITH p AS ($coordPairsSql)
+         |SELECT k1, k2, round($havSql, 3) AS dist_m
+         |FROM p WHERE $havSql <= 7500000.0 ORDER BY k1, k2""".stripMargin) {
+      (s, d) =>
+        val a = nation(s, d).select(col("n_nationkey").as("k1"))
+        val b = nation(s, d).select(col("n_nationkey").as("k2"))
+        val dist = haversineMeters(latOf(col("k1")), lonOf(col("k1")),
+          latOf(col("k2")), lonOf(col("k2")))
+        a.join(b, col("k1") < col("k2"))
+          .filter(dist <= 7500000.0)
+          .select(col("k1"), col("k2"), round(dist, 3).as("dist_m"))
+          .orderBy("k1", "k2")
+    },
+
+    // ── P2: ISO-8601 round-trip with Z→+00:00 normalization ─────────────
+    Q("q_ts_parse",
+      """SELECT event_id,
+        |  strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') AS iso,
+        |  epoch_us(strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ'),
+        |                    '%Y-%m-%dT%H:%M:%S.%fZ')) AS parsed_us
+        |FROM events ORDER BY event_id""".stripMargin) {
+      (s, d) =>
+        val iso = date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+        events(s, d).select(col("event_id"), iso.as("iso"),
+          unix_micros(parseIsoTs(iso)).as("parsed_us"))
+          .orderBy("event_id")
+    },
+
+    // ── P3/P4: unit + name coalesce chains (empty-string-falsy) ─────────
+    Q("q_coalesce",
+      """SELECT event_id,
+        |  coalesce(CASE WHEN event_id % 3 = 0 THEN NULL ELSE event_type END,
+        |           CASE WHEN event_id % 5 = 0 THEN NULL ELSE 'unit2' END,
+        |           '') AS unit,
+        |  coalesce(nullif(CASE WHEN event_id % 2 = 0 THEN '' ELSE event_type END, ''),
+        |           'id:' || event_id) AS name
+        |FROM events ORDER BY event_id""".stripMargin) {
+      (s, d) =>
+        val e = events(s, d)
+        val u1 = when(col("event_id") % 3 =!= 0, col("event_type"))
+        val u2 = when(col("event_id") % 5 =!= 0, lit("unit2"))
+        val n1 = when(col("event_id") % 2 === 0, lit("")).otherwise(col("event_type"))
+        e.select(col("event_id"),
+          unitCoalesce(u1, u2).as("unit"),
+          nameCoalesce(n1, lit(null).cast("string"), col("event_id")).as("name"))
+          .orderBy("event_id")
+    },
+
+    // ── P5 + string functions ───────────────────────────────────────────
+    Q("q_string_funcs",
+      """SELECT p_partkey, lower(p_type) AS lt, upper(p_brand) AS ub,
+        |  concat_ws('#', p_brand, p_type) AS bc,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  substr(p_name, 1, 10) AS pfx,
+        |  replace(p_name, ' ', '_') AS und
+        |FROM part ORDER BY p_partkey""".stripMargin) {
+      (s, d) =>
+        part(s, d).select(col("p_partkey"),
+          lower(col("p_type")).as("lt"),
+          upper(col("p_brand")).as("ub"),
+          concat_ws("#", col("p_brand"), col("p_type")).as("bc"),
+          length(col("p_name")).cast("long").as("name_len"),
+          substring(col("p_name"), 1, 10).as("pfx"),
+          regexp_replace(col("p_name"), " ", "_").as("und"))
+          .orderBy("p_partkey")
+    },
+
+    // ── P6: failure-tolerant casts (try_cast == Python None-on-fail) ────
+    Q("q_cast",
+      """SELECT event_id,
+        |  TRY_CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k,
+        |  TRY_CAST(event_type AS BIGINT) AS bad,
+        |  CAST(floor(value) AS BIGINT) AS vfloor
+        |FROM events ORDER BY event_id""".stripMargin) {
+      (s, d) =>
+        events(s, d).select(col("event_id"),
+          regexp_extract(col("props"), "[0-9]+", 0).try_cast("long").as("k"),
+          col("event_type").try_cast("long").as("bad"),
+          floor(col("value")).cast("long").as("vfloor"))
+          .orderBy("event_id")
+    },
+
+    // ── P8: timestamp formatting ────────────────────────────────────────
+    Q("q_date_format",
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y%m%d_%H%M%S') AS fname
+        |FROM orders ORDER BY o_orderkey""".stripMargin) {
+      (s, d) =>
+        orders(s, d).select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyyMMdd_HHmmss").as("fname"))
+          .orderBy("o_orderkey")
+    },
+
+    // ── F1: freshness with data-derived cutoff (station semantics) ──────
+    Q("q_fresh_station",
+      """SELECT event_id, epoch_us(ts) AS ts_us FROM events
+        |WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 7 DAY
+        |ORDER BY event_id""".stripMargin) {
+      (s, d) =>
+        val e = events(s, d)
+        val mx = e.agg(max(col("ts")).as("mx"))
+        e.crossJoin(broadcast(mx))
+          .filter(freshDropNull(col("ts"), col("mx") - expr("INTERVAL 7 DAYS")))
+          .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+          .orderBy("event_id")
+    },
+
+    // ── F8: keep-unparseable freshness (the deliberate F1 asymmetry) ────
+    Q("q_fresh_keep_null",
+      """SELECT event_id, dstr FROM (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 13 = 0 THEN 'not-a-date'
+        |         ELSE strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') END AS dstr,
+        |    ts FROM events) t
+        |WHERE try_strptime(dstr, '%Y-%m-%dT%H:%M:%S.%fZ') IS NULL
+        |   OR try_strptime(dstr, '%Y-%m-%dT%H:%M:%S.%fZ') >=
+        |      (SELECT max(ts) FROM events) - INTERVAL 7 DAY
+        |ORDER BY event_id""".stripMargin) {
+      (s, d) =>
+        val e = events(s, d)
+        val mx = e.agg(max(col("ts")).as("mx"))
+        val dstr = when(col("event_id") % 13 === 0, lit("not-a-date"))
+          .otherwise(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"))
+        e.select(col("event_id"), dstr.as("dstr"))
+          .crossJoin(broadcast(mx))
+          .filter(freshKeepNull(parseIsoTs(col("dstr")),
+            col("mx") - expr("INTERVAL 7 DAYS")))
+          .select("event_id", "dstr")
+          .orderBy("event_id")
+    },
+
+    // ── F2: conjunctive static predicates ───────────────────────────────
+    Q("q_conj_filter",
+      """SELECT p_partkey, p_brand, p_type, p_size FROM part
+        |WHERE p_size >= 10 AND p_size <= 40 AND p_type <> 'PROMO'
+        |  AND p_brand <> 'Brand#13'
+        |ORDER BY p_partkey""".stripMargin) {
+      (s, d) =>
+        part(s, d)
+          .filter(col("p_size") >= 10 && col("p_size") <= 40 &&
+            col("p_type") =!= "PROMO" && col("p_brand") =!= "Brand#13")
+          .select("p_partkey", "p_brand", "p_type", "p_size")
+          .orderBy("p_partkey")
+    },
+
+    // ── F3: null-coordinate guard (nulls synthesized — testdata has none)
+    Q("q_notnull",
+      """SELECT event_id, lat, lon FROM (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS lat,
+        |    CASE WHEN event_id % 11 = 0 THEN NULL ELSE value + 1.0 END AS lon
+        |  FROM events) t
+        |WHERE lat IS NOT NULL AND lon IS NOT NULL
+        |ORDER BY event_id""".stripMargin) {
+      (s, d) =>
+        events(s, d).select(col("event_id"),
+          when(col("event_id") % 7 =!= 0, col("value")).as("lat"),
+          when(col("event_id") % 11 =!= 0, col("value") + 1.0).as("lon"))
+          .filter(col("lat").isNotNull && col("lon").isNotNull)
+          .orderBy("event_id")
+    },
+
+    // ── F5: membership predicate ────────────────────────────────────────
+    Q("q_isin",
+      """SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+        |WHERE l_returnflag IN ('A', 'R')
+        |ORDER BY l_orderkey, l_linenumber, l_returnflag""".stripMargin) {
+      (s, d) =>
+        lineitem(s, d)
+          .filter(col("l_returnflag").isin("A", "R"))
+          .select("l_orderkey", "l_linenumber", "l_returnflag")
+          .orderBy("l_orderkey", "l_linenumber", "l_returnflag")
+    },
+
+    // ── F7: lexical numeric validation; original string emitted verbatim
+    Q("q_numeric_valid",
+      """SELECT event_id, vstr FROM (
+        |  SELECT event_id,
+        |    CASE CAST(event_id % 6 AS INT)
+        |      WHEN 0 THEN 'NaN' WHEN 1 THEN 'Infinity' WHEN 2 THEN '1e3'
+        |      WHEN 3 THEN 'oops' WHEN 4 THEN ''
+        |      ELSE CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) END AS vstr
+        |  FROM events) t
+        |WHERE TRY_CAST(vstr AS DOUBLE) IS NOT NULL
+        |ORDER BY event_id""".stripMargin) {
+      (s, d) =>
+        val vstr = when(col("event_id") % 6 === 0, "NaN")
+          .when(col("event_id") % 6 === 1, "Infinity")
+          .when(col("event_id") % 6 === 2, "1e3")
+          .when(col("event_id") % 6 === 3, "oops")
+          .when(col("event_id") % 6 === 4, "")
+          .otherwise(col("value").cast("decimal(12,2)").cast("string"))
+        events(s, d).select(col("event_id"), vstr.as("vstr"))
+          .filter(numericValid(col("vstr")))
+          .orderBy("event_id")
+    },
+
+    // ── O1: sort with null→sentinel (1e12, nulls-last semantics) ────────
+    Q("q_sort",
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_totalprice END AS d
+        |FROM orders
+        |ORDER BY coalesce(CASE WHEN o_orderstatus = 'O' THEN NULL
+        |                       ELSE o_totalprice END, 1e12), o_orderkey""".stripMargin) {
+      (s, d) =>
+        val dist = when(col("o_orderstatus") =!= "O", col("o_totalprice"))
+        orders(s, d).select(col("o_orderkey"), dist.as("d"))
+          .orderBy(coalesce(col("d"), lit(1e12)), col("o_orderkey"))
+    },
+
+    // ── O2: top-k (TakeOrderedAndProject, stable via total tiebreak) ────
+    Q("q_topk",
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 40""".stripMargin) {
+      (s, d) =>
+        lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_extendedprice")
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+          .limit(40)
+    }
+  )
+}
