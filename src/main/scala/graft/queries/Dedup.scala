@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.model.Tables._
+import graft.ops.Exprs._
+
+/** Deduplication family over `documents` — exact, MinHash+LSH, SimHash and
+  * n-gram Jaccard (builder prompt's training-data operators).
+  *
+  * Portability: every hash is [[graft.ops.Exprs.md5Long]] (md5-hex-prefix →
+  * BIGINT), so the DuckDB oracles compute the identical integers — the whole
+  * family is hash-exact across engines, no float tolerance anywhere.
+  *
+  * Scale: exact dedup is one hash-groupBy (shuffle on the 60-bit key);
+  * MinHash banding turns all-pairs O(n²) into a groupBy on band signatures —
+  * at 100 TB candidate pairs only materialize within a bucket. SimHash pairs
+  * and Jaccard pairs are likewise bounded by an equi-join key (band / shared
+  * shingle), never a cross join.
+  */
+object Dedup {
+
+  private def toks = split(col("text"), " ")
+
+  val all: Seq[Q] = Seq(
+
+    // ── exact dedup: hash-groupBy on a normalization key ────────────────
+    // Key = md5 of the first two tokens (full texts are unique in the
+    // testdata; a prefix key manufactures real duplicate groups while
+    // keeping the operator shape identical to full-text exact dedup).
+    Q("q_dedup_exact",
+      """WITH t AS (SELECT doc_id,
+        |    md5(array_to_string((string_split(text,' '))[1:2], ' ')) AS k
+        |  FROM documents)
+        |SELECT k, min(doc_id) AS doc_id, count(*) AS n_dupes
+        |FROM t GROUP BY k ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        documents(s, d)
+          .select(col("doc_id"),
+            md5(array_join(slice(toks, 1, 2), " ")).as("k"))
+          .groupBy("k")
+          .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_dupes"))
+          .orderBy("doc_id")
+    },
+
+    // ── MinHash + LSH banding: shingle → 16 minhashes → 4 bands of 4 ────
+    Q("q_dedup_minhash",
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+        |sh AS (SELECT doc_id,
+        |    CASE WHEN len(ts) >= 3
+        |         THEN list_transform(range(1, len(ts)-1),
+        |                             i -> array_to_string(ts[i:i+2], ' '))
+        |         ELSE [array_to_string(ts, ' ')] END AS shingles
+        |  FROM tok),
+        |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |hs AS (SELECT doc_id, j,
+        |    min(('0x' || substr(md5(j::VARCHAR || '|' || s), 1, 15))::BIGINT) AS mh
+        |  FROM e CROSS JOIN range(16) r(j) GROUP BY doc_id, j),
+        |bands AS (SELECT doc_id, j // 4 AS band,
+        |    string_agg(mh::VARCHAR, '-' ORDER BY j) AS sig
+        |  FROM hs GROUP BY doc_id, j // 4),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin) {
+      (s, d) =>
+        val sh = documents(s, d)
+          .select(col("doc_id"), explode(wordShingles(toks, 3)).as("s"))
+        val hs = sh
+          .join(s.range(16).select(col("id").as("j")))
+          .groupBy("doc_id", "j")
+          .agg(min(md5Long(concat(col("j"), lit("|"), col("s")))).as("mh"))
+        // per-band signature: mh values joined in j order (array_sort on
+        // struct(j, mh) sorts by j first — order-deterministic agg)
+        val bands = hs
+          .groupBy(col("doc_id"), expr("j div 4").as("band"))
+          .agg(array_join(
+            transform(array_sort(collect_list(struct(col("j"), col("mh")))),
+              x => x.getField("mh").cast("string")), "-").as("sig"))
+        val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+        val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
+        a.join(b, Seq("band", "sig"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+          .orderBy("doc_a", "doc_b")
+    },
+
+    // ── SimHash: 60-bit signature from weighted token-hash bit votes ────
+    Q("q_dedup_simhash",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS hv FROM tok),
+        |votes AS (SELECT doc_id, b,
+        |    SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM h CROSS JOIN range(60) r(b) GROUP BY doc_id, b),
+        |bits AS (SELECT doc_id,
+        |    SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+        |  FROM votes GROUP BY doc_id)
+        |SELECT doc_id, CAST(simhash AS BIGINT) AS simhash
+        |FROM bits ORDER BY doc_id""".stripMargin) {
+      (s, d) => simhashes(s, d).orderBy("doc_id")
+    },
+
+    // ── SimHash near-dup pairs: hamming distance via xor + bit_count ────
+    Q("q_simhash_pairs",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS hv FROM tok),
+        |votes AS (SELECT doc_id, b,
+        |    SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM h CROSS JOIN range(60) r(b) GROUP BY doc_id, b),
+        |bits AS (SELECT doc_id,
+        |    CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM votes GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+        |ORDER BY doc_a, doc_b""".stripMargin) {
+      (s, d) =>
+        val sig = simhashes(s, d)
+        val a = sig.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+        val b = sig.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+        a.join(b, col("doc_a") < col("doc_b"))
+          .withColumn("hamming",
+            bit_count(expr("sim_a ^ sim_b")).cast("long"))
+          .filter(col("hamming") <= 8)
+          .select("doc_a", "doc_b", "hamming")
+          .orderBy("doc_a", "doc_b")
+    },
+
+    // ── n-gram Jaccard: distinct 2-gram shingles, pairs via shared-shingle
+    //    equi-join (never a cross join) ──────────────────────────────────
+    Q("q_dedup_ngram_jaccard",
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(ts) >= 2
+        |         THEN list_transform(range(1, len(ts)),
+        |                             i -> array_to_string(ts[i:i+1], ' '))
+        |         ELSE [array_to_string(ts, ' ')] END) AS gs
+        |  FROM tok),
+        |e AS (SELECT doc_id, unnest(gs) AS g FROM sh),
+        |sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jacc
+        |FROM pr JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.28
+        |ORDER BY doc_a, doc_b""".stripMargin) {
+      (s, d) =>
+        val e = documents(s, d)
+          .select(col("doc_id"),
+            explode(array_distinct(wordShingles(toks, 2))).as("g"))
+        val sz = e.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val a = e.select(col("doc_id").as("doc_a"), col("g"))
+        val b = e.select(col("doc_id").as("doc_b"), col("g"))
+        val pr = a.join(b, Seq("g")).filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+        val jacc = col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared"))
+        pr.join(broadcast(sz.select(col("doc_id").as("doc_a"), col("n").as("na"))), "doc_a")
+          .join(broadcast(sz.select(col("doc_id").as("doc_b"), col("n").as("nb"))), "doc_b")
+          .filter(jacc >= 0.28)
+          .select(col("doc_a"), col("doc_b"), jacc.as("jacc"))
+          .orderBy("doc_a", "doc_b")
+    }
+  )
+
+  /** Shared SimHash signature computation (60 usable bits of md5Long). */
+  private def simhashes(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val tok = documents(s, d).select(col("doc_id"), explode(toks).as("t"))
+    val h = tok.select(col("doc_id"), md5Long(col("t")).as("hv"))
+    val votes = h
+      .join(s.range(60).select(col("id").as("b")))
+      .groupBy("doc_id", "b")
+      .agg(sum(when(expr("(hv >> b) & 1") === 1, 1).otherwise(-1)).as("v"))
+    votes.groupBy("doc_id")
+      .agg(sum(when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
+        .otherwise(0L)).cast("long").as("simhash"))
+  }
+}

@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.model.Tables._
+import graft.ops.Exprs._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors):
+  * brute-force cosine top-k as the baseline, and an LSH-bucketed
+  * (random-hyperplane) approximate variant as the scale path.
+  *
+  * Bit-exact oracle story: vector elements are cast float→double BEFORE any
+  * multiply, dot products fold left-to-right with a 0.0 seed, norms are
+  * computed once per vector and the similarity is `dot / sqrt(na*nb)` —
+  * DuckDB's `list_reduce(list_prepend(0.0::DOUBLE, list_transform(...)))`
+  * reproduces the identical IEEE operation sequence, so even raw doubles
+  * hash-match.
+  *
+  * Scale: at 100 TB brute force is O(Q·N) — viable only with a bounded
+  * query set (broadcast the queries, stream the candidates, per-partition
+  * top-k then global top-k, which is exactly what the window + filter plan
+  * does after AQE). The LSH variant is the real scale path: signatures cost
+  * one narrow pass, and candidate generation is an equi-join on the bucket
+  * id — no cross join ever materializes.
+  */
+object Similarity {
+
+  private val Dims = 64
+  private val LshBits = 6 // 64 buckets over 500 vectors → ~8 vecs/bucket
+
+  // DuckDB mirror of Exprs.dotProduct over two double-lists by index
+  private def dotSqlIdx(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0::DOUBLE,
+       |  list_transform(range(1, ${Dims + 1}), i -> $a[i] * $b[i])), (x,y) -> x + y)""".stripMargin
+
+  private val normsCte =
+    s"""v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+       |      FROM embeddings),
+       |n AS (SELECT vec_id, e,
+       |        list_reduce(list_prepend(0.0::DOUBLE,
+       |          list_transform(e, x -> x * x)), (a,b) -> a + b) AS nrm
+       |      FROM v)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // ── brute-force cosine top-3 for each query vector (vec_id % 25 = 0) ─
+    Q("q_cosine_topk",
+      s"""WITH $normsCte,
+         |q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM n WHERE vec_id % 25 = 0),
+         |p AS (SELECT qid, c.vec_id AS cid,
+         |        ${dotSqlIdx("qe", "c.e")} AS dot, qn, c.nrm AS cn
+         |      FROM q JOIN n c ON c.vec_id <> qid),
+         |s AS (SELECT qid, cid, dot / sqrt(qn * cn) AS sim FROM p),
+         |r AS (SELECT qid, cid, sim,
+         |        CAST(row_number() OVER (PARTITION BY qid
+         |          ORDER BY sim DESC, cid) AS BIGINT) AS rk
+         |      FROM s)
+         |SELECT qid, rk, cid, sim FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin) {
+      (s, d) =>
+        val n = withNorms(s, d)
+        val q = n.filter(col("vec_id") % 25 === 0)
+          .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+        val c = n.select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
+        val sim = (dotProduct(col("qe"), col("ce")) /
+          sqrt(col("qn") * col("cn"))).as("sim")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+        broadcast(q).join(c, col("cid") =!= col("qid"))
+          .select(col("qid"), col("cid"), sim)
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select("qid", "rk", "cid", "sim")
+          .orderBy("qid", "rk")
+    },
+
+    // ── LSH-bucketed ANN: random-hyperplane signs → bucket equi-join ────
+    // Hyperplane weights are derived from md5Long(b:d) so both engines
+    // build the identical planes: w = ((h % 2001) - 1000) / 1000.0.
+    Q("q_ann_lsh",
+      s"""WITH $normsCte,
+         |hp AS (SELECT b, list(w ORDER BY d) AS wv FROM (
+         |    SELECT b, d,
+         |      ((('0x' || substr(md5(b::VARCHAR || ':' || d::VARCHAR), 1, 15))::BIGINT
+         |        % 2001) - 1000) / 1000.0::DOUBLE AS w
+         |    FROM range($LshBits) r1(b), range(1, ${Dims + 1}) r2(d)) t
+         |  GROUP BY b),
+         |proj AS (SELECT n.vec_id, hp.b, ${dotSqlIdx("n.e", "hp.wv")} AS p
+         |  FROM n CROSS JOIN hp),
+         |bk AS (SELECT vec_id,
+         |    CAST(SUM(CASE WHEN p > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM proj GROUP BY vec_id),
+         |nb AS (SELECT n.vec_id, n.e, n.nrm, bk.bucket FROM n JOIN bk USING (vec_id)),
+         |q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn, bucket FROM nb
+         |      WHERE vec_id % 25 = 0),
+         |p2 AS (SELECT qid, c.vec_id AS cid, q.bucket,
+         |        ${dotSqlIdx("qe", "c.e")} AS dot, qn, c.nrm AS cn
+         |      FROM q JOIN nb c ON c.bucket = q.bucket AND c.vec_id <> qid),
+         |s AS (SELECT qid, cid, bucket, dot / sqrt(qn * cn) AS sim FROM p2),
+         |r AS (SELECT qid, cid, bucket, sim,
+         |        CAST(row_number() OVER (PARTITION BY qid
+         |          ORDER BY sim DESC, cid) AS BIGINT) AS rk
+         |      FROM s)
+         |SELECT qid, rk, cid, bucket, sim FROM r WHERE rk <= 3
+         |ORDER BY qid, rk""".stripMargin) {
+      (s, d) =>
+        val n = withNorms(s, d)
+        // hyperplanes: LshBits rows, each a 64-dim deterministic weight list
+        val hp = s.range(LshBits).select(col("id").as("b"))
+          .withColumn("wv", transform(sequence(lit(1), lit(Dims)),
+            dd => ((md5Long(concat(col("b"), lit(":"), dd)) % 2001L) - 1000L) / 1000.0))
+        val proj = n.crossJoin(broadcast(hp))
+          .select(col("vec_id"), col("b"), dotProduct(col("e"), col("wv")).as("p"))
+        val bk = proj.groupBy("vec_id")
+          .agg(sum(when(col("p") > 0,
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")).otherwise(0L))
+            .cast("long").as("bucket"))
+        val nb = n.join(bk, "vec_id")
+        val q = nb.filter(col("vec_id") % 25 === 0)
+          .select(col("vec_id").as("qid"), col("e").as("qe"),
+            col("nrm").as("qn"), col("bucket"))
+        val c = nb.select(col("vec_id").as("cid"), col("e").as("ce"),
+          col("nrm").as("cn"), col("bucket"))
+        val sim = (dotProduct(col("qe"), col("ce")) /
+          sqrt(col("qn") * col("cn"))).as("sim")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+        broadcast(q).join(c, Seq("bucket"))
+          .filter(col("cid") =!= col("qid"))
+          .select(col("qid"), col("cid"), col("bucket"), sim)
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select("qid", "rk", "cid", "bucket", "sim")
+          .orderBy("qid", "rk")
+    },
+
+    // ── embedding-cosine near-duplicate pairs (dedup flavor) ────────────
+    Q("q_dedup_cosine",
+      s"""WITH $normsCte,
+         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |        ${dotSqlIdx("a.e", "b.e")} AS dot, a.nrm AS na, b.nrm AS nb
+         |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, dot / sqrt(na * nb) AS sim FROM p
+         |WHERE dot / sqrt(na * nb) >= 0.4 ORDER BY vec_a, vec_b""".stripMargin) {
+      (s, d) =>
+        val n = withNorms(s, d)
+        val a = n.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("nrm").as("na"))
+        val b = n.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("nrm").as("nb"))
+        val sim = dotProduct(col("ea"), col("eb")) / sqrt(col("na") * col("nb"))
+        a.join(b, col("vec_a") < col("vec_b"))
+          .filter(sim >= 0.4)
+          .select(col("vec_a"), col("vec_b"), sim.as("sim"))
+          .orderBy("vec_a", "vec_b")
+    }
+  )
+
+  /** embeddings with double-cast vectors and precomputed norms. */
+  private def withNorms(s: org.apache.spark.sql.SparkSession, d: String) =
+    embeddings(s, d)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+      .withColumn("nrm", dotProduct(col("e"), col("e")))
+}

@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.model.Tables._
+import graft.ops.Exprs._
+
+/** Text-analysis operators over the `documents` table — the training-data
+  * pipeline surface (builder prompt): language-ID, quality scoring, token
+  * counting, document fingerprinting. Every computation is built from
+  * higher-order functions + exact integer/divide arithmetic so the DuckDB
+  * oracle reproduces it bit-for-bit; no UDFs, everything distributes.
+  *
+  * Scale: each query is a narrow per-row map over the scan (no shuffle at
+  * all except the deterministic final ORDER BY) — at 100 TB these run at
+  * parquet-scan speed and parallelize per split.
+  */
+object TextAnalysis {
+
+  private def tokens: Column = split(col("text"), " ")
+
+  /** Count of tokens in a fixed marker set, as a long. */
+  private def markerCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(x => x: Any): _*))).cast("long")
+
+  private def markerSql(words: Seq[String]): String =
+    s"len(list_filter(ts, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))::BIGINT"
+
+  // marker vocabularies for the n-gram/stopword language heuristic
+  private val M1 = Seq("the", "a", "of")          // "en"-ish function words
+  private val M2 = Seq("table", "row", "query")   // "db" jargon
+  private val M3 = Seq("join", "filter", "sort")  // "ops" jargon
+
+  val all: Seq[Q] = Seq(
+
+    // ── language-ID: argmax over marker-set hit counts, fixed tie order ──
+    Q("q_lang_id",
+      s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |        ${markerSql(M1)} AS s1, ${markerSql(M2)} AS s2, ${markerSql(M3)} AS s3
+         |      FROM t)
+         |SELECT doc_id, lang AS labeled, s1, s2, s3,
+         |  CASE WHEN s1 >= s2 AND s1 >= s3 THEN 'en'
+         |       WHEN s2 >= s3 THEN 'db' ELSE 'ops' END AS guessed
+         |FROM s ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val t = documents(s, d).select(col("doc_id"), col("lang"), tokens.as("ts"))
+        val scored = t.select(col("doc_id"), col("lang").as("labeled"),
+          markerCount(col("ts"), M1).as("s1"),
+          markerCount(col("ts"), M2).as("s2"),
+          markerCount(col("ts"), M3).as("s3"))
+        scored.withColumn("guessed",
+          when(col("s1") >= col("s2") && col("s1") >= col("s3"), "en")
+            .when(col("s2") >= col("s3"), "db")
+            .otherwise("ops"))
+          .orderBy("doc_id")
+    },
+
+    // ── quality scoring: length/stopword/token-shape heuristics ─────────
+    // All ratios are exact-int ÷ exact-int (single correctly-rounded IEEE
+    // division) so Spark and DuckDB agree to the last bit.
+    Q("q_text_quality",
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
+         |s AS (SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS len_chars,
+         |  CAST(len(ts) AS BIGINT) AS n_tokens,
+         |  list_reduce(list_prepend(0::BIGINT,
+         |    list_transform(ts, x -> length(x)::BIGINT)), (a,b) -> a + b) AS sum_tok_len,
+         |  ${markerSql(M1)} AS n_stop FROM t)
+         |SELECT doc_id, len_chars, n_tokens,
+         |  CAST(sum_tok_len AS DOUBLE) / n_tokens AS avg_tok_len,
+         |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+         |  least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) *
+         |    (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) AS quality
+         |FROM s ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val t = documents(s, d).select(col("doc_id"), col("text"), tokens.as("ts"))
+        val sumTokLen = aggregate(
+          transform(col("ts"), x => length(x).cast("long")),
+          lit(0L), (a, b) => a + b)
+        t.select(col("doc_id"),
+          length(col("text")).cast("long").as("len_chars"),
+          size(col("ts")).cast("long").as("n_tokens"),
+          sumTokLen.as("sum_tok_len"),
+          markerCount(col("ts"), M1).as("n_stop"))
+          .select(col("doc_id"), col("len_chars"), col("n_tokens"),
+            (col("sum_tok_len").cast("double") / col("n_tokens")).as("avg_tok_len"),
+            (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
+            (least(lit(1.0), col("n_tokens").cast("double") / 100.0) *
+              (lit(1.0) - col("n_stop").cast("double") / col("n_tokens"))).as("quality"))
+          .orderBy("doc_id")
+    },
+
+    // ── token counting: whitespace + regex (BPE-ish pre-tokenizer) ──────
+    Q("q_token_count",
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(ts) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_re,
+        |  CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct
+        |FROM t ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        documents(s, d).select(col("doc_id"),
+          size(tokens).cast("long").as("n_ws"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0)))
+            .cast("long").as("n_re"),
+          size(array_distinct(tokens)).cast("long").as("n_distinct"))
+          .orderBy("doc_id")
+    },
+
+    // ── document fingerprint: polynomial rolling hash over tokens ───────
+    // h(tok) = md5Long(tok) % 1000003; fp = fold (acc*131 + h) % 1000003.
+    // Exact BIGINT arithmetic (acc*131 + h < 2^31), portable across engines.
+    Q("q_fingerprint",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+        |SELECT doc_id,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(ts, w ->
+        |      ('0x' || substr(md5(w), 1, 15))::BIGINT % 1000003)),
+        |    (a, b) -> (a * 131 + b) % 1000003) AS fp
+        |FROM t ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        documents(s, d).select(col("doc_id"),
+          aggregate(
+            transform(tokens, w => md5Long(w) % 1000003L),
+            lit(0L), (a, b) => (a * 131L + b) % 1000003L).as("fp"))
+          .orderBy("doc_id")
+    }
+  )
+}

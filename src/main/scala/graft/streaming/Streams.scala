@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming surface (SURVEY.md §2.9): the reference's whole job
+  * is an externally-scheduled batch micro-run (Cloud Scheduler cron,
+  * `readme.md:72-90`); its Spark-native form is the SAME transformation
+  * applied to a streaming DataFrame under a trigger. Every transform here is
+  * therefore written against a plain DataFrame — pass a batch frame and it's
+  * the batch pipeline, pass `spark.readStream...` and it's the streaming
+  * one. The specs verify batch↔stream equivalence (the oracle set can't
+  * replay streams — SURVEY.md §5.2.4).
+  *
+  * Watermark semantics deliberately mirror F8's late-data rule
+  * (`main.py:255-259`): rows later than the 30-day tolerance are dropped,
+  * anything within it is accepted late.
+  */
+object Streams {
+
+  /** Tumbling-window counts + exact decimal sums per event type. */
+  def tumblingCounts(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"),
+        col("sum_v"))
+
+  /** Sliding-window counts (overlapping windows). */
+  def slidingCounts(events: DataFrame, width: String = "1 hour",
+      slide: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+
+  /** Session windows per user (gap-merged). */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("ss"),
+        col("session_window.end").as("se"), col("n"))
+
+  /** Streaming wrapper: watermark mirroring F8's 30-day late tolerance,
+    * then any of the window transforms above.
+    */
+  def withLateTolerance(stream: DataFrame, tolerance: String = "30 days"): DataFrame =
+    stream.withWatermark("ts", tolerance)
+
+  /** Stateful dedup on event_id under watermark (streaming state bounded by
+    * the tolerance window — at scale state size is O(events within
+    * tolerance), not O(history)).
+    */
+  def dedupStream(stream: DataFrame, tolerance: String = "30 days"): DataFrame =
+    stream.withWatermark("ts", tolerance)
+      .dropDuplicates("event_id")
+}

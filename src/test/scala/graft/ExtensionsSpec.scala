@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant checks for the training-data extension operators (the DuckDB
+  * oracle checks exact values; these pin structural properties).
+  */
+class ExtensionsSpec extends SparkTestBase {
+
+  def run(name: String): org.apache.spark.sql.DataFrame =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  test("q_dedup_exact: survivor counts sum to table size") {
+    val df = run("q_dedup_exact")
+    val total = df.agg(sum("n_dupes")).head.getLong(0)
+    val docs = graft.model.Tables.documents(spark, sfDir).count()
+    assert(total == docs)
+    // survivors are the min doc_id of each group → all distinct
+    assert(df.select("doc_id").distinct().count() == df.count())
+  }
+
+  test("q_cosine_topk: ranks are 1..3 per query, sims in [-1, 1]") {
+    val rows = run("q_cosine_topk").collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.values.forall(_.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L)))
+    assert(rows.forall(r => math.abs(r.getDouble(3)) <= 1.0 + 1e-9))
+  }
+
+  test("q_ann_lsh: bucketed top-k sims never beat brute-force rank-1") {
+    val bf = run("q_cosine_topk").filter(col("rk") === 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val lsh = run("q_ann_lsh").filter(col("rk") === 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(lsh.forall { case (q, s) => s <= bf(q) + 1e-12 })
+  }
+
+  test("q_simhash_pairs: hamming bounds and symmetry of the key order") {
+    val rows = run("q_simhash_pairs").collect()
+    assert(rows.forall(r => r.getLong(2) >= 0 && r.getLong(2) <= 8))
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("q_dedup_ngram_jaccard: jaccard in (0, 1]") {
+    val rows = run("q_dedup_ngram_jaccard").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getDouble(2) > 0 && r.getDouble(2) <= 1.0))
+  }
+
+  test("q_multimodal_meta: content hash is the md5 of the text bytes") {
+    val one = run("q_multimodal_meta").limit(1).collect().head
+    val text = graft.model.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") === one.getLong(0)).head.getAs[String]("text")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = md.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(one.getString(2) == expect)
+    assert(one.getLong(1) == text.getBytes("UTF-8").length.toLong)
+  }
+
+  test("q_fingerprint: values within modulus, deterministic across runs") {
+    val a = run("q_fingerprint").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = run("q_fingerprint").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.sameElements(b))
+    assert(a.forall { case (_, fp) => fp >= 0 && fp < 1000003 })
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.Streams
+
+/** Batch↔stream equivalence for the streaming surface (SURVEY.md §5.2.4):
+  * the same transform applied to `events` as a file stream must produce the
+  * batch result once all data is processed.
+  */
+class StreamingSpec extends SparkTestBase {
+
+  /** events written once to a temp dir so readStream can replay it. */
+  lazy val stagingDir: String = {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    graft.model.Tables.events(spark, sfDir)
+      .repartition(4) // several files → several micro-batched splits
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  def streamEvents(): DataFrame = {
+    val schema = spark.read.parquet(stagingDir).schema
+    spark.readStream.schema(schema).parquet(stagingDir)
+  }
+
+  private def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
+    val q = df.writeStream.outputMode(mode)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  private def asSortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+
+  test("tumbling window stream == batch groupBy(window)") {
+    val batch = Streams.tumblingCounts(graft.model.Tables.events(spark, sfDir))
+    val stream = runToMemory(
+      Streams.tumblingCounts(Streams.withLateTolerance(streamEvents())),
+      "t_tumbling", "complete")
+    assert(asSortedRows(stream) == asSortedRows(batch))
+  }
+
+  test("sliding window stream == batch") {
+    val batch = Streams.slidingCounts(graft.model.Tables.events(spark, sfDir))
+    val stream = runToMemory(
+      Streams.slidingCounts(Streams.withLateTolerance(streamEvents())),
+      "t_sliding", "complete")
+    assert(asSortedRows(stream) == asSortedRows(batch))
+  }
+
+  test("session window stream == batch") {
+    val batch = Streams.sessionCounts(graft.model.Tables.events(spark, sfDir))
+    val stream = runToMemory(
+      Streams.sessionCounts(Streams.withLateTolerance(streamEvents())),
+      "t_session", "complete")
+    assert(asSortedRows(stream) == asSortedRows(batch))
+  }
+
+  test("streaming dedup keeps one row per event_id") {
+    val stream = runToMemory(Streams.dedupStream(streamEvents()),
+      "t_dedup", "append")
+    val batchCount = graft.model.Tables.events(spark, sfDir)
+      .select("event_id").distinct().count()
+    assert(stream.count() == batchCount)
+    assert(stream.select("event_id").distinct().count() == batchCount)
+  }
+}
