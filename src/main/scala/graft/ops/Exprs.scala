@@ -92,11 +92,21 @@ object Exprs {
       .otherwise(array(array_join(tokens, " ")))
   }
 
-  /** Dot product of two double arrays via zip_with + left-to-right aggregate —
-    * bit-identical to the oracle's `list_reduce(list_prepend(0.0::DOUBLE,
-    * list_transform(...)))` fold in DuckDB.
+  /** Dot product of two double arrays: left-to-right multiply-accumulate
+    * from a 0.0 seed — bit-identical to the oracle's
+    * `list_reduce(list_prepend(0.0::DOUBLE, list_transform(...)))` fold in
+    * DuckDB. Implemented as a codegen-native Catalyst expression
+    * ([[graft.functions.DotProduct]]) because the equivalent HOF chain
+    * ([[hofDotProduct]]) is interpreted and dominates all-pairs similarity
+    * joins.
     */
   def dotProduct(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.dotProduct(a, b)
+
+  /** Reference HOF formulation of [[dotProduct]] (kept for the bit-equality
+    * regression test of the codegen expression).
+    */
+  def hofDotProduct(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** Cosine similarity of two float-array embeddings. Elements are cast to

@@ -63,19 +63,24 @@ object Dedup {
         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin) {
       (s, d) =>
+        // 16 min-aggregate COLUMNS over the shingle rows (not a ×16 row
+        // blowup): partial aggregation shrinks each partition to one row
+        // per doc before the shuffle — the 100 TB-safe formulation.
         val sh = documents(s, d)
           .select(col("doc_id"), explode(wordShingles(toks, 3)).as("s"))
-        val hs = sh
-          .join(s.range(16).select(col("id").as("j")))
-          .groupBy("doc_id", "j")
-          .agg(min(md5Long(concat(col("j"), lit("|"), col("s")))).as("mh"))
-        // per-band signature: mh values joined in j order (array_sort on
-        // struct(j, mh) sorts by j first — order-deterministic agg)
+        val minAggs = (0 until 16).map(j =>
+          min(md5Long(concat(lit(s"$j|"), col("s")))).as(s"h$j"))
+        val hs = sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+        // 4 bands of 4 as an unpivot of precomputed signature strings
+        val bandStructs = (0 until 4).map { b =>
+          struct(lit(b.toLong).as("band"),
+            concat_ws("-", (0 until 4).map(k => col(s"h${b * 4 + k}")
+              .cast("string")): _*).as("sig"))
+        }
         val bands = hs
-          .groupBy(col("doc_id"), expr("j div 4").as("band"))
-          .agg(array_join(
-            transform(array_sort(collect_list(struct(col("j"), col("mh")))),
-              x => x.getField("mh").cast("string")), "-").as("sig"))
+          .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+          .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+          .cache() // self-joined below: compute the signatures once
         val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
         val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
         a.join(b, Seq("band", "sig"))
@@ -115,7 +120,7 @@ object Dedup {
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
         |ORDER BY doc_a, doc_b""".stripMargin) {
       (s, d) =>
-        val sig = simhashes(s, d)
+        val sig = simhashes(s, d).cache() // self-joined: compute once
         val a = sig.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
         val b = sig.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
         a.join(b, col("doc_a") < col("doc_b"))
@@ -150,6 +155,7 @@ object Dedup {
         val e = documents(s, d)
           .select(col("doc_id"),
             explode(array_distinct(wordShingles(toks, 2))).as("g"))
+          .cache() // used three times (sizes + both join sides)
         val sz = e.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val a = e.select(col("doc_id").as("doc_a"), col("g"))
         val b = e.select(col("doc_id").as("doc_b"), col("g"))
@@ -165,16 +171,21 @@ object Dedup {
     }
   )
 
-  /** Shared SimHash signature computation (60 usable bits of md5Long). */
+  /** Shared SimHash signature computation (60 usable bits of md5Long).
+    *
+    * 60 per-bit vote sums as aggregate COLUMNS over the token rows — one
+    * partial-aggregating groupBy, no tokens×60 row explosion. The signature
+    * is then composed in a single projection.
+    */
   private def simhashes(s: org.apache.spark.sql.SparkSession, d: String) = {
     val tok = documents(s, d).select(col("doc_id"), explode(toks).as("t"))
     val h = tok.select(col("doc_id"), md5Long(col("t")).as("hv"))
-    val votes = h
-      .join(s.range(60).select(col("id").as("b")))
-      .groupBy("doc_id", "b")
-      .agg(sum(when(expr("(hv >> b) & 1") === 1, 1).otherwise(-1)).as("v"))
-    votes.groupBy("doc_id")
-      .agg(sum(when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
-        .otherwise(0L)).cast("long").as("simhash"))
+    val voteAggs = (0 until 60).map(b =>
+      sum(when(expr(s"(hv >> $b) & 1") === 1, 1).otherwise(-1)).as(s"v$b"))
+    val votes = h.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
+    val sig = (0 until 60)
+      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+    votes.select(col("doc_id"), sig.cast("long").as("simhash"))
   }
 }

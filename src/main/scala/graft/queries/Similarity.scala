@@ -103,17 +103,19 @@ object Similarity {
          |ORDER BY qid, rk""".stripMargin) {
       (s, d) =>
         val n = withNorms(s, d)
-        // hyperplanes: LshBits rows, each a 64-dim deterministic weight list
-        val hp = s.range(LshBits).select(col("id").as("b"))
-          .withColumn("wv", transform(sequence(lit(1), lit(Dims)),
-            dd => ((md5Long(concat(col("b"), lit(":"), dd)) % 2001L) - 1000L) / 1000.0))
-        val proj = n.crossJoin(broadcast(hp))
-          .select(col("vec_id"), col("b"), dotProduct(col("e"), col("wv")).as("p"))
-        val bk = proj.groupBy("vec_id")
-          .agg(sum(when(col("p") > 0,
-            expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")).otherwise(0L))
-            .cast("long").as("bucket"))
-        val nb = n.join(bk, "vec_id")
+        // Hyperplane weights precomputed driver-side with the SAME md5
+        // formula the oracle uses (md5LongLocal == Exprs.md5Long), embedded
+        // as literal arrays: the bucket id becomes one narrow projection —
+        // no cross join, no per-plane shuffle, scales as a pure map stage.
+        val planes: Seq[Seq[Double]] = (0 until LshBits).map { b =>
+          (1 to Dims).map(dd =>
+            ((md5LongLocal(s"$b:$dd") % 2001L) - 1000L) / 1000.0)
+        }
+        val bucketExpr = (0 until LshBits)
+          .map(b => when(dotProduct(col("e"), typedLit(planes(b))) > 0,
+            lit(1L << b)).otherwise(0L))
+          .reduce(_ + _)
+        val nb = n.withColumn("bucket", bucketExpr.cast("long"))
         val q = nb.filter(col("vec_id") % 25 === 0)
           .select(col("vec_id").as("qid"), col("e").as("qe"),
             col("nrm").as("qn"), col("bucket"))
@@ -157,4 +159,13 @@ object Similarity {
     embeddings(s, d)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
       .withColumn("nrm", dotProduct(col("e"), col("e")))
+
+  /** Driver-side replica of [[graft.ops.Exprs.md5Long]] — same md5-hex-prefix
+    * integer on the same input string.
+    */
+  private def md5LongLocal(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
 }
