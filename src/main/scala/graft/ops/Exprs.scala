@@ -80,6 +80,16 @@ object Exprs {
   def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Driver-side replica of [[md5Long]] — the same md5-hex-prefix integer on
+    * the same input string, for deriving constants (hash-family seeds, LSH
+    * hyperplanes) that both engines can rebuild from the formula alone.
+    */
+  def md5LongLocal(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
   /** Word shingles of size `n` (word n-grams) from a token array; documents
     * shorter than `n` tokens collapse to one whole-text shingle. Built from
     * higher-order functions so it runs distributed with no UDF.

@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact all-pairs Jaccard similarity over element sets, as a reusable
+  * operator (used by `q_dedup_ngram_jaccard`; reference-free extension per
+  * the training-data operator set).
+  *
+  * Input: one row per (id, element) with elements already distinct per id.
+  * Output: (doc_a, doc_b, jacc) for every id pair with jacc >= threshold,
+  * doc_a < doc_b.
+  *
+  * Plan: the naive inverted-index self-join (`naiveJaccardPairs`) explodes
+  * when elements are frequent — an element shared by k ids emits k²/2 pair
+  * rows before aggregation. This operator instead dictionary-encodes the
+  * `vocabCap` most frequent elements as bit positions, builds one
+  * fixed-width bitmask per id (`bit_or` aggregate columns), and counts
+  * intersections with `bit_count(a AND b)` inside a broadcast pair join —
+  * the frequent elements that caused the blowup cost 1 bit each, and the
+  * quadratic stage shuffles nothing. Elements beyond the cap are rare by
+  * construction (frequency-descending dictionary), so their k²/2 inverted-
+  * index join is small; its partial counts merge additively into the bitset
+  * counts. Both paths together are exact for any cap >= 1.
+  *
+  * Scale notes (100 TB): the dictionary is a driver-side top-k collect of at
+  * most `vocabCap` strings — bounded regardless of corpus size. The
+  * broadcast side of the pair join carries ids × (vocabCap/64) longs. Exact
+  * all-pairs Jaccard is inherently quadratic in ids; at corpus scale this
+  * operator is the exact-verification kernel applied after MinHash-LSH
+  * candidate generation (`q_dedup_minhash`) rather than to all pairs.
+  */
+object SetSimilarity {
+
+  def jaccardPairs(
+      e: DataFrame,
+      idCol: String,
+      elemCol: String,
+      threshold: Double,
+      vocabCap: Int = 1024): DataFrame = {
+    val cached = e.select(col(idCol).as("doc_id"), col(elemCol).as("g")).cache()
+    val top = cached.groupBy("g").agg(count(lit(1)).as("k"))
+      .orderBy(desc("k"), col("g")).limit(vocabCap + 1)
+      .select("g").collect().map(_.getString(0))
+    val overflow = top.length > vocabCap
+    val vocab = top.take(vocabCap)
+    val nWords = math.max(1, (vocab.length + 63) / 64)
+    val spark = e.sparkSession
+    import spark.implicits._
+    val vdf = vocab.zipWithIndex
+      .map { case (g, i) => (g, i / 64, 1L << (i % 64)) }
+      .toSeq.toDF("g", "w", "b")
+    val sz = cached.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val bitAggs = (0 until nWords).map(w =>
+      bit_or(when(col("w") === w, col("b")).otherwise(0L)).as(s"bw$w"))
+    val bits = cached.join(broadcast(vdf), Seq("g"))
+      .groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+    val docsEnc = sz.join(bits, Seq("doc_id"), "left").select(
+      col("doc_id") +: col("n") +:
+        (0 until nWords).map(w => coalesce(col(s"bw$w"), lit(0L)).as(s"bw$w")): _*)
+    val a = docsEnc.select(
+      col("doc_id").as("doc_a") +: col("n").as("na") +:
+        (0 until nWords).map(w => col(s"bw$w").as(s"aw$w")): _*)
+    val b = docsEnc.select(
+      col("doc_id").as("doc_b") +: col("n").as("nb") +:
+        (0 until nWords).map(w => col(s"bw$w").as(s"bw$w")): _*)
+    val sharedF = (0 until nWords)
+      .map(w => bit_count(col(s"aw$w").bitwiseAND(col(s"bw$w"))))
+      .reduce(_ + _).cast("long")
+    val fp = broadcast(a).join(b, col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+        sharedF.as("sf"))
+    val withShared =
+      if (!overflow) fp.withColumn("shared", col("sf"))
+      else {
+        // Rare tail: inverted-index join over out-of-dictionary elements
+        // only; every such pair already exists in the all-pairs fp, so a
+        // left join merges the partial counts.
+        val rare = cached.join(broadcast(vdf.select("g")), Seq("g"), "left_anti")
+        val ra = rare.select(col("doc_id").as("doc_a"), col("g"))
+        val rb = rare.select(col("doc_id").as("doc_b"), col("g"))
+        val rp = ra.join(rb, Seq("g")).filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("sr"))
+        fp.join(rp, Seq("doc_a", "doc_b"), "left")
+          .withColumn("shared", col("sf") + coalesce(col("sr"), lit(0L)))
+      }
+    val jacc = col("shared").cast("double") /
+      (col("na") + col("nb") - col("shared"))
+    withShared
+      .filter(jacc >= threshold)
+      .select(col("doc_a"), col("doc_b"), jacc.as("jacc"))
+  }
+
+  /** Reference inverted-index formulation — the textbook plan, kept for the
+    * equivalence regression test of [[jaccardPairs]].
+    */
+  def naiveJaccardPairs(
+      e: DataFrame,
+      idCol: String,
+      elemCol: String,
+      threshold: Double): DataFrame = {
+    val base = e.select(col(idCol).as("doc_id"), col(elemCol).as("g"))
+    val sz = base.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = base.select(col("doc_id").as("doc_a"), col("g"))
+    val b = base.select(col("doc_id").as("doc_b"), col("g"))
+    val pr = a.join(b, Seq("g")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+    val jacc = col("shared").cast("double") /
+      (col("na") + col("nb") - col("shared"))
+    pr.join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .filter(jacc >= threshold)
+      .select(col("doc_a"), col("doc_b"), jacc.as("jacc"))
+  }
+}

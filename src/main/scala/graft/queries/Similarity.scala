@@ -160,12 +160,4 @@ object Similarity {
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
       .withColumn("nrm", dotProduct(col("e"), col("e")))
 
-  /** Driver-side replica of [[graft.ops.Exprs.md5Long]] — same md5-hex-prefix
-    * integer on the same input string.
-    */
-  private def md5LongLocal(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.take(15), 16)
-  }
 }

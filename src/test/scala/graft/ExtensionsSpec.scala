@@ -62,4 +62,37 @@ class ExtensionsSpec extends SparkTestBase {
     assert(a.sameElements(b))
     assert(a.forall { case (_, fp) => fp >= 0 && fp < 1000003 })
   }
+
+  test("SetSimilarity bitset plan == naive inverted-index plan (both cap paths)") {
+    import graft.ops.{Exprs, SetSimilarity}
+    val e = graft.model.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(array_distinct(Exprs.wordShingles(split(col("text"), " "), 2))).as("g"))
+    val naive = SetSimilarity.naiveJaccardPairs(e, "doc_id", "g", 0.28)
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // default cap: vocabulary fits, pure-bitset path
+    val fitted = SetSimilarity.jaccardPairs(e, "doc_id", "g", 0.28)
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // tiny cap: forces the overflow branch (rare-tail inverted-index merge)
+    val overflowed = SetSimilarity.jaccardPairs(e, "doc_id", "g", 0.28, vocabCap = 64)
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(naive.nonEmpty)
+    assert(fitted.sameElements(naive))
+    assert(overflowed.sameElements(naive))
+  }
+
+  test("DotProduct codegen expression is bit-equal to the HOF fold") {
+    import graft.ops.Exprs
+    val vecs = graft.model.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("e"))
+    val diffs = vecs
+      .select((Exprs.dotProduct(col("e"), col("e")) -
+        Exprs.hofDotProduct(col("e"), col("e"))).as("diff"))
+      .filter(col("diff") =!= 0.0)
+    assert(diffs.count() == 0)
+  }
 }
