@@ -10,6 +10,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warm-up: JVM classloading, codegen framework, parquet reader
+    // and shuffle machinery — so per-query numbers measure the queries.
+    try {
+      import org.apache.spark.sql.functions._
+      spark.range(1 << 20).groupBy(col("id") % 7).count().count()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .filter(col("l_quantity") > 0).agg(sum("l_quantity")).count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
