@@ -134,6 +134,69 @@ object Similarity {
           .orderBy("qid", "rk")
     },
 
+    // ── IVF-style ANN: coarse quantizer → inverted cell lists → nprobe=4 ─
+    // Centroids are the vectors with vec_id % 31 = 1 (deterministic coarse
+    // quantizer both engines can rebuild; count grows with the table like a
+    // real IVF nlist). Every vector is assigned to its nearest centroid by
+    // cosine (inverted lists); a query probes its 4 nearest cells and ranks
+    // candidates exactly. At scale: centroids broadcast, assignment is one
+    // narrow map stage, and candidate generation is an equi-join on cell id
+    // — the brute-force O(Q·N) pair stage never materializes.
+    Q("q_ann_ivf",
+      s"""WITH $normsCte,
+         |cent AS (SELECT vec_id AS ccid, e AS ce, nrm AS cn FROM n
+         |         WHERE vec_id % 31 = 1),
+         |asg AS (SELECT n.vec_id, cent.ccid,
+         |        ${dotSqlIdx("n.e", "cent.ce")} / sqrt(n.nrm * cent.cn) AS csim
+         |      FROM n CROSS JOIN cent),
+         |rkd AS (SELECT vec_id, ccid,
+         |        row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY csim DESC, ccid) AS crk
+         |      FROM asg),
+         |inv AS (SELECT r.vec_id AS cid, r.ccid AS cell, n.e AS ce2, n.nrm AS cn2
+         |      FROM rkd r JOIN n ON n.vec_id = r.vec_id WHERE r.crk = 1),
+         |qp AS (SELECT r.vec_id AS qid, r.ccid AS cell, n.e AS qe, n.nrm AS qn
+         |      FROM rkd r JOIN n ON n.vec_id = r.vec_id
+         |      WHERE r.crk <= 4 AND r.vec_id % 25 = 0),
+         |cand AS (SELECT qid, cid,
+         |        ${dotSqlIdx("qe", "ce2")} / sqrt(qn * cn2) AS sim
+         |      FROM qp JOIN inv USING (cell) WHERE cid <> qid),
+         |r AS (SELECT qid, cid, sim,
+         |        CAST(row_number() OVER (PARTITION BY qid
+         |          ORDER BY sim DESC, cid) AS BIGINT) AS rk
+         |      FROM cand)
+         |SELECT qid, rk, cid, sim FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin) {
+      (s, d) =>
+        val n = withNorms(s, d)
+        val cent = n.filter(col("vec_id") % 31 === 1)
+          .select(col("vec_id").as("ccid"), col("e").as("ce"), col("nrm").as("cn"))
+        val csim = (dotProduct(col("e"), col("ce")) /
+          sqrt(col("nrm") * col("cn"))).as("csim")
+        val wAssign = org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(col("csim").desc, col("ccid"))
+        val assign = n.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("e"), col("nrm"), col("ccid"), csim)
+          .withColumn("crk", row_number().over(wAssign))
+          .cache() // inverted lists + query probes read it once each
+        val inv = assign.filter(col("crk") === 1)
+          .select(col("vec_id").as("cid"), col("ccid").as("cell"),
+            col("e").as("ce2"), col("nrm").as("cn2"))
+        val qp = assign.filter(col("crk") <= 4 && col("vec_id") % 25 === 0)
+          .select(col("vec_id").as("qid"), col("ccid").as("cell"),
+            col("e").as("qe"), col("nrm").as("qn"))
+        val sim = (dotProduct(col("qe"), col("ce2")) /
+          sqrt(col("qn") * col("cn2"))).as("sim")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+        broadcast(qp).join(inv, Seq("cell"))
+          .filter(col("cid") =!= col("qid"))
+          .select(col("qid"), col("cid"), sim)
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select("qid", "rk", "cid", "sim")
+          .orderBy("qid", "rk")
+    },
+
     // ── embedding-cosine near-duplicate pairs (dedup flavor) ────────────
     Q("q_dedup_cosine",
       s"""WITH $normsCte,

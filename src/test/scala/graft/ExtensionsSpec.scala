@@ -63,6 +63,28 @@ class ExtensionsSpec extends SparkTestBase {
     assert(a.forall { case (_, fp) => fp >= 0 && fp < 1000003 })
   }
 
+  test("q_ann_ivf: three ranked non-self candidates per query vector") {
+    val rows = run("q_ann_ivf").collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keys.forall(_ % 25 == 0))
+    assert(byQ.values.forall(g => g.map(_.getLong(1)).sorted.sameElements(Seq(1L, 2L, 3L))))
+    assert(rows.forall(r => r.getLong(2) != r.getLong(0)))
+  }
+
+  test("q_ann_ivf recall vs brute force: top-1 found for most queries") {
+    val exact = run("q_cosine_topk").collect()
+      .filter(_.getLong(1) == 1L).map(r => (r.getLong(0), r.getLong(2))).toMap
+    val approx = run("q_ann_ivf").collect()
+      .groupBy(_.getLong(0)).map { case (q, g) => q -> g.map(_.getLong(2)).toSet }
+    val hits = exact.count { case (q, top1) => approx.get(q).exists(_.contains(top1)) }
+    // The testdata embeddings are RANDOM (no cluster structure), so the
+    // information-free baseline is the scan fraction nprobe/nlist = 4/16 =
+    // 25%. Assert the index beats that baseline — on clustered real data
+    // recall would be far higher.
+    assert(hits.toDouble / exact.size >= 0.3, s"recall@top1 = $hits/${exact.size}")
+  }
+
   test("SetSimilarity bitset plan == naive inverted-index plan (both cap paths)") {
     import graft.ops.{Exprs, SetSimilarity}
     val e = graft.model.Tables.documents(spark, sfDir)
