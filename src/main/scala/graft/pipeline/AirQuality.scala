@@ -131,6 +131,20 @@ object AirQuality {
       .orderBy("city", "location", "parameter", "value", "date")
   }
 
+  /** K1 CSV sink (`main.py:284-293`): header row, the reference's fixed
+    * six-column order, one file. `coalesce(1)` is correct here because the
+    * selected output is O(cities × stations × params) rows by construction
+    * (bounded by the greedy selection, not by input size) — a full-size
+    * export would drop the coalesce and write partitioned. The reference's
+    * utf-8-sig BOM is a deliberate divergence (Excel cosmetics; Spark's CSV
+    * writer has no BOM option — SURVEY.md §2.8 K1).
+    */
+  def writeCsv(result: DataFrame, path: String): Unit =
+    result
+      .select("city", "location", "parameter", "value", "unit", "date")
+      .coalesce(1)
+      .write.option("header", true).mode("overwrite").csv(path)
+
   /** Flagship entry: the full pipeline over the inline OpenAQ-shaped
     * fixture (FIXTURES.md §A) — every quirk row included.
     */

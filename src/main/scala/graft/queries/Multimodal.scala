@@ -18,6 +18,11 @@ object Multimodal {
 
   final case class DocBin(doc_id: Long, bin: Array[Byte])
 
+  /** Frame-sampling parameters: 64-byte frames, every 4th frame kept. */
+  private val FrameBytes = 64
+  private val SampleEvery = 4
+
+
   val all: Seq[Q] = Seq(
 
     Q("q_multimodal_meta",
@@ -42,6 +47,82 @@ object Multimodal {
           }
         }.toDF("doc_id", "n_bytes", "content_hash", "format")
           .orderBy("doc_id")
+    },
+
+    // ── frame sampling: fixed-width frames from the binary payload, every
+    //    SampleEvery-th frame hashed (the video-frame-sample plumbing:
+    //    schema (doc_id, frame_idx, frame_hash), per-task batch decode, no
+    //    driver involvement). Oracle uses string substr — testdata is ASCII
+    //    so byte and char offsets coincide; real media bytes would keep the
+    //    Spark side unchanged and drop the oracle to a rows-only check. ──
+    Q("q_multimodal_frames",
+      s"""WITH f AS (SELECT doc_id, fi,
+        |    substr(text, 1 + fi * $FrameBytes, $FrameBytes) AS frame
+        |  FROM documents
+        |  CROSS JOIN LATERAL (SELECT unnest(range(0,
+        |    CAST(ceil(length(text) / ${FrameBytes.toDouble}) AS BIGINT))) AS fi))
+        |SELECT doc_id, fi AS frame_idx, md5(frame) AS frame_hash,
+        |  CAST(length(frame) AS BIGINT) AS frame_bytes
+        |FROM f WHERE fi % $SampleEvery = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val ds = documents(s, d)
+          .select(col("doc_id"), col("text").cast("binary").as("bin"))
+          .as[DocBin]
+        ds.mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.flatMap { r =>
+            val nFrames = math.ceil(r.bin.length / FrameBytes.toDouble).toLong
+            (0L until nFrames).filter(_ % SampleEvery == 0).map { fi =>
+              val from = (fi * FrameBytes).toInt
+              val until = math.min(from + FrameBytes, r.bin.length)
+              val frame = java.util.Arrays.copyOfRange(r.bin, from, until)
+              md.reset()
+              val hex = md.digest(frame).map("%02x".format(_)).mkString
+              (r.doc_id, fi, hex, (until - from).toLong)
+            }
+          }
+        }.toDF("doc_id", "frame_idx", "frame_hash", "frame_bytes")
+          .orderBy("doc_id", "frame_idx")
+    },
+
+    // ── feature extraction: per-payload byte statistics as the stubbed
+    //    "embedding" (a real pipeline would emit a model feature vector
+    //    here; the batch shape, schema and partitioning are identical).
+    //    Byte values via ascii() in the oracle — ASCII testdata again. ──
+    Q("q_multimodal_features",
+      """WITH b AS (SELECT doc_id,
+        |    list_transform(range(1, length(text) + 1),
+        |                   i -> ascii(substr(text, i, 1))) AS bytes
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(bytes) AS BIGINT) AS n_bytes,
+        |  CAST(list_min(bytes) AS BIGINT) AS min_byte,
+        |  CAST(list_max(bytes) AS BIGINT) AS max_byte,
+        |  CAST(list_sum(bytes) AS BIGINT) AS sum_byte
+        |FROM b ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val ds = documents(s, d)
+          .select(col("doc_id"), col("text").cast("binary").as("bin"))
+          .as[DocBin]
+        ds.mapPartitions { it =>
+          it.map { r =>
+            var mn = 255L; var mx = 0L; var sum = 0L
+            var i = 0
+            while (i < r.bin.length) {
+              val b = (r.bin(i) & 0xff).toLong
+              if (b < mn) mn = b
+              if (b > mx) mx = b
+              sum += b
+              i += 1
+            }
+            (r.doc_id, r.bin.length.toLong, mn, mx, sum)
+          }
+        }.toDF("doc_id", "n_bytes", "min_byte", "max_byte", "sum_byte")
+          .orderBy("doc_id")
     }
   )
+
 }

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured-Streaming surface (SURVEY.md §2.9): the reference's whole job
   * is an externally-scheduled batch micro-run (Cloud Scheduler cron,
@@ -56,4 +57,38 @@ object Streams {
   def dedupStream(stream: DataFrame, tolerance: String = "30 days"): DataFrame =
     stream.withWatermark("ts", tolerance)
       .dropDuplicates("event_id")
+
+  /** Per-key running state carried across micro-batches. Sums are exact
+    * decimals so the running total is order-insensitive (batch↔stream
+    * comparable bit-for-bit).
+    */
+  final case class UserRunning(n: Long, sum: java.math.BigDecimal)
+
+  /** Custom arbitrary state via `flatMapGroupsWithState`: per-user running
+    * (event count, exact value total), emitting the updated state each
+    * micro-batch (Update mode). The same call on a batch frame collapses to
+    * one "micro-batch" and yields the final totals directly — which is what
+    * the equivalence spec exploits. State is partitioned by user_id, so at
+    * scale it shards across executors with the shuffle; per-key size is
+    * O(1).
+    */
+  def runningUserStats(events: DataFrame): Dataset[(Long, Long, String)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("value").cast("decimal(18,2)"),
+        col("ts"))
+      .as[(Long, java.math.BigDecimal, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long,
+         rows: Iterator[(Long, java.math.BigDecimal, java.sql.Timestamp)],
+         state: GroupState[UserRunning]) =>
+          var s = state.getOption
+            .getOrElse(UserRunning(0L, java.math.BigDecimal.ZERO))
+          rows.foreach(r => s = UserRunning(s.n + 1, s.sum.add(r._2)))
+          state.update(s)
+          Iterator((uid, s.n, s.sum.setScale(2).toPlainString))
+      }
+  }
 }

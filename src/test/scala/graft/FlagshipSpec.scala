@@ -59,4 +59,22 @@ class FlagshipSpec extends SparkTestBase {
   test("both cities present (U1 union)") {
     assert(rows.map(_._1).toSet == Set("Warsaw", "New York"))
   }
+
+  test("K1 CSV sink: header, fixed column order, lossless round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("k1csv").toString
+    try {
+      AirQuality.writeCsv(AirQuality.flagship(spark), dir)
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".csv"))
+      assert(files.length == 1) // coalesce(1): one part file
+      val header = scala.io.Source.fromFile(files.head, "UTF-8").getLines().next()
+      assert(header == "city,location,parameter,value,unit,date")
+      val back = spark.read.option("header", true).csv(dir)
+      assert(back.count() == rows.size)
+      // values survive verbatim (incl. the lexical "nan" quirk row)
+      assert(back.collect().exists(_.getString(3) == "nan"))
+    } finally {
+      scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
 }

@@ -69,4 +69,24 @@ class StreamingSpec extends SparkTestBase {
     assert(stream.count() == batchCount)
     assert(stream.select("event_id").distinct().count() == batchCount)
   }
+
+  test("flatMapGroupsWithState running stats: final stream state == batch totals") {
+    // one file per micro-batch so state genuinely carries across batches
+    val schema = spark.read.parquet(stagingDir).schema
+    val multiBatch = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stagingDir)
+    val stream = runToMemory(
+      Streams.runningUserStats(multiBatch).toDF("user_id", "n", "sum_v"),
+      "t_running", "update")
+    // per user, the last update (largest n) is the final running state
+    val finalState = stream.collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, rows) => val r = rows.maxBy(_.getLong(1))
+        (u, r.getLong(1), r.getString(2)) }
+      .toSet
+    val batch = Streams.runningUserStats(
+      graft.model.Tables.events(spark, sfDir)).collect().toSet
+    assert(batch.nonEmpty)
+    assert(finalState == batch)
+  }
 }
