@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.ops.Exprs._
+
+/** Property tests for the scalar operators (SURVEY.md §5.2.3). Random cases
+  * are generated driver-side with ScalaCheck generators, evaluated in ONE
+  * Spark pass per property (a Spark job per ScalaCheck case would be
+  * prohibitively slow), and the invariant asserted over every row.
+  */
+class PropertiesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val EarthR = 6371000.0
+
+  private def sample[A](g: Gen[A], n: Int): Seq[A] =
+    Seq.tabulate(n)(i => g.apply(Gen.Parameters.default, Seed(i.toLong)).get)
+
+  private val coordGen: Gen[(Double, Double)] = for {
+    lat <- Gen.chooseNum(-90.0, 90.0)
+    lon <- Gen.chooseNum(-180.0, 180.0)
+  } yield (lat, lon)
+
+  private lazy val triples = sample(
+    for { a <- coordGen; b <- coordGen; c <- coordGen } yield (a, b, c), 500)
+    .map { case ((a1, a2), (b1, b2), (c1, c2)) => (a1, a2, b1, b2, c1, c2) }
+
+  test("haversine: symmetry, zero self-distance, range [0, piR]") {
+    val rows = triples.toDF("la", "lo", "lb", "ob", "lc", "oc")
+      .select(
+        haversineMeters(col("la"), col("lo"), col("lb"), col("ob")).as("ab"),
+        haversineMeters(col("lb"), col("ob"), col("la"), col("lo")).as("ba"),
+        haversineMeters(col("la"), col("lo"), col("la"), col("lo")).as("self"))
+      .collect()
+    rows.foreach { r =>
+      val (ab, ba, self) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+      assert(math.abs(ab - ba) <= 1e-6, s"symmetry: $ab vs $ba")
+      assert(self == 0.0, s"self-distance: $self")
+      assert(ab >= 0.0 && ab <= math.Pi * EarthR + 1e-6, s"range: $ab")
+    }
+  }
+
+  test("haversine: triangle inequality (with fp tolerance)") {
+    val rows = triples.toDF("la", "lo", "lb", "ob", "lc", "oc")
+      .select(
+        haversineMeters(col("la"), col("lo"), col("lc"), col("oc")).as("ac"),
+        haversineMeters(col("la"), col("lo"), col("lb"), col("ob")).as("ab"),
+        haversineMeters(col("lb"), col("ob"), col("lc"), col("oc")).as("bc"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) <= r.getDouble(1) + r.getDouble(2) + 1e-3,
+        s"triangle: ${r.getDouble(0)} > ${r.getDouble(1)} + ${r.getDouble(2)}")
+    }
+  }
+
+  test("P2/P8 parse-format round-trip on generated UTC instants") {
+    val tsGen = Gen.chooseNum(0L, 4102444800L) // 1970..2100, seconds
+    val secs = sample(tsGen, 500)
+    val rows = secs.toDF("s")
+      .select(timestamp_seconds(col("s")).as("ts"))
+      .withColumn("iso", date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+      .withColumn("back", parseIsoTs(col("iso")))
+      .filter(col("back") =!= col("ts") || col("back").isNull)
+    assert(rows.count() == 0)
+  }
+
+  test("O2 top-k == sort-then-take (total order)") {
+    val li = graft.model.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    val ord = Seq(col("l_extendedprice").desc, col("l_orderkey").asc,
+      col("l_linenumber").asc)
+    val topk = li.orderBy(ord: _*).limit(40).collect().toSeq
+    val full = li.orderBy(ord: _*).collect().take(40).toSeq
+    assert(topk == full)
+  }
+
+  test("U1 union row-count additivity and unionByName column safety") {
+    val o = graft.model.Tables.orders(spark, sfDir)
+    val a = o.filter(col("o_orderkey") % 2 === 0)
+    val b = o.filter(col("o_orderkey") % 2 =!= 0)
+    assert(a.unionByName(b).count() == a.count() + b.count())
+    // column order must not matter for unionByName
+    val shuffledCols = Seq("o_orderpriority", "o_orderkey") ++
+      o.columns.filterNot(Set("o_orderpriority", "o_orderkey"))
+    val shuffled = b.select(shuffledCols.map(col): _*)
+    assert(a.unionByName(shuffled).count() == o.count())
+  }
+}
