@@ -257,6 +257,29 @@ object Aggregates {
           .orderBy("ws", "event_type")
     },
 
+    // ── streaming-surface parity (batch form): sliding window ───────────
+    // width 1h, slide 30m → every event lands in exactly 2 windows; the
+    // oracle unnests the two 30-minute-grid candidate starts (both grids
+    // are epoch-aligned for a 30m slide, so Spark and DuckDB agree).
+    Q("q_window_sliding",
+      """WITH b AS (SELECT event_type, value,
+        |    time_bucket(INTERVAL '30 minutes', ts) AS tb FROM events),
+        |w AS (SELECT event_type, value,
+        |    unnest([tb, tb - INTERVAL 30 MINUTE]) AS ws FROM b)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS ws, event_type,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM w GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin) {
+      (s, d) =>
+        events(s, d)
+          .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
+          .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+            col("event_type"), col("n"), col("sum_v"))
+          .orderBy("ws", "event_type")
+    },
+
     // ── streaming-surface parity (batch form): session window ───────────
     // Spark semantics: session = [first ts, last ts + gap); a new session
     // starts when the next event is >= gap after the previous one.
