@@ -22,6 +22,9 @@ object Multimodal {
   private val FrameBytes = 64
   private val SampleEvery = 4
 
+  /** Resize target: every payload normalized to 128 bytes. */
+  private val ResizeBytes = 128
+
 
   val all: Seq[Q] = Seq(
 
@@ -85,6 +88,32 @@ object Multimodal {
           }
         }.toDF("doc_id", "frame_idx", "frame_hash", "frame_bytes")
           .orderBy("doc_id", "frame_idx")
+    },
+
+    // ── resize: normalize every payload to a fixed byte size (truncate or
+    //    zero-pad) — the image-resize plumbing stub: same schema/batch
+    //    shape as a real resampler, deterministic output. ────────────────
+    Q("q_multimodal_resize",
+      s"""SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS orig_bytes,
+        |  CAST($ResizeBytes AS BIGINT) AS resized_bytes,
+        |  md5(rpad(substr(text, 1, $ResizeBytes), $ResizeBytes, chr(0))) AS resized_hash
+        |FROM documents ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val ds = documents(s, d)
+          .select(col("doc_id"), col("text").cast("binary").as("bin"))
+          .as[DocBin]
+        ds.mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.map { r =>
+            val out = java.util.Arrays.copyOf(r.bin, ResizeBytes) // trunc/pad0
+            md.reset()
+            val hex = md.digest(out).map("%02x".format(_)).mkString
+            (r.doc_id, r.bin.length.toLong, ResizeBytes.toLong, hex)
+          }
+        }.toDF("doc_id", "orig_bytes", "resized_bytes", "resized_hash")
+          .orderBy("doc_id")
     },
 
     // ── feature extraction: per-payload byte statistics as the stubbed
