@@ -38,8 +38,8 @@ object SetSimilarity {
       elemCol: String,
       threshold: Double,
       vocabCap: Int = 1024): DataFrame = {
-    val cached = e.select(col(idCol).as("doc_id"), col(elemCol).as("g")).cache()
-    val top = cached.groupBy("g").agg(count(lit(1)).as("k"))
+    val base = e.select(col(idCol).as("doc_id"), col(elemCol).as("g"))
+    val top = base.groupBy("g").agg(count(lit(1)).as("k"))
       .orderBy(desc("k"), col("g")).limit(vocabCap + 1)
       .select("g").collect().map(_.getString(0))
     val overflow = top.length > vocabCap
@@ -50,14 +50,18 @@ object SetSimilarity {
     val vdf = vocab.zipWithIndex
       .map { case (g, i) => (g, i / 64, 1L << (i % 64)) }
       .toSeq.toDF("g", "w", "b")
-    val sz = cached.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val bitAggs = (0 until nWords).map(w =>
+    // One pass computes set size AND bitmask per id: left-join the
+    // dictionary (out-of-vocab rows keep w/b null → count only), aggregate
+    // everything in a single partial-aggregating shuffle. The encoded frame
+    // is ids × (1 + nWords) longs — THAT is what gets cached (tiny, stable),
+    // not the exploded element rows; both pair-join sides and the broadcast
+    // build read it without re-deriving upstream stages.
+    val withDict = base.join(broadcast(vdf), Seq("g"), "left")
+    val aggs = count(lit(1)).as("n") +: (0 until nWords).map(w =>
       bit_or(when(col("w") === w, col("b")).otherwise(0L)).as(s"bw$w"))
-    val bits = cached.join(broadcast(vdf), Seq("g"))
-      .groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-    val docsEnc = sz.join(bits, Seq("doc_id"), "left").select(
-      col("doc_id") +: col("n") +:
-        (0 until nWords).map(w => coalesce(col(s"bw$w"), lit(0L)).as(s"bw$w")): _*)
+    val docsEnc = withDict.groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .cache()
     val a = docsEnc.select(
       col("doc_id").as("doc_a") +: col("n").as("na") +:
         (0 until nWords).map(w => col(s"bw$w").as(s"aw$w")): _*)
@@ -76,7 +80,7 @@ object SetSimilarity {
         // Rare tail: inverted-index join over out-of-dictionary elements
         // only; every such pair already exists in the all-pairs fp, so a
         // left join merges the partial counts.
-        val rare = cached.join(broadcast(vdf.select("g")), Seq("g"), "left_anti")
+        val rare = base.join(broadcast(vdf.select("g")), Seq("g"), "left_anti")
         val ra = rare.select(col("doc_id").as("doc_a"), col("g"))
         val rb = rare.select(col("doc_id").as("doc_b"), col("g"))
         val rp = ra.join(rb, Seq("g")).filter(col("doc_a") < col("doc_b"))
