@@ -36,6 +36,16 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** `documents` with rows spread across all cores. The test table is a
+    * single parquet row group → a one-partition scan, but it feeds the most
+    * CPU-intensive per-row work in the engine (tokenize → shingle → hash);
+    * without an exchange that work runs on one core. The round-robin shuffle
+    * moves only the raw texts (~MB here). On a production multi-file table
+    * the scan already splits, and AQE coalesces this exchange away.
+    */
+  def documentsSpread(s: SparkSession, d: String): DataFrame =
+    documents(s, d).repartition(s.sparkContext.defaultParallelism)
 }
 
 /** The fixed output row of the air-quality pipeline (reference

@@ -38,13 +38,21 @@ object SetSimilarity {
       elemCol: String,
       threshold: Double,
       vocabCap: Int = 1024): DataFrame = {
-    val base = e.select(col(idCol).as("doc_id"), col(elemCol).as("g"))
+    // Cached: three consumers (dictionary top-k, the encoding aggregation,
+    // and the rare-tail anti-join when the dictionary overflows) would each
+    // recompute upstream shingling otherwise — the most expensive scalar
+    // work in the pipeline.
+    val base = e.select(col(idCol).as("doc_id"), col(elemCol).as("g")).cache()
     val top = base.groupBy("g").agg(count(lit(1)).as("k"))
       .orderBy(desc("k"), col("g")).limit(vocabCap + 1)
       .select("g").collect().map(_.getString(0))
     val overflow = top.length > vocabCap
     val vocab = top.take(vocabCap)
-    val nWords = math.max(1, (vocab.length + 63) / 64)
+    // Plan shape (number of bitmask words → number of aggregate columns →
+    // generated code) is fixed by vocabCap alone, NOT by the observed
+    // vocabulary: identical plans across scale factors share one codegen
+    // compile, and a re-run on grown data never changes the physical plan.
+    val nWords = math.max(1, vocabCap / 64)
     val spark = e.sparkSession
     import spark.implicits._
     val vdf = vocab.zipWithIndex
