@@ -13,8 +13,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * plan over the scan.
   */
 object Tables {
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Minimum-parallelism guarantee for scans feeding CPU-heavy per-row work
+    * (tokenize/shingle/hash, vector math, timestamp re-parsing).
+    *
+    * A parquet file splits only at row-group boundaries; a table that
+    * arrives as one small file/row group (the shape of the sfX test tables)
+    * yields a one-partition scan, and the expensive map work above it runs
+    * on a single core no matter how many exist. When the source cannot
+    * provide even minimal parallelism (≤ 2 splits), redistribute round-robin
+    * — the shuffle is bounded by the file size that caused it (~MBs). Any
+    * real-scale table has thousands of splits, so this is a no-op there.
+    * Deliberately NOT applied to every scan: for cheap scan→filter→agg
+    * queries the extra stage costs more than single-core scanning saves.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions <= 2 && target > 2) df.repartition(target)
+    else df
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
@@ -36,16 +56,6 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
-
-  /** `documents` with rows spread across all cores. The test table is a
-    * single parquet row group → a one-partition scan, but it feeds the most
-    * CPU-intensive per-row work in the engine (tokenize → shingle → hash);
-    * without an exchange that work runs on one core. The round-robin shuffle
-    * moves only the raw texts (~MB here). On a production multi-file table
-    * the scan already splits, and AQE coalesces this exchange away.
-    */
-  def documentsSpread(s: SparkSession, d: String): DataFrame =
-    documents(s, d).repartition(s.sparkContext.defaultParallelism)
 }
 
 /** The fixed output row of the air-quality pipeline (reference

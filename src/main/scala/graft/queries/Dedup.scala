@@ -71,7 +71,7 @@ object Dedup {
         // 16 min-aggregate COLUMNS over the shingle rows (not a ×16 row
         // blowup): partial aggregation shrinks each partition to one row
         // per doc before the shuffle — the 100 TB-safe formulation.
-        val sh = documentsSpread(s, d)
+        val sh = spread(documents(s, d))
           .select(col("doc_id"), explode(wordShingles(toks, 3)).as("s"))
           .select(col("doc_id"), md5Long(col("s")).as("hv"))
         val minAggs = (0 until 16).map(j =>
@@ -163,7 +163,7 @@ object Dedup {
         // frequent (36M pair rows at sf0.1 from a 931-term vocabulary);
         // bit-encoding the frequent dictionary makes the quadratic stage a
         // shuffle-free broadcast join over bit_count(a AND b).
-        val e = documentsSpread(s, d)
+        val e = spread(documents(s, d))
           .select(col("doc_id"),
             explode(array_distinct(wordShingles(toks, 2))).as("g"))
         graft.ops.SetSimilarity.jaccardPairs(e, "doc_id", "g", 0.28)
@@ -178,7 +178,7 @@ object Dedup {
     * is then composed in a single projection.
     */
   private def simhashes(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val tok = documentsSpread(s, d).select(col("doc_id"), explode(toks).as("t"))
+    val tok = spread(documents(s, d)).select(col("doc_id"), explode(toks).as("t"))
     val h = tok.select(col("doc_id"), md5Long(col("t")).as("hv"))
     val voteAggs = (0 until 60).map(b =>
       sum(when(expr(s"(hv >> $b) & 1") === 1, 1).otherwise(-1)).as(s"v$b"))

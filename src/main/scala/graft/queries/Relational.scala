@@ -193,7 +193,7 @@ object Relational {
         |      (SELECT max(ts) FROM events) - INTERVAL 7 DAY
         |ORDER BY event_id""".stripMargin) {
       (s, d) =>
-        val e = events(s, d)
+        val e = spread(events(s, d))
         val mx = e.agg(max(col("ts")).as("mx"))
         val dstr = when(col("event_id") % 13 === 0, lit("not-a-date"))
           .otherwise(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"))

@@ -219,7 +219,7 @@ object Similarity {
 
   /** embeddings with double-cast vectors and precomputed norms. */
   private def withNorms(s: org.apache.spark.sql.SparkSession, d: String) =
-    embeddings(s, d)
+    spread(embeddings(s, d))
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
       .withColumn("nrm", dotProduct(col("e"), col("e")))
 
