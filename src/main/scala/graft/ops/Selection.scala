@@ -55,10 +55,14 @@ object Selection {
       .agg(sum("is_first").as("new_types"))
 
     // cumulative coverage along the rank order; stop at the first rank
-    // satisfying both conditions; keep the prefix
+    // satisfying both conditions; keep the prefix. Cached: `stop` and the
+    // final prefix filter both read it, and it is one row per candidate —
+    // without the cache the two scans + join + three windows above run
+    // twice.
     val cum = perCand.withColumn("cum_cov",
       sum("new_types").over(Window.partitionBy("grp").orderBy("rank")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .cache()
     val stop = cum
       .filter(col("cum_cov") >= targets.size && col("rank") >= minUsed)
       .groupBy("grp").agg(min("rank").as("stop_rank"))

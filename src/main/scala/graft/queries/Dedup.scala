@@ -127,13 +127,9 @@ object Dedup {
         |ORDER BY doc_a, doc_b""".stripMargin) {
       (s, d) =>
         val sig = simhashes(s, d).cache() // self-joined: compute once
-        val a = sig.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
-        val b = sig.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
-        a.join(b, col("doc_a") < col("doc_b"))
-          .withColumn("hamming",
-            bit_count(expr("sim_a ^ sim_b")).cast("long"))
-          .filter(col("hamming") <= 8)
-          .select("doc_a", "doc_b", "hamming")
+        // Pigeonhole-blocked equi-join instead of the O(n²) nested-loop
+        // all-pairs compare — see graft.ops.HammingJoin.
+        graft.ops.HammingJoin.pairsWithin(sig, "doc_id", "simhash", 60, 8)
           .orderBy("doc_a", "doc_b")
     },
 

@@ -167,21 +167,30 @@ object Similarity {
          |      FROM cand)
          |SELECT qid, rk, cid, sim FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin) {
       (s, d) =>
-        val n = withNorms(s, d)
+        val n = withNorms(s, d).cache() // assignment + two vector join-backs
         val cent = n.filter(col("vec_id") % 31 === 1)
           .select(col("vec_id").as("ccid"), col("e").as("ce"), col("nrm").as("cn"))
         val csim = (dotProduct(col("e"), col("ce")) /
           sqrt(col("nrm") * col("cn"))).as("csim")
         val wAssign = org.apache.spark.sql.expressions.Window
           .partitionBy("vec_id").orderBy(col("csim").desc, col("ccid"))
+        // Rank on SLIM rows: csim is computed map-side, the vectors are
+        // projected away before the window shuffle (24 bytes/row instead of
+        // ~520 with the embedding), and joined back only for the ranked
+        // survivors. The window shuffle is the widest stage of the query —
+        // at scale this is the difference between shuffling ids and
+        // shuffling the entire vector corpus nlist times.
         val assign = n.crossJoin(broadcast(cent))
-          .select(col("vec_id"), col("e"), col("nrm"), col("ccid"), csim)
+          .select(col("vec_id"), col("ccid"), csim)
           .withColumn("crk", row_number().over(wAssign))
+          .filter(col("crk") <= 4)
+          .select("vec_id", "ccid", "crk")
           .cache() // inverted lists + query probes read it once each
-        val inv = assign.filter(col("crk") === 1)
+        val inv = assign.filter(col("crk") === 1).join(n, "vec_id")
           .select(col("vec_id").as("cid"), col("ccid").as("cell"),
             col("e").as("ce2"), col("nrm").as("cn2"))
         val qp = assign.filter(col("crk") <= 4 && col("vec_id") % 25 === 0)
+          .join(n, "vec_id")
           .select(col("vec_id").as("qid"), col("ccid").as("cell"),
             col("e").as("qe"), col("nrm").as("qn"))
         val sim = (dotProduct(col("qe"), col("ce2")) /

@@ -106,6 +106,32 @@ class ExtensionsSpec extends SparkTestBase {
     assert(overflowed.sameElements(naive))
   }
 
+  test("HammingJoin blocked pairs == naive all-pairs compare") {
+    import graft.ops.HammingJoin
+    // Signatures with planted near-duplicates: base patterns plus 0-10
+    // flipped bits, and unrelated random-ish values.
+    val sigs = (0L until 64L).map { i =>
+      val base = if (i % 2 == 0) 0x0F0F0F0F0F0F0FL else 0x123456789ABCDL
+      val flips = (0 until (i % 11).toInt)
+        .map(k => 1L << ((i * 7 + k * 5) % 60)).foldLeft(0L)(_ ^ _)
+      (i, (base ^ flips) & ((1L << 60) - 1))
+    }
+    import spark.implicits._
+    val df = sigs.toDF("doc_id", "simhash")
+    val naive = df.as("a").crossJoin(df.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(expr("a.simhash ^ b.simhash")).cast("long").as("hamming"))
+      .filter(col("hamming") <= 8)
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val blocked = HammingJoin.pairsWithin(df, "doc_id", "simhash", 60, 8)
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(naive.nonEmpty)
+    assert(blocked.sameElements(naive))
+  }
+
   test("DotProduct codegen expression is bit-equal to the HOF fold") {
     import graft.ops.Exprs
     val vecs = graft.model.Tables.embeddings(spark, sfDir)
