@@ -107,6 +107,26 @@ object Aggregates {
           .orderBy("status", "prio")
     },
 
+    // ── cube: full grouping-set lattice (rollup's sibling; completes the
+    //    multi-dimensional aggregation family) ─────────────────────────────
+    Q("q_cube",
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS prio,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, prio""".stripMargin) {
+      (s, d) =>
+        orders(s, d)
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+          .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+            col("n"), col("sum_price"))
+          .orderBy("status", "prio")
+    },
+
     // ── U1: union across branches (the two-city append) ─────────────────
     Q("q_union",
       """SELECT o_orderkey, o_orderstatus, 'hi' AS src FROM orders
@@ -136,6 +156,21 @@ object Aggregates {
           .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01 00:00:00")))
           .select("o_orderkey")
         o.except(recent).orderBy("o_orderkey")
+    },
+
+    // ── intersect: completes the set-op family (union / except /
+    //    intersect); distinct-set semantics on both engines ───────────────
+    Q("q_intersect",
+      """SELECT o_orderkey FROM orders WHERE o_totalprice > 150000
+        |INTERSECT
+        |SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY o_orderkey""".stripMargin) {
+      (s, d) =>
+        val pricey = orders(s, d).filter(col("o_totalprice") > 150000)
+          .select("o_orderkey")
+        val urgent = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey")
+        pricey.intersect(urgent).orderBy("o_orderkey")
     },
 
     // ── latest-per-key: THE semantic translation of the reference's
