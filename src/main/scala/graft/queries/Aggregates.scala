@@ -194,6 +194,46 @@ object Aggregates {
     },
 
     // ── running frame (exact decimal running sum) ───────────────────────
+    // ── lag/lead: per-key neighbor access (session deltas over events).
+    //    The window orders by epoch_us(ts) on BOTH engines: DuckDB reads
+    //    the raw TIMESTAMP_NS column while Spark truncates to µs, so
+    //    ordering by the raw ts could legitimately disagree sub-µs ────────
+    Q("q_lag_lead",
+      """SELECT user_id, event_id,
+        |  lag(event_id) OVER w AS prev_id,
+        |  lead(event_id) OVER w AS next_id,
+        |  CAST(coalesce(epoch_us(ts) - epoch_us(lag(ts) OVER w), 0) AS BIGINT) AS gap_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |ORDER BY user_id, event_id""".stripMargin) {
+      (s, d) =>
+        val w = Window.partitionBy("user_id")
+          .orderBy(unix_micros(col("ts")), col("event_id"))
+        events(s, d)
+          .select(col("user_id"), col("event_id"),
+            lag("event_id", 1).over(w).as("prev_id"),
+            lead("event_id", 1).over(w).as("next_id"),
+            coalesce(unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)),
+              lit(0L)).as("gap_us"))
+          .orderBy("user_id", "event_id")
+    },
+
+    // ── ntile: equal-frequency bucketing per partition key. Deliberately
+    //    PARTITIONED: a global ORDER BY window funnels every row through
+    //    one task — the unpartitioned form does not exist in this engine ──
+    Q("q_ntile",
+      """SELECT o_orderkey,
+        |  CAST(ntile(8) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bucket
+        |FROM orders ORDER BY o_orderkey""".stripMargin) {
+      (s, d) =>
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy("o_totalprice", "o_orderkey")
+        orders(s, d)
+          .select(col("o_orderkey"), ntile(8).over(w).cast("long").as("bucket"))
+          .orderBy("o_orderkey")
+    },
+
     Q("q_window_frame",
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
