@@ -100,6 +100,9 @@ object Joins {
     // ── parity: as-of join via union + last(ignoreNulls) over window ────
     // "latest view at-or-before each purchase, per user" — the scalable
     // single-shuffle encoding of the reference's latest-per-station lookup.
+    // The window orders by epoch_us(ts) on both engines: DuckDB reads raw
+    // TIMESTAMP_NS while Spark truncates to µs, so raw-ts ordering could
+    // legitimately disagree below a microsecond.
     Q("q_asof",
       """WITH u AS (
         |  SELECT user_id, ts, 0 AS m, event_id AS vid, NULL::BIGINT AS pid
@@ -111,7 +114,7 @@ object Joins {
         |  SELECT user_id, ts, m, pid,
         |    last_value(vid IGNORE NULLS) OVER (
         |      PARTITION BY user_id
-        |      ORDER BY ts, m, coalesce(vid, pid)
+        |      ORDER BY epoch_us(ts), m, coalesce(vid, pid)
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS matched_vid
         |  FROM u)
         |SELECT pid AS purchase_id, user_id, matched_vid, epoch_us(ts) AS ts_us
@@ -125,7 +128,7 @@ object Joins {
           .select(col("user_id"), col("ts"), lit(1).as("m"),
             lit(null).cast("long").as("vid"), col("event_id").as("pid"))
         val w = Window.partitionBy("user_id")
-          .orderBy(col("ts"), col("m"), coalesce(col("vid"), col("pid")))
+          .orderBy(unix_micros(col("ts")), col("m"), coalesce(col("vid"), col("pid")))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         views.unionByName(purchases)
           .withColumn("matched_vid", last(col("vid"), ignoreNulls = true).over(w))

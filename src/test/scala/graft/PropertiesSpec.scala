@@ -87,4 +87,30 @@ class PropertiesSpec extends SparkTestBase {
     val shuffled = b.select(shuffledCols.map(col): _*)
     assert(a.unionByName(shuffled).count() == o.count())
   }
+  test("HammingJoin: blocked join == all-pairs for random signatures and distances") {
+    val sigGen = Gen.chooseNum(Long.MinValue, Long.MaxValue)
+      .map(_ & ((1L << 60) - 1))
+    // mix random signatures with planted near-dup clusters
+    val base = sample(sigGen, 40)
+    val flips = sample(Gen.chooseNum(0, 59), 120)
+    val sigs = (base ++ base.take(20).zipWithIndex.flatMap { case (b, i) =>
+      Seq(b ^ (1L << flips(i)), b ^ (1L << flips(i + 20)) ^ (1L << flips(i + 40)))
+    }).zipWithIndex.map { case (sg, i) => (i.toLong, sg) }
+    val df = sigs.toDF("doc_id", "simhash")
+    for (maxDist <- Seq(0, 3, 8)) {
+      val naive = df.as("a").crossJoin(df.as("b"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id"),
+          bit_count(expr("a.simhash ^ b.simhash")).cast("long").as("h"))
+        .filter(col("h") <= maxDist)
+        .orderBy("a.doc_id", "b.doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val blocked = graft.ops.HammingJoin
+        .pairsWithin(df, "doc_id", "simhash", 60, maxDist)
+        .orderBy("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(blocked.sameElements(naive), s"maxDist=$maxDist")
+    }
+  }
+
 }
