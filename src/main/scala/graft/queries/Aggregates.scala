@@ -61,6 +61,27 @@ object Aggregates {
           .orderBy("user_id")
     },
 
+    // ── hot-key mitigation, declared + oracle-proven: the two-phase
+    //    salted distinct-set is row-identical to the naive single-reducer
+    //    collect_set, so the plain SQL below oracles the rewritten plan ───
+    Q("q_twophase_distinct",
+      """WITH t AS (SELECT l_returnflag,
+        |    CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS q FROM lineitem)
+        |SELECT l_returnflag,
+        |  string_agg(DISTINCT q, ',' ORDER BY q) AS qty_set,
+        |  count(DISTINCT q) AS n_qty
+        |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, d) =>
+        val in = lineitem(s, d)
+          .select(col("l_returnflag"),
+            col("l_quantity").cast("long").cast("string").as("q"))
+        graft.ops.Skew.twoPhaseDistinctSet(in, Seq("l_returnflag"), "q")
+          .select(col("l_returnflag"),
+            array_join(col("q_set"), ",").as("qty_set"),
+            size(col("q_set")).cast("long").as("n_qty"))
+          .orderBy("l_returnflag")
+    },
+
     // ── A3: distinct ────────────────────────────────────────────────────
     Q("q_distinct",
       """SELECT DISTINCT user_id, event_type FROM events

@@ -55,6 +55,26 @@ object Joins {
           .orderBy("n_name", "s_name")
     },
 
+    // ── hot-key mitigation, declared + oracle-proven: the salted join is
+    //    row-identical to the plain equi-join for ANY salt assignment, so
+    //    plain SQL oracles the rewritten (salt-spread) physical plan ──────
+    Q("q_salted_join",
+      """SELECT s_nationkey, count(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin) {
+      (s, d) =>
+        val dim = supplier(s, d)
+          .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+        graft.ops.Skew.saltedJoin(
+          lineitem(s, d).select("l_suppkey", "l_quantity"), dim,
+          Seq("l_suppkey"))
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+          .orderBy("s_nationkey")
+    },
+
     // ── J2: snowflake dimension enrichment ──────────────────────────────
     Q("q_join_dim",
       """SELECT r_name, n_name, count(*) AS n_cust
