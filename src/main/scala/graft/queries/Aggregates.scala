@@ -82,6 +82,55 @@ object Aggregates {
           .orderBy("l_returnflag")
     },
 
+    // ── arg-max: "row attribute at the extreme" without a window pass.
+    //    Tie-broken deterministically by packing (epoch_us, event_id) into
+    //    a fixed-width string key — lexicographic == numeric, portable ────
+    Q("q_argmax",
+      """SELECT user_id,
+        |  arg_max(event_type, printf('%020d%012d', epoch_us(ts), event_id)) AS last_type,
+        |  arg_max(event_id, printf('%020d%012d', epoch_us(ts), event_id)) AS last_id
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) {
+      (s, d) =>
+        val key = format_string("%020d%012d", unix_micros(col("ts")), col("event_id"))
+        events(s, d).groupBy("user_id")
+          .agg(max_by(col("event_type"), key).as("last_type"),
+            max_by(col("event_id"), key).as("last_id"))
+          .orderBy("user_id")
+    },
+
+    // ── exact percentiles: linear-interpolation quantiles per group ─────
+    Q("q_percentile",
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5)  AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, d) =>
+        lineitem(s, d).groupBy("l_returnflag")
+          .agg(expr("percentile(l_quantity, 0.25)").as("p25"),
+            expr("percentile(l_quantity, 0.5)").as("p50"),
+            expr("percentile(l_quantity, 0.75)").as("p75"))
+          .orderBy("l_returnflag")
+    },
+
+    // ── pivot: wide conditional aggregation with an EXPLICT value list
+    //    (no extra distinct-scan job to discover columns — the scale form) ─
+    Q("q_pivot",
+      """SELECT user_id,
+        |  count(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'error'    THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup'   THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'view'     THEN 1 END) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) {
+      (s, d) =>
+        events(s, d).groupBy("user_id")
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .count()
+          .na.fill(0L)
+          .orderBy("user_id")
+    },
+
     // ── A3: distinct ────────────────────────────────────────────────────
     Q("q_distinct",
       """SELECT DISTINCT user_id, event_type FROM events

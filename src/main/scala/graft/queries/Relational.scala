@@ -294,6 +294,38 @@ object Relational {
           .select("l_orderkey", "l_linenumber", "l_extendedprice")
           .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
           .limit(40)
+    },
+
+    // ── semi-structured extraction: JSON property → typed column ────────
+    // events.props is a JSON object; extraction is a pure map stage, so at
+    // scale it runs at scan speed and the extracted column participates in
+    // predicates/aggregates like any other.
+    Q("q_json_extract",
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+        |ORDER BY event_id""".stripMargin) {
+      (s, d) =>
+        events(s, d)
+          .select(col("event_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .filter(col("k") >= 50)
+          .orderBy("event_id")
+    },
+
+    // ── generator / lateral view: positional explode of a token array ───
+    Q("q_posexplode",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |           WHERE doc_id % 97 = 0)
+        |SELECT doc_id, CAST(i - 1 AS INT) AS pos, ts[i] AS tok
+        |FROM t CROSS JOIN LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i)
+        |ORDER BY doc_id, pos""".stripMargin) {
+      (s, d) =>
+        documents(s, d)
+          .filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+          .orderBy("doc_id", "pos")
     }
   )
 }
