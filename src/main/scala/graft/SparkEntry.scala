@@ -15,7 +15,8 @@ object SparkEntry {
   /** Every declared query, in registration order. */
   val registry: Seq[Q] =
     Relational.all ++ Joins.all ++ Aggregates.all ++
-      TextAnalysis.all ++ Dedup.all ++ Similarity.all ++ Multimodal.all
+      TextAnalysis.all ++ Dedup.all ++ Similarity.all ++ Multimodal.all ++
+      StreamingExec.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,30 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Declared queries that execute the STREAMING engine (not batch parity):
+  * the transform runs through micro-batch Structured Streaming and the
+  * final sink contents are what the oracle checks. Excluded from Bench —
+  * AvailableNow micro-batch latency measures trigger scheduling, not data
+  * throughput (see Bench.scala).
+  */
+object StreamingExec {
+
+  val all: Seq[Q] = Seq(
+
+    // Same oracle as q_window_tumbling — the point: a genuine streaming
+    // execution (file-stream replay + watermark + windowed state + memory
+    // sink) lands on the identical, hash-checked result.
+    Q("q_stream_tumbling",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+        |  event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin) {
+      (s, d) =>
+        graft.streaming.Streams.tumblingFromSnapshot(s, d)
+          .select(date_format(col("ws"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+            col("event_type"), col("n"), col("sum_v"))
+          .orderBy("ws", "event_type")
+    }
+  )
+}

@@ -50,6 +50,34 @@ object Streams {
   def withLateTolerance(stream: DataFrame, tolerance: String = "30 days"): DataFrame =
     stream.withWatermark("ts", tolerance)
 
+  /** REAL streaming execution of the tumbling-window aggregation over the
+    * events snapshot: stage the table as a multi-file parquet directory,
+    * replay it as a file stream (watermarked), run to completion under
+    * `Trigger.AvailableNow`, and return the final result from the memory
+    * sink. This is the declared-query form of the streaming surface — the
+    * same rows as the batch `groupBy(window(...))`, produced by the
+    * micro-batch engine, so the batch DuckDB oracle verifies a streaming
+    * run. At scale the memory sink becomes a real table sink and
+    * AvailableNow becomes the scheduled trigger; the plan is unchanged.
+    */
+  def tumblingFromSnapshot(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft-stream-exec").toString
+    graft.model.Tables.events(spark, sfDir)
+      .repartition(4) // several files → several input splits to micro-batch
+      .write.mode("overwrite").parquet(staging)
+    val schema = spark.read.parquet(staging).schema
+    val src = spark.readStream.schema(schema).parquet(staging)
+    val q = tumblingCounts(withLateTolerance(src))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("graft_stream_tumbling")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("graft_stream_tumbling")
+  }
+
   /** Stateful dedup on event_id under watermark (streaming state bounded by
     * the tolerance window — at scale state size is O(events within
     * tolerance), not O(history)).
