@@ -117,6 +117,53 @@ object Joins {
           .orderBy("c_custkey")
     },
 
+    // ── left outer: keep unmatched left rows (null-extended right) ──────
+    Q("q_join_left",
+      """SELECT c_custkey, o_orderkey, o_orderstatus
+        |FROM customer LEFT JOIN orders
+        |  ON o_custkey = c_custkey AND o_totalprice > 400000
+        |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin) {
+      (s, d) =>
+        customer(s, d).select("c_custkey")
+          .join(orders(s, d).filter(col("o_totalprice") > 400000)
+            .select("o_custkey", "o_orderkey", "o_orderstatus"),
+            col("o_custkey") === col("c_custkey"), "left")
+          .select("c_custkey", "o_orderkey", "o_orderstatus")
+          .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+    },
+
+    // ── full outer: both sides null-extended ────────────────────────────
+    Q("q_join_full",
+      """WITH hi AS (SELECT o_orderkey, o_totalprice FROM orders
+        |            WHERE o_totalprice > 350000),
+        |urgent AS (SELECT o_orderkey, o_orderpriority FROM orders
+        |           WHERE o_orderpriority = '1-URGENT')
+        |SELECT coalesce(hi.o_orderkey, urgent.o_orderkey) AS k,
+        |  o_totalprice, o_orderpriority
+        |FROM hi FULL OUTER JOIN urgent ON hi.o_orderkey = urgent.o_orderkey
+        |ORDER BY k""".stripMargin) {
+      (s, d) =>
+        val hi = orders(s, d).filter(col("o_totalprice") > 350000)
+          .select(col("o_orderkey").as("hk"), col("o_totalprice"))
+        val urgent = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey").as("uk"), col("o_orderpriority"))
+        hi.join(urgent, col("hk") === col("uk"), "full_outer")
+          .select(coalesce(col("hk"), col("uk")).as("k"),
+            col("o_totalprice"), col("o_orderpriority"))
+          .orderBy("k")
+    },
+
+    // ── cross join: bounded dims ONLY (125 rows) — at scale a cross join
+    //    is legal only when one side is a broadcast-able constant set ─────
+    Q("q_cross_join",
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin) {
+      (s, d) =>
+        region(s, d).select("r_name")
+          .crossJoin(broadcast(nation(s, d).select("n_name")))
+          .orderBy("r_name", "n_name")
+    },
+
     // ── parity: as-of join via union + last(ignoreNulls) over window ────
     // "latest view at-or-before each purchase, per user" — the scalable
     // single-shuffle encoding of the reference's latest-per-station lookup.

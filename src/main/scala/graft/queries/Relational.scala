@@ -296,6 +296,32 @@ object Relational {
           .limit(40)
     },
 
+    // ── temporal arithmetic: shift / truncate / extract / diff ──────────
+    Q("q_date_arith",
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |  CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr,
+        |  CAST(extract(quarter FROM o_orderdate) AS BIGINT) AS qtr,
+        |  CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+        |       AS BIGINT) AS days_since_95
+        |FROM orders WHERE o_orderkey % 37 = 0
+        |ORDER BY o_orderkey""".stripMargin) {
+      (s, d) =>
+        orders(s, d)
+          .filter(col("o_orderkey") % 37 === 0)
+          .select(col("o_orderkey"),
+            date_format(col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+              "yyyy-MM-dd").as("due"),
+            date_format(date_trunc("month", col("o_orderdate")),
+              "yyyy-MM-dd").as("month_start"),
+            year(col("o_orderdate")).cast("long").as("yr"),
+            quarter(col("o_orderdate")).cast("long").as("qtr"),
+            datediff(col("o_orderdate").cast("date"),
+              to_date(lit("1995-01-01"))).cast("long").as("days_since_95"))
+          .orderBy("o_orderkey")
+    },
+
     // ── semi-structured extraction: JSON property → typed column ────────
     // events.props is a JSON object; extraction is a pure map stage, so at
     // scale it runs at scan speed and the extracted column participates in
