@@ -25,6 +25,18 @@ object StreamingExec {
           .select(date_format(col("ws"), "yyyy-MM-dd HH:mm:ss").as("ws"),
             col("event_type"), col("n"), col("sum_v"))
           .orderBy("ws", "event_type")
+    },
+
+    // Stateful streaming dedup: watermark-bounded dropDuplicates state,
+    // key-only projection so the surviving-row nondeterminism of "first
+    // arrival wins" never reaches the output — the key SET is the batch
+    // DISTINCT, hash-checked below.
+    Q("q_stream_dedup",
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin) {
+      (s, d) =>
+        graft.streaming.Streams.dedupFromSnapshot(s, d)
+          .orderBy("user_id", "event_type")
     }
   )
 }

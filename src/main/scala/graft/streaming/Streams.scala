@@ -78,6 +78,34 @@ object Streams {
     spark.table("graft_stream_tumbling")
   }
 
+  /** REAL streaming execution of stateful dedup over the events snapshot:
+    * watermarked `dropDuplicates` on (user_id, event_type) replayed as a
+    * file stream, appended to the memory sink. Only the KEY columns are
+    * emitted — which arriving row survives per key is micro-batch-order
+    * dependent, but the key set is exactly the batch DISTINCT, so the
+    * result is deterministic and batch-oracle-checkable. State is
+    * watermark-bounded and sharded by key (O(window), not O(history)).
+    */
+  def dedupFromSnapshot(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft-stream-dedup").toString
+    graft.model.Tables.events(spark, sfDir)
+      .repartition(4)
+      .write.mode("overwrite").parquet(staging)
+    val schema = spark.read.parquet(staging).schema
+    val src = spark.readStream.schema(schema).parquet(staging)
+    val q = withLateTolerance(src)
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("graft_stream_dedup")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("graft_stream_dedup")
+  }
+
   /** Stateful dedup on event_id under watermark (streaming state bounded by
     * the tolerance window — at scale state size is O(events within
     * tolerance), not O(history)).
