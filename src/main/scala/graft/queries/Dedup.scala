@@ -21,6 +21,62 @@ object Dedup {
 
   private def toks = split(col("text"), " ")
 
+  /** The MinHash banding pipeline as a DuckDB CTE chain ending in
+    * `pairs(doc_a, doc_b)` — shared by the pair query and the clustering
+    * query so both oracles derive from the identical candidate graph.
+    */
+  private val MinhashPairsCte: String =
+    """tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+      |sh AS (SELECT doc_id,
+      |    CASE WHEN len(ts) >= 3
+      |         THEN list_transform(range(1, len(ts)-1),
+      |                             i -> array_to_string(ts[i:i+2], ' '))
+      |         ELSE [array_to_string(ts, ' ')] END AS shingles
+      |  FROM tok),
+      |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS hv FROM e),
+      |hs AS (SELECT doc_id, j,
+      |    min(xor(hv, ('0x' || substr(md5('perm:' || j::VARCHAR), 1, 15))::BIGINT)) AS mh
+      |  FROM h CROSS JOIN range(16) r(j) GROUP BY doc_id, j),
+      |bands AS (SELECT doc_id, j // 4 AS band,
+      |    string_agg(mh::VARCHAR, '-' ORDER BY j) AS sig
+      |  FROM hs GROUP BY doc_id, j // 4),
+      |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** MinHash + LSH banding candidate pairs (doc_a < doc_b, distinct).
+    *
+    * 16 min-aggregate COLUMNS over the shingle rows (not a ×16 row
+    * blowup): partial aggregation shrinks each partition to one row per doc
+    * before the shuffle — the 100 TB-safe formulation. Bands then unpivot
+    * and self-join on (band, signature), so candidates materialize only
+    * within a bucket.
+    */
+  private def minhashPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val sh = spread(documents(s, d))
+      .select(col("doc_id"), explode(wordShingles(toks, 3)).as("s"))
+      .select(col("doc_id"), md5Long(col("s")).as("hv"))
+    val minAggs = (0 until 16).map(j =>
+      min(col("hv").bitwiseXOR(lit(md5LongLocal(s"perm:$j")))).as(s"h$j"))
+    val hs = sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b.toLong).as("band"),
+        concat_ws("-", (0 until 4).map(k => col(s"h${b * 4 + k}")
+          .cast("string")): _*).as("sig"))
+    }
+    val bands = hs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .cache() // self-joined below: compute the signatures once
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
   val all: Seq[Q] = Seq(
 
     // ── exact dedup: hash-groupBy on a normalization key ────────────────
@@ -48,51 +104,32 @@ object Dedup {
     // hash space, i.e. a valid MinHash permutation) — 16× fewer md5
     // evaluations than seeding md5 per permutation, on both engines.
     Q("q_dedup_minhash",
-      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
-        |sh AS (SELECT doc_id,
-        |    CASE WHEN len(ts) >= 3
-        |         THEN list_transform(range(1, len(ts)-1),
-        |                             i -> array_to_string(ts[i:i+2], ' '))
-        |         ELSE [array_to_string(ts, ' ')] END AS shingles
-        |  FROM tok),
-        |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-        |h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS hv FROM e),
-        |hs AS (SELECT doc_id, j,
-        |    min(xor(hv, ('0x' || substr(md5('perm:' || j::VARCHAR), 1, 15))::BIGINT)) AS mh
-        |  FROM h CROSS JOIN range(16) r(j) GROUP BY doc_id, j),
-        |bands AS (SELECT doc_id, j // 4 AS band,
-        |    string_agg(mh::VARCHAR, '-' ORDER BY j) AS sig
-        |  FROM hs GROUP BY doc_id, j // 4),
-        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b
-        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+      s"""WITH $MinhashPairsCte
         |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin) {
+      (s, d) => minhashPairs(s, d).orderBy("doc_a", "doc_b")
+    },
+
+    // ── dedup clustering: connected components over the candidate-pair
+    //    graph — each component is one duplicate cluster, min doc_id is the
+    //    canonical survivor. Spark side iterates min-label propagation
+    //    (graft.ops.ConnectedComponents); the oracle computes the identical
+    //    components with a recursive CTE. ──────────────────────────────────
+    Q("q_dedup_clusters",
+      s"""WITH RECURSIVE $MinhashPairsCte,
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT u AS node FROM edges),
+        |reach(node, lbl) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v)
+        |SELECT node AS doc_id, min(lbl) AS component
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin) {
       (s, d) =>
-        // 16 min-aggregate COLUMNS over the shingle rows (not a ×16 row
-        // blowup): partial aggregation shrinks each partition to one row
-        // per doc before the shuffle — the 100 TB-safe formulation.
-        val sh = spread(documents(s, d))
-          .select(col("doc_id"), explode(wordShingles(toks, 3)).as("s"))
-          .select(col("doc_id"), md5Long(col("s")).as("hv"))
-        val minAggs = (0 until 16).map(j =>
-          min(col("hv").bitwiseXOR(lit(md5LongLocal(s"perm:$j")))).as(s"h$j"))
-        val hs = sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
-        // 4 bands of 4 as an unpivot of precomputed signature strings
-        val bandStructs = (0 until 4).map { b =>
-          struct(lit(b.toLong).as("band"),
-            concat_ws("-", (0 until 4).map(k => col(s"h${b * 4 + k}")
-              .cast("string")): _*).as("sig"))
-        }
-        val bands = hs
-          .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
-          .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-          .cache() // self-joined below: compute the signatures once
-        val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
-        val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
-        a.join(b, Seq("band", "sig"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b").distinct()
-          .orderBy("doc_a", "doc_b")
+        graft.ops.ConnectedComponents.components(
+          minhashPairs(s, d).select(col("doc_a").as("a"), col("doc_b").as("b")))
+          .select(col("node").as("doc_id"), col("component"))
+          .orderBy("doc_id")
     },
 
     // ── SimHash: 60-bit signature from weighted token-hash bit votes ────

@@ -108,6 +108,35 @@ object TextAnalysis {
           .orderBy("doc_id")
     },
 
+    // ── TF-IDF: term frequency × inverse document frequency ─────────────
+    // ln() differs by 1 ulp between engines on ~8% of inputs (measured), so
+    // the score is round(.,6) on BOTH sides — the one declared query where
+    // bit-exactness needs explicit rounding (SURVEY §5.3 rule 3).
+    Q("q_tfidf",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+        |             FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, tok, tf, df,
+        |  round(tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+        |FROM tf JOIN df USING (tok) CROSS JOIN n
+        |WHERE doc_id % 97 = 0
+        |ORDER BY doc_id, tok""".stripMargin) {
+      (s, d) =>
+        val tok = documents(s, d)
+          .select(col("doc_id"), explode(tokens).as("tok"))
+        val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val df = tok.distinct().groupBy("tok").agg(count(lit(1)).as("df"))
+        val n = documents(s, d).agg(count(lit(1)).as("n"))
+        tf.join(df, "tok").crossJoin(broadcast(n))
+          .filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+            round(col("tf") * log(col("n").cast("double") / col("df")), 6)
+              .as("tfidf"))
+          .orderBy("doc_id", "tok")
+    },
+
     // ── document fingerprint: polynomial rolling hash over tokens ───────
     // h(tok) = md5Long(tok) % 1000003; fp = fold (acc*131 + h) % 1000003.
     // Exact BIGINT arithmetic (acc*131 + h < 2^31), portable across engines.
