@@ -22,35 +22,102 @@ object ConnectedComponents {
 
   /** @param edges two-column DataFrame (a, b) of undirected edges; node ids
     *              are longs.
+    * @param driverEdgeLimit when the edge list fits under this bound, run a
+    *              driver-side union-find instead of the iterative join loop.
+    *              Near-dup candidate graphs are tiny relative to the corpus
+    *              (LSH banding emits pairs, not the cross product), so this
+    *              is the common case — same adaptive philosophy as the
+    *              bounded greedy-selection collect (SURVEY §7.4): collect
+    *              only what is bounded by construction. Set to 0 to force
+    *              the distributed path (the equivalence spec does).
     * @return (node, component) — component = min node id reachable.
     */
-  def components(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def components(
+      edges: DataFrame,
+      maxIter: Int = 20,
+      driverEdgeLimit: Long = 1000000L): DataFrame = {
     val spark = edges.sparkSession
-    val e = edges.toDF("a", "b")
+    val e0 = edges.toDF("a", "b")
+    if (driverEdgeLimit > 0) {
+      val cached = e0.cache()
+      if (cached.count() <= driverEdgeLimit) {
+        val pairs = cached.collect().map(r => (r.getLong(0), r.getLong(1)))
+        cached.unpersist()
+        return driverUnionFind(spark, pairs)
+      }
+      cached.unpersist()
+    }
+    distributedComponents(e0, maxIter)
+  }
+
+  /** Path-compressed union-find over a collected edge list; component label
+    * = min node id, matching the distributed loop exactly.
+    */
+  private def driverUnionFind(spark: org.apache.spark.sql.SparkSession,
+      pairs: Array[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    nodes.map(n => (n, find(n))).toSeq.toDF("node", "component")
+  }
+
+  private def distributedComponents(edges: DataFrame, maxIter: Int): DataFrame = {
+    val e = edges
     // symmetric closure once; reused by every round
     val sym = e.select(col("a").as("u"), col("b").as("v"))
       .unionByName(e.select(col("b").as("u"), col("a").as("v")))
       .distinct()
       .cache()
+    // Iterative frames MUST truncate lineage each round: `labels` is
+    // referenced four times per iteration, so the logical plan would grow
+    // ~4× per round and analysis/printing blows up long before the data
+    // does. localCheckpoint (eager) materializes the partitions AND cuts
+    // the plan back to a leaf; on a production cluster with executor churn
+    // this becomes checkpoint() to reliable storage.
     var labels = sym.select(col("u").as("node")).distinct()
       .withColumn("lbl", col("node"))
-      .cache()
+      .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // neighbor labels: for each edge (u,v), v's current label reaches u
+      // Two propagation channels per round:
+      //  (a) neighbor min — for each edge (u,v), v's label reaches u;
+      //  (b) pointer doubling — u also adopts the label OF its label
+      //      (lbl is always itself a node of the graph, so the self-join
+      //      is total). Doubling halves the remaining path each round:
+      //      convergence in O(log diameter) rounds instead of O(diameter),
+      //      which is what makes the per-round job overhead tolerable and
+      //      the algorithm usable on long chains at scale.
       val viaNeighbors = sym
         .join(labels.withColumnRenamed("node", "v")
           .withColumnRenamed("lbl", "nlbl"), Seq("v"))
         .groupBy(col("u").as("node"))
         .agg(min("nlbl").as("minNbr"))
-      val next = labels.join(viaNeighbors, Seq("node"), "left")
+      val viaPointer = labels
+        .join(labels.select(col("node").as("lbl"), col("lbl").as("jump")),
+          Seq("lbl"))
+        .select(col("node"), col("jump"))
+      val next = labels
+        .join(viaNeighbors, Seq("node"), "left")
+        .join(viaPointer, Seq("node"), "left")
         .select(col("node"),
-          least(col("lbl"), coalesce(col("minNbr"), col("lbl"))).as("lbl"))
-        .cache()
+          least(col("lbl"), coalesce(col("minNbr"), col("lbl")),
+            coalesce(col("jump"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true) // materialize AND cut lineage (see above)
       val changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("node"))
         .filter(col("lbl") =!= col("old")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1

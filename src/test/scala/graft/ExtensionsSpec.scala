@@ -132,6 +132,27 @@ class ExtensionsSpec extends SparkTestBase {
     assert(blocked.sameElements(naive))
   }
 
+  test("ConnectedComponents: distributed loop == driver union-find") {
+    import spark.implicits._
+    // chains, a clique, singleton-free random edges
+    val edges = (
+      (0L until 30L).sliding(2).map(w => (w(0), w(1))).toSeq ++ // 30-chain
+      Seq((100L, 101L), (101L, 102L), (100L, 102L)) ++          // triangle
+      Seq((200L, 300L), (300L, 400L), (400L, 500L), (500L, 200L)) ++ // cycle
+      Seq((7L, 400L))                                            // bridge
+    ).toDF("a", "b")
+    val driver = graft.ops.ConnectedComponents.components(edges)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dist = graft.ops.ConnectedComponents
+      .components(edges, driverEdgeLimit = 0)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(driver.nonEmpty)
+    assert(dist.sameElements(driver))
+    // the 30-chain + bridge folds the cycle into component 0
+    val m = driver.toMap
+    assert(m(500L) == 0L && m(102L) == 100L)
+  }
+
   test("DotProduct codegen expression is bit-equal to the HOF fold") {
     import graft.ops.Exprs
     val vecs = graft.model.Tables.embeddings(spark, sfDir)
