@@ -98,6 +98,43 @@ object Aggregates {
           .orderBy("user_id")
     },
 
+    // ── statistical moments, exactly: mean/variance/stddev derived from
+    //    DECIMAL power sums, so the aggregation is order-insensitive and
+    //    bit-identical across engines — the distributed-merge float drift
+    //    of built-in stddev/var never appears ──────────────────────────────
+    Q("q_stats",
+      """SELECT l_returnflag,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+        |           CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean,
+        |  (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+        |            CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) -
+        |   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) *
+        |   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)) /
+        |  (count(*) - 1) AS var_samp,
+        |  sqrt((CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+        |             CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) -
+        |   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) *
+        |   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)) /
+        |  (count(*) - 1)) AS std_samp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, d) =>
+        val q = col("l_quantity").cast("decimal(18,2)")
+        lineitem(s, d).groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(q).cast("double").as("s1"),
+            sum(q * q).cast("double").as("s2"))
+          .select(col("l_returnflag"), col("n"), col("s1"), col("s2"),
+            (col("s1") / col("n")).as("mean"),
+            ((col("s2") - col("s1") * col("s1") / col("n")) /
+              (col("n") - 1)).as("var_samp"),
+            sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
+              (col("n") - 1)).as("std_samp"))
+          .orderBy("l_returnflag")
+    },
+
     // ── exact percentiles: linear-interpolation quantiles per group ─────
     Q("q_percentile",
       """SELECT l_returnflag,
