@@ -34,13 +34,19 @@ object Bench {
       // timers — queries cache intermediates (encoded bitsets, LSH bands,
       // IVF assignments); left in place they accumulate across the run and
       // later queries pay the GC bill.
-      val dt = (0 until 2).map { _ =>
+      def pass(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val t = (System.nanoTime() - t0) / 1e9
         spark.sharedState.cacheManager.clearCache()
         t
-      }.min
+      }
+      val (t1, t2) = (pass(), pass())
+      // When the two passes disagree wildly, an external load spike hit
+      // one of them — take a third and keep the min.
+      val dt =
+        if (math.max(t1, t2) > 2 * math.min(t1, t2)) math.min(pass(), math.min(t1, t2))
+        else math.min(t1, t2)
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
