@@ -38,14 +38,14 @@ object ConnectedComponents {
       driverEdgeLimit: Long = 1000000L): DataFrame = {
     val spark = edges.sparkSession
     val e0 = edges.toDF("a", "b")
-    if (driverEdgeLimit > 0) {
-      val cached = e0.cache()
-      if (cached.count() <= driverEdgeLimit) {
-        val pairs = cached.collect().map(r => (r.getLong(0), r.getLong(1)))
-        cached.unpersist()
-        return driverUnionFind(spark, pairs)
+    if (driverEdgeLimit > 0 && driverEdgeLimit < Int.MaxValue) {
+      // take(limit+1) decides the path AND fetches the rows in one job —
+      // no separate count() materialization of the candidate pipeline.
+      val probe = e0.take(driverEdgeLimit.toInt + 1)
+      if (probe.length <= driverEdgeLimit) {
+        return driverUnionFind(spark,
+          probe.map(r => (r.getLong(0), r.getLong(1))))
       }
-      cached.unpersist()
     }
     distributedComponents(e0, maxIter)
   }

@@ -132,6 +132,34 @@ object Dedup {
           .orderBy("doc_id")
     },
 
+    // ── the end product: the deduplicated corpus — every cluster keeps its
+    //    canonical (min-id) member, all unclustered docs pass through; an
+    //    anti-join against the non-canonical members, never a full rewrite ─
+    Q("q_dedup_keep",
+      s"""WITH RECURSIVE $MinhashPairsCte,
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT u AS node FROM edges),
+        |reach(node, lbl) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v),
+        |comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+        |ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val dupes = graft.ops.ConnectedComponents.components(
+          minhashPairs(s, d).select(col("doc_a").as("a"), col("doc_b").as("b")))
+          .filter(col("node") =!= col("component"))
+          .select(col("node").as("doc_id"))
+        // no broadcast hint: the duplicate set scales with the corpus's
+        // duplication rate, so let AQE pick broadcast vs shuffle anti-join
+        documents(s, d).select("doc_id")
+          .join(dupes, Seq("doc_id"), "left_anti")
+          .orderBy("doc_id")
+    },
+
     // ── SimHash: 60-bit signature from weighted token-hash bit votes ────
     Q("q_dedup_simhash",
       """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
