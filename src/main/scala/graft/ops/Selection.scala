@@ -32,20 +32,25 @@ object Selection {
       minUsed: Int = 3): DataFrame = {
     val inTarget = col("event_type").isin(targets.map(x => x: Any): _*)
 
-    // candidates + coverage-count ranking (A1/O2 analog)
-    val cand = events
-      .groupBy((col("user_id") % 5).as("grp"), col("user_id"))
-      .agg(countDistinct(when(inTarget, col("event_type"))).as("m"))
-      .filter(col("m") > 0)
+    // ONE events scan: the distinct (grp, candidate, parameter) set feeds
+    // BOTH the coverage ranking (a count over it IS countDistinct of the
+    // original rows) and the first-coverage flags — cached because three
+    // downstream branches read it.
+    val pairs = events.filter(inTarget)
+      .select((col("user_id") % 5).as("grp"), col("user_id"), col("event_type"))
+      .distinct()
+      .cache()
+
+    // candidates + coverage-count ranking (A1/O2 analog); every pairs row
+    // is a distinct in-target parameter, so m > 0 by construction
+    val cand = pairs.groupBy("grp", "user_id")
+      .agg(count(lit(1)).as("m"))
     val ranked = cand.withColumn("rank",
       row_number().over(Window.partitionBy("grp")
         .orderBy(col("m").desc, col("user_id"))).cast("long"))
 
-    // (grp, candidate, parameter) pairs, each parameter's FIRST covering
-    // candidate flagged; per-candidate count of newly covered parameters
-    val pairs = events.filter(inTarget)
-      .select((col("user_id") % 5).as("grp"), col("user_id"), col("event_type"))
-      .distinct()
+    // each parameter's FIRST covering candidate flagged; per-candidate
+    // count of newly covered parameters
     val firsts = pairs
       .join(ranked.select("grp", "user_id", "rank"), Seq("grp", "user_id"))
       .withColumn("is_first",
