@@ -137,6 +137,44 @@ object TextAnalysis {
           .orderBy("doc_id", "tok")
     },
 
+    // ── deterministic train/val/test split: hash-bucket assignment ──────
+    // The reproducible-split idiom for training data: bucket = stable hash
+    // of the id, never a random() — identical across engines, runs, and
+    // cluster sizes; pure map stage at any scale.
+    Q("q_split",
+      """WITH b AS (SELECT doc_id,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bkt
+        |  FROM documents)
+        |SELECT doc_id, bkt,
+        |  CASE WHEN bkt < 80 THEN 'train'
+        |       WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        documents(s, d)
+          .select(col("doc_id"),
+            (md5Long(col("doc_id").cast("string")) % 100).as("bkt"))
+          .withColumn("split",
+            when(col("bkt") < 80, "train")
+              .when(col("bkt") < 90, "val").otherwise("test"))
+          .orderBy("doc_id")
+    },
+
+    // ── histogram: fixed-width binning + counts (value profiling) ───────
+    Q("q_histogram",
+      """SELECT CAST(floor(length(text) / 100) AS BIGINT) AS bin,
+        |  count(*) AS n,
+        |  CAST(min(length(text)) AS BIGINT) AS lo,
+        |  CAST(max(length(text)) AS BIGINT) AS hi
+        |FROM documents GROUP BY 1 ORDER BY bin""".stripMargin) {
+      (s, d) =>
+        documents(s, d)
+          .groupBy(floor(length(col("text")) / 100).cast("long").as("bin"))
+          .agg(count(lit(1)).as("n"),
+            min(length(col("text"))).cast("long").as("lo"),
+            max(length(col("text"))).cast("long").as("hi"))
+          .orderBy("bin")
+    },
+
     // ── document fingerprint: polynomial rolling hash over tokens ───────
     // h(tok) = md5Long(tok) % 1000003; fp = fold (acc*131 + h) % 1000003.
     // Exact BIGINT arithmetic (acc*131 + h < 2^31), portable across engines.
