@@ -164,6 +164,51 @@ object Joins {
           .orderBy("r_name", "n_name")
     },
 
+    // ── range/interval join with an equi-prefix: each error event matched
+    //    into its user's containing session interval. The user_id equi-key
+    //    carries the join (hash/sort-merge on user_id; the range predicate
+    //    filters within the key group) — the scale-safe form of a range
+    //    join; a pure inequality join would be a nested-loop cross ────────
+    Q("q_range_join",
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+        |y AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM x),
+        |sess AS (
+        |  SELECT user_id, min(ts) AS ss, max(ts) + INTERVAL 30 MINUTE AS se
+        |  FROM y GROUP BY user_id, sid)
+        |SELECT e.event_id, e.user_id,
+        |  strftime(s.ss, '%Y-%m-%d %H:%M:%S.%f') AS session_start
+        |FROM events e JOIN sess s
+        |  ON e.user_id = s.user_id AND e.ts >= s.ss AND e.ts < s.se
+        |WHERE e.event_type = 'error'
+        |ORDER BY e.event_id, session_start""".stripMargin) {
+      (s, d) =>
+        val e = events(s, d)
+        val sess = e.groupBy(col("user_id"),
+            session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("user_id").as("s_uid"), col("session_window.start").as("ss"),
+            col("session_window.end").as("se"))
+        e.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts"))
+          .join(sess,
+            col("user_id") === col("s_uid") &&
+              col("ts") >= col("ss") && col("ts") < col("se"))
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ss"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+              .as("session_start"))
+          .orderBy("event_id", "session_start")
+    },
+
     // ── parity: as-of join via union + last(ignoreNulls) over window ────
     // "latest view at-or-before each purchase, per user" — the scalable
     // single-shuffle encoding of the reference's latest-per-station lookup.
