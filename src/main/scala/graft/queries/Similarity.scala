@@ -134,6 +134,73 @@ object Similarity {
           .orderBy("qid", "rk")
     },
 
+    // ── multi-probe LSH: probe the query's bucket AND every bucket one
+    //    bit-flip away (hamming ≤ 1 over the 6 hyperplane signs). The
+    //    probe set is an explicit explode → the candidate join stays a
+    //    pure equi-join on bucket id; recall rises without ever comparing
+    //    buckets pairwise. ────────────────────────────────────────────────
+    Q("q_ann_multiprobe",
+      s"""WITH $normsCte,
+         |hp AS (SELECT b, list(w ORDER BY d) AS wv FROM (
+         |    SELECT b, d,
+         |      ((('0x' || substr(md5(b::VARCHAR || ':' || d::VARCHAR), 1, 15))::BIGINT
+         |        % 2001) - 1000) / 1000.0::DOUBLE AS w
+         |    FROM range($LshBits) r1(b), range(1, ${Dims + 1}) r2(d)) t
+         |  GROUP BY b),
+         |proj AS (SELECT n.vec_id, hp.b, ${dotSqlIdx("n.e", "hp.wv")} AS p
+         |  FROM n CROSS JOIN hp),
+         |bk AS (SELECT vec_id,
+         |    CAST(SUM(CASE WHEN p > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM proj GROUP BY vec_id),
+         |nb AS (SELECT n.vec_id, n.e, n.nrm, bk.bucket FROM n JOIN bk USING (vec_id)),
+         |q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn, bucket FROM nb
+         |      WHERE vec_id % 25 = 0),
+         |probes AS (SELECT qid, qe, qn,
+         |    unnest([bucket${(0 until LshBits).map(b => s", xor(bucket, ${1L << b})").mkString}]) AS bucket
+         |  FROM q),
+         |p2 AS (SELECT qid, c.vec_id AS cid,
+         |        ${dotSqlIdx("qe", "c.e")} AS dot, qn, c.nrm AS cn
+         |      FROM probes JOIN nb c USING (bucket) WHERE c.vec_id <> qid),
+         |s AS (SELECT DISTINCT qid, cid, dot / sqrt(qn * cn) AS sim FROM p2),
+         |r AS (SELECT qid, cid, sim,
+         |        CAST(row_number() OVER (PARTITION BY qid
+         |          ORDER BY sim DESC, cid) AS BIGINT) AS rk
+         |      FROM s)
+         |SELECT qid, rk, cid, sim FROM r WHERE rk <= 3
+         |ORDER BY qid, rk""".stripMargin) {
+      (s, d) =>
+        val n = withNorms(s, d)
+        val planes: Seq[Seq[Double]] = (0 until LshBits).map { b =>
+          (1 to Dims).map(dd =>
+            ((md5LongLocal(s"$b:$dd") % 2001L) - 1000L) / 1000.0)
+        }
+        val bucketExpr = (0 until LshBits)
+          .map(b => when(dotProduct(col("e"), typedLit(planes(b))) > 0,
+            lit(1L << b)).otherwise(0L))
+          .reduce(_ + _)
+        val nb = n.withColumn("bucket", bucketExpr.cast("long"))
+        val probeSet = array(
+          col("bucket") +: (0 until LshBits).map(b =>
+            col("bucket").bitwiseXOR(lit(1L << b))): _*)
+        val q = nb.filter(col("vec_id") % 25 === 0)
+          .select(col("vec_id").as("qid"), col("e").as("qe"),
+            col("nrm").as("qn"), explode(probeSet).as("bucket"))
+        val c = nb.select(col("vec_id").as("cid"), col("e").as("ce"),
+          col("nrm").as("cn"), col("bucket"))
+        val sim = (dotProduct(col("qe"), col("ce")) /
+          sqrt(col("qn") * col("cn"))).as("sim")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+        broadcast(q).join(c, Seq("bucket"))
+          .filter(col("cid") =!= col("qid"))
+          .select(col("qid"), col("cid"), sim)
+          .distinct() // a candidate reachable via several probes ranks once
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select("qid", "rk", "cid", "sim")
+          .orderBy("qid", "rk")
+    },
+
     // ── IVF-style ANN: coarse quantizer → inverted cell lists → nprobe=4 ─
     // Centroids are the vectors with vec_id % 31 = 1 (deterministic coarse
     // quantizer both engines can rebuild; count grows with the table like a
