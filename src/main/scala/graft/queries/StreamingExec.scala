@@ -27,6 +27,36 @@ object StreamingExec {
           .orderBy("ws", "event_type")
     },
 
+    // Gap-merged session state under the streaming engine — sessions
+    // grow and merge across micro-batches; the final state must equal the
+    // batch session_window result (same oracle as q_session_window).
+    Q("q_stream_session",
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM x)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+        |  count(*) AS n
+        |FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin) {
+      (s, d) =>
+        graft.streaming.Streams.sessionsFromSnapshot(s, d)
+          .select(col("user_id"),
+            date_format(col("ss"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+            date_format(col("se"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+            col("n"))
+          .orderBy("user_id", "session_start")
+    },
+
     // Stateful streaming dedup: watermark-bounded dropDuplicates state,
     // key-only projection so the surviving-row nondeterminism of "first
     // arrival wins" never reaches the output — the key SET is the batch

@@ -78,6 +78,28 @@ object Streams {
     spark.table("graft_stream_tumbling")
   }
 
+  /** REAL streaming execution of session-window aggregation — gap-merged
+    * session state, the most complex streaming state surface: sessions
+    * grow/merge as events arrive across micro-batches.
+    */
+  def sessionsFromSnapshot(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft-stream-session").toString
+    graft.model.Tables.events(spark, sfDir)
+      .repartition(4)
+      .write.mode("overwrite").parquet(staging)
+    val schema = spark.read.parquet(staging).schema
+    val src = spark.readStream.schema(schema).parquet(staging)
+    val q = sessionCounts(withLateTolerance(src))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("graft_stream_session")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("graft_stream_session")
+  }
+
   /** REAL streaming execution of stateful dedup over the events snapshot:
     * watermarked `dropDuplicates` on (user_id, event_type) replayed as a
     * file stream, appended to the memory sink. Only the KEY columns are
