@@ -164,6 +164,40 @@ object Joins {
           .orderBy("r_name", "n_name")
     },
 
+    // ── the spark.sql(...) surface: a TPC-H-Q3-shaped query submitted as
+    //    SQL text over registered temp views — same Catalyst plan space as
+    //    the DataFrame API (broadcast dims, partial aggs, pushdown), and
+    //    the one declared query exercising the SQL parser entry point ─────
+    Q("q_sql_revenue",
+      """SELECT o_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O'
+        |GROUP BY o_orderkey
+        |HAVING count(*) >= 4
+        |ORDER BY o_orderkey""".stripMargin) {
+      (s, d) =>
+        customer(s, d).createOrReplaceTempView("customer")
+        orders(s, d).createOrReplaceTempView("orders")
+        lineitem(s, d).createOrReplaceTempView("lineitem")
+        s.sql("""
+          SELECT o_orderkey,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                     (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+            count(*) AS n_items
+          FROM customer
+          JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O'
+          GROUP BY o_orderkey
+          HAVING count(*) >= 4
+          ORDER BY o_orderkey""")
+    },
+
     // ── range/interval join with an equi-prefix: each error event matched
     //    into its user's containing session interval. The user_id equi-key
     //    carries the join (hash/sort-merge on user_id; the range predicate
