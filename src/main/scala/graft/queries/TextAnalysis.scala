@@ -137,6 +137,33 @@ object TextAnalysis {
           .orderBy("doc_id", "tok")
     },
 
+    // ── array higher-order functions: filter / exists / forall / reduce
+    //    over token arrays — all evaluated inside Catalyst (no UDF), the
+    //    array-processing surface of a document pipeline ───────────────────
+    Q("q_array_hof",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(ts, w -> length(w) > 6)) AS BIGINT) AS n_long,
+        |  len(list_filter(ts, w -> w = 'the')) > 0 AS has_the,
+        |  len(list_filter(ts, w -> length(w) < 1)) = 0 AS all_nonempty,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(ts, w -> CASE WHEN length(w) > 6
+        |                                 THEN length(w)::BIGINT ELSE 0 END)),
+        |    (a, b) -> a + b) AS long_chars
+        |FROM t ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val ts = tokens
+        documents(s, d).select(col("doc_id"),
+          size(filter(ts, w => length(w) > 6)).cast("long").as("n_long"),
+          exists(ts, w => w === "the").as("has_the"),
+          forall(ts, w => length(w) >= 1).as("all_nonempty"),
+          aggregate(
+            transform(ts, w => when(length(w) > 6, length(w).cast("long"))
+              .otherwise(0L)),
+            lit(0L), (a, b) => a + b).as("long_chars"))
+          .orderBy("doc_id")
+    },
+
     // ── deterministic train/val/test split: hash-bucket assignment ──────
     // The reproducible-split idiom for training data: bucket = stable hash
     // of the id, never a random() — identical across engines, runs, and
