@@ -21,7 +21,9 @@ object Bench {
     // wall time is AvailableNow trigger/checkpoint scheduling, not data
     // throughput, so they are correctness-gated (Verify) but not timed.
     val benched = SparkEntry.queries.filterNot(_._1.startsWith("q_stream_"))
-    val warmDir = sfDir.replaceAll("sf[0-9.]+$", "sf0.001")
+    // tolerate a trailing slash in SPARK_GRAFT_SF_DIR; if the path has no
+    // recognizable sfX suffix the warm-up just runs at the target scale
+    val warmDir = sfDir.replaceAll("sf[0-9.]+/?$", "sf0.001")
     benched.foreach { case (_, fn) =>
       try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
     }
