@@ -37,17 +37,23 @@ object ConnectedComponents {
       maxIter: Int = 20,
       driverEdgeLimit: Long = 1000000L): DataFrame = {
     val spark = edges.sparkSession
-    val e0 = edges.toDF("a", "b")
-    if (driverEdgeLimit > 0 && driverEdgeLimit < Int.MaxValue) {
-      // take(limit+1) decides the path AND fetches the rows in one job —
-      // no separate count() materialization of the candidate pipeline.
-      val probe = e0.take(driverEdgeLimit.toInt + 1)
-      if (probe.length <= driverEdgeLimit) {
-        return driverUnionFind(spark,
-          probe.map(r => (r.getLong(0), r.getLong(1))))
+    // cache the edge list: the path probe consumes it once, and on
+    // overflow the distributed loop reads it twice more (symmetric
+    // closure) — without the cache the upstream candidate-generation
+    // pipeline (hashing, banding, self-join) would run three times
+    val e0 = edges.toDF("a", "b").cache()
+    try {
+      if (driverEdgeLimit > 0 && driverEdgeLimit < Int.MaxValue) {
+        // take(limit+1) decides the path AND fetches the rows in one job —
+        // no separate count() materialization of the candidate pipeline.
+        val probe = e0.take(driverEdgeLimit.toInt + 1)
+        if (probe.length <= driverEdgeLimit) {
+          return driverUnionFind(spark,
+            probe.map(r => (r.getLong(0), r.getLong(1))))
+        }
       }
-    }
-    distributedComponents(e0, maxIter)
+      distributedComponents(e0, maxIter)
+    } finally e0.unpersist()
   }
 
   /** Path-compressed union-find over a collected edge list; component label
@@ -118,10 +124,18 @@ object ConnectedComponents {
         .localCheckpoint(true) // materialize AND cut lineage (see above)
       val changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("node"))
         .filter(col("lbl") =!= col("old")).count()
+      // the previous round's checkpoint blocks are freed by the
+      // ContextCleaner once the old frame becomes unreachable here
       labels = next
       converged = changed == 0
       iter += 1
     }
+    sym.unpersist()
+    if (!converged)
+      System.err.println(s"[graft] ConnectedComponents: NOT converged " +
+        s"after $maxIter rounds — labels are partially propagated")
+    // `labels` is already materialized (eager localCheckpoint); the final
+    // projection reads those blocks, so nothing upstream is recomputed.
     labels.select(col("node"), col("lbl").as("component"))
   }
 }

@@ -33,10 +33,12 @@ object Exprs {
       lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]XXX"))
 
   /** Unit coalesce chain (`main.py:183-194`, sensor side `main.py:160`):
-    * first non-null of the candidates, else "".
+    * first TRUTHY candidate, else "". Python's `or` chain treats the empty
+    * string as falsy, so "" candidates fall through to the next source —
+    * not just nulls (confirmed against `_extract_unit`'s `if unit:`).
     */
   def unitCoalesce(cands: Column*): Column =
-    coalesce(cands :+ lit(""): _*)
+    coalesce(cands.map(nullifEmpty) :+ lit(""): _*)
 
   /** Name coalesce (`main.py:223`): `name or locality or s"id:$id"`.
     * Python `or` treats "" as falsy, so empty strings fall through too.

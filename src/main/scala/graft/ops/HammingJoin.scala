@@ -32,7 +32,11 @@ object HammingJoin {
       bits: Int,
       maxDist: Int): DataFrame = {
     require(maxDist >= 0 && bits > maxDist, "need bits > maxDist >= 0")
+    require(bits <= 64, "signatures are single longs: bits <= 64")
     val nBlocks = maxDist + 1
+    // a 64-bit block's mask cannot be built as (1L << 64) - 1 (JVM shifts
+    // are mod 64, yielding mask 0 and a degenerate single-bucket join)
+    def maskOf(len: Int): Long = if (len >= 64) -1L else (1L << len) - 1L
     val base = bits / nBlocks
     val rem = bits % nBlocks
     val blocks = (0 until nBlocks).map { b =>
@@ -46,7 +50,7 @@ object HammingJoin {
     val bk = explode(array(blocks.map { case (b, lo, len) =>
       struct(lit(b).as("blk"),
         shiftrightunsigned(col("sig"), lo)
-          .bitwiseAND(lit((1L << len) - 1L)).as("key"))
+          .bitwiseAND(lit(maskOf(len))).as("key"))
     }: _*)).as("bk")
     val ex = s0.select(col("id"), col("sig"), bk)
       .select(col("id"), col("sig"),
@@ -60,7 +64,7 @@ object HammingJoin {
     // only in its FIRST matching block — pure bit math on the two
     // signatures already present in the joined row, exact by construction.
     def blockOf(c: String, lo: Int, len: Int) =
-      shiftrightunsigned(col(c), lo).bitwiseAND(lit((1L << len) - 1L))
+      shiftrightunsigned(col(c), lo).bitwiseAND(lit(maskOf(len)))
     val firstMatch = coalesce(blocks.map { case (b2, lo, len) =>
       when(blockOf("sig_a", lo, len) === blockOf("sig_b", lo, len), lit(b2))
     }: _*)

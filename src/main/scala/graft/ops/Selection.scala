@@ -68,8 +68,10 @@ object Selection {
       sum("new_types").over(Window.partitionBy("grp").orderBy("rank")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .cache()
+    // distinct: cum_cov counts distinct covered types, so a duplicated
+    // entry in `targets` must not inflate the required coverage
     val stop = cum
-      .filter(col("cum_cov") >= targets.size && col("rank") >= minUsed)
+      .filter(col("cum_cov") >= targets.distinct.size && col("rank") >= minUsed)
       .groupBy("grp").agg(min("rank").as("stop_rank"))
     cum.join(broadcast(stop), Seq("grp"), "left")
       .filter(col("rank") <= coalesce(col("stop_rank"), lit(Long.MaxValue)))

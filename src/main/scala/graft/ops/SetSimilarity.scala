@@ -52,7 +52,10 @@ object SetSimilarity {
     // generated code) is fixed by vocabCap alone, NOT by the observed
     // vocabulary: identical plans across scale factors share one codegen
     // compile, and a re-run on grown data never changes the physical plan.
-    val nWords = math.max(1, vocabCap / 64)
+    // Ceiling division: a cap that is not a multiple of 64 still needs a
+    // word for its tail bits, or those dictionary entries would silently
+    // drop out of every intersection count.
+    val nWords = math.max(1, (vocabCap + 63) / 64)
     val spark = e.sparkSession
     import spark.implicits._
     val vdf = vocab.zipWithIndex

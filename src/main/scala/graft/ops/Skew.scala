@@ -46,7 +46,9 @@ object Skew {
       .groupBy((keys :+ "_salt").map(col): _*)
       .agg(collect_set(valueCol).as("_partial"))
       .groupBy(keys.map(col): _*)
-      .agg(array_sort(array_distinct(flatten(collect_list("_partial"))))
+      // no array_distinct needed: salting by xxhash64(value) sends equal
+      // values to the same bucket, so the partial sets are disjoint
+      .agg(array_sort(flatten(collect_list("_partial")))
         .as(s"${valueCol}_set"))
   }
 

@@ -64,6 +64,16 @@ class ExprsSpec extends SparkTestBase {
     assert(rows.forall(_.getString(1) == "id:42"))   // "" falls through
   }
 
+  test("P3 unitCoalesce: empty string is falsy like Python's or-chain") {
+    // main.py:160/183-194 use `or` / `if unit:` — "" falls through, so a
+    // sensor whose unit coalesced to "" must yield the measurement's unit
+    val df = Seq(("", "ppm"), ("µg/m³", "ppm"), ("", ""))
+      .toDF("sensor_u", "meas_u")
+      .select(unitCoalesce(col("sensor_u"), col("meas_u")).as("u"))
+    val got = df.collect().map(_.getString(0))
+    assert(got.sameElements(Array("ppm", "µg/m³", "")))
+  }
+
   test("P1 haversine: zero distance, symmetry, known value, range") {
     val df = Seq((52.2297, 21.0122, 40.7128, -74.0060)).toDF("a", "b", "c", "d")
     val fwd = df.select(haversineMeters(col("a"), col("b"), col("c"), col("d")))

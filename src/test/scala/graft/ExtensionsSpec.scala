@@ -101,9 +101,14 @@ class ExtensionsSpec extends SparkTestBase {
     val overflowed = SetSimilarity.jaccardPairs(e, "doc_id", "g", 0.28, vocabCap = 64)
       .orderBy("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // cap NOT a multiple of 64: the tail bits need their own mask word
+    val oddCap = SetSimilarity.jaccardPairs(e, "doc_id", "g", 0.28, vocabCap = 100)
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(naive.nonEmpty)
     assert(fitted.sameElements(naive))
     assert(overflowed.sameElements(naive))
+    assert(oddCap.sameElements(naive))
   }
 
   test("HammingJoin blocked pairs == naive all-pairs compare") {
