@@ -106,13 +106,19 @@ object Joins {
     },
 
     // ── parity: anti join ───────────────────────────────────────────────
+    // The right side is filtered (high-value orders) so survivors exist at
+    // every SF: customers whose every order is ≤ 300k. An unfiltered right
+    // side returns 0 rows on this data (every customer has an order), which
+    // would let a broken anti join pass trivially.
     Q("q_join_anti",
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
         |ORDER BY c_custkey""".stripMargin) {
       (s, d) =>
         customer(s, d)
-          .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+          .join(orders(s, d).filter(col("o_totalprice") > 300000),
+            col("c_custkey") === col("o_custkey"), "left_anti")
           .select("c_custkey", "c_name")
           .orderBy("c_custkey")
     },

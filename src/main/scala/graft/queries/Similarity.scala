@@ -26,6 +26,11 @@ object Similarity {
 
   private val Dims = 64
   private val LshBits = 6 // 64 buckets over 500 vectors → ~8 vecs/bucket
+  // Near-dup candidate probing: pairs whose sign-buckets differ in ≤ 2 of
+  // the 6 hyperplane bits. At larger N, LshBits grows with log N and the
+  // probe radius stays fixed — candidate volume stays bucket-bounded.
+  private val ProbeHamming = 2
+  private val TopKQueries = 20 // q_cosine_topk's FIXED query-set size
 
   // DuckDB mirror of Exprs.dotProduct over two double-lists by index
   private def dotSqlIdx(a: String, b: String): String =
@@ -40,12 +45,33 @@ object Similarity {
        |          list_transform(e, x -> x * x)), (a,b) -> a + b) AS nrm
        |      FROM v)""".stripMargin
 
+  // Shared random-hyperplane signature stage (q_ann_lsh / q_ann_multiprobe /
+  // q_dedup_cosine): plane weights are derived from md5(b:d) so both engines
+  // rebuild identical planes; `nb` is every vector with its sign-bucket id.
+  private val lshCte =
+    s"""hp AS (SELECT b, list(w ORDER BY d) AS wv FROM (
+       |    SELECT b, d,
+       |      ((('0x' || substr(md5(b::VARCHAR || ':' || d::VARCHAR), 1, 15))::BIGINT
+       |        % 2001) - 1000) / 1000.0::DOUBLE AS w
+       |    FROM range($LshBits) r1(b), range(1, ${Dims + 1}) r2(d)) t
+       |  GROUP BY b),
+       |proj AS (SELECT n.vec_id, hp.b, ${dotSqlIdx("n.e", "hp.wv")} AS p
+       |  FROM n CROSS JOIN hp),
+       |bk AS (SELECT vec_id,
+       |    CAST(SUM(CASE WHEN p > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY vec_id),
+       |nb AS (SELECT n.vec_id, n.e, n.nrm, bk.bucket FROM n JOIN bk USING (vec_id))""".stripMargin
+
   val all: Seq[Q] = Seq(
 
-    // ── brute-force cosine top-3 for each query vector (vec_id % 25 = 0) ─
+    // ── brute-force cosine top-3 for each query vector ──────────────────
+    // The query set is a FIXED-size prefix (vec_id < 20), independent of N:
+    // the broadcast-queries / stream-candidates plan is O(Q·N) and only
+    // viable because Q is a constant — a query set that grows with the
+    // table (e.g. vec_id % 25 = 0) would silently be O(N²).
     Q("q_cosine_topk",
       s"""WITH $normsCte,
-         |q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM n WHERE vec_id % 25 = 0),
+         |q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM n WHERE vec_id < $TopKQueries),
          |p AS (SELECT qid, c.vec_id AS cid,
          |        ${dotSqlIdx("qe", "c.e")} AS dot, qn, c.nrm AS cn
          |      FROM q JOIN n c ON c.vec_id <> qid),
@@ -57,7 +83,7 @@ object Similarity {
          |SELECT qid, rk, cid, sim FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin) {
       (s, d) =>
         val n = withNorms(s, d)
-        val q = n.filter(col("vec_id") % 25 === 0)
+        val q = n.filter(col("vec_id") < TopKQueries)
           .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
         val c = n.select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
         val sim = (dotProduct(col("qe"), col("ce")) /
@@ -77,18 +103,7 @@ object Similarity {
     // build the identical planes: w = ((h % 2001) - 1000) / 1000.0.
     Q("q_ann_lsh",
       s"""WITH $normsCte,
-         |hp AS (SELECT b, list(w ORDER BY d) AS wv FROM (
-         |    SELECT b, d,
-         |      ((('0x' || substr(md5(b::VARCHAR || ':' || d::VARCHAR), 1, 15))::BIGINT
-         |        % 2001) - 1000) / 1000.0::DOUBLE AS w
-         |    FROM range($LshBits) r1(b), range(1, ${Dims + 1}) r2(d)) t
-         |  GROUP BY b),
-         |proj AS (SELECT n.vec_id, hp.b, ${dotSqlIdx("n.e", "hp.wv")} AS p
-         |  FROM n CROSS JOIN hp),
-         |bk AS (SELECT vec_id,
-         |    CAST(SUM(CASE WHEN p > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS bucket
-         |  FROM proj GROUP BY vec_id),
-         |nb AS (SELECT n.vec_id, n.e, n.nrm, bk.bucket FROM n JOIN bk USING (vec_id)),
+         |$lshCte,
          |q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn, bucket FROM nb
          |      WHERE vec_id % 25 = 0),
          |p2 AS (SELECT qid, c.vec_id AS cid, q.bucket,
@@ -102,20 +117,7 @@ object Similarity {
          |SELECT qid, rk, cid, bucket, sim FROM r WHERE rk <= 3
          |ORDER BY qid, rk""".stripMargin) {
       (s, d) =>
-        val n = withNorms(s, d)
-        // Hyperplane weights precomputed driver-side with the SAME md5
-        // formula the oracle uses (md5LongLocal == Exprs.md5Long), embedded
-        // as literal arrays: the bucket id becomes one narrow projection —
-        // no cross join, no per-plane shuffle, scales as a pure map stage.
-        val planes: Seq[Seq[Double]] = (0 until LshBits).map { b =>
-          (1 to Dims).map(dd =>
-            ((md5LongLocal(s"$b:$dd") % 2001L) - 1000L) / 1000.0)
-        }
-        val bucketExpr = (0 until LshBits)
-          .map(b => when(dotProduct(col("e"), typedLit(planes(b))) > 0,
-            lit(1L << b)).otherwise(0L))
-          .reduce(_ + _)
-        val nb = n.withColumn("bucket", bucketExpr.cast("long"))
+        val nb = withBuckets(s, d)
         val q = nb.filter(col("vec_id") % 25 === 0)
           .select(col("vec_id").as("qid"), col("e").as("qe"),
             col("nrm").as("qn"), col("bucket"))
@@ -141,18 +143,7 @@ object Similarity {
     //    buckets pairwise. ────────────────────────────────────────────────
     Q("q_ann_multiprobe",
       s"""WITH $normsCte,
-         |hp AS (SELECT b, list(w ORDER BY d) AS wv FROM (
-         |    SELECT b, d,
-         |      ((('0x' || substr(md5(b::VARCHAR || ':' || d::VARCHAR), 1, 15))::BIGINT
-         |        % 2001) - 1000) / 1000.0::DOUBLE AS w
-         |    FROM range($LshBits) r1(b), range(1, ${Dims + 1}) r2(d)) t
-         |  GROUP BY b),
-         |proj AS (SELECT n.vec_id, hp.b, ${dotSqlIdx("n.e", "hp.wv")} AS p
-         |  FROM n CROSS JOIN hp),
-         |bk AS (SELECT vec_id,
-         |    CAST(SUM(CASE WHEN p > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS bucket
-         |  FROM proj GROUP BY vec_id),
-         |nb AS (SELECT n.vec_id, n.e, n.nrm, bk.bucket FROM n JOIN bk USING (vec_id)),
+         |$lshCte,
          |q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn, bucket FROM nb
          |      WHERE vec_id % 25 = 0),
          |probes AS (SELECT qid, qe, qn,
@@ -169,16 +160,7 @@ object Similarity {
          |SELECT qid, rk, cid, sim FROM r WHERE rk <= 3
          |ORDER BY qid, rk""".stripMargin) {
       (s, d) =>
-        val n = withNorms(s, d)
-        val planes: Seq[Seq[Double]] = (0 until LshBits).map { b =>
-          (1 to Dims).map(dd =>
-            ((md5LongLocal(s"$b:$dd") % 2001L) - 1000L) / 1000.0)
-        }
-        val bucketExpr = (0 until LshBits)
-          .map(b => when(dotProduct(col("e"), typedLit(planes(b))) > 0,
-            lit(1L << b)).otherwise(0L))
-          .reduce(_ + _)
-        val nb = n.withColumn("bucket", bucketExpr.cast("long"))
+        val nb = withBuckets(s, d)
         val probeSet = array(
           col("bucket") +: (0 until LshBits).map(b =>
             col("bucket").bitwiseXOR(lit(1L << b))): _*)
@@ -274,19 +256,41 @@ object Similarity {
     },
 
     // ── embedding-cosine near-duplicate pairs (dedup flavor) ────────────
+    // Candidate generation is the SAME hyperplane signature stage as
+    // q_ann_lsh, self-joined with a hamming-≤2 probe radius: side A
+    // explodes its 22 probe buckets (C(6,0)+C(6,1)+C(6,2) XOR masks) as
+    // SLIM (id, bucket) rows, the equi-join on bucket finds each candidate
+    // pair exactly once (the mask that matches is bucketA⊕bucketB, unique
+    // per pair — no distinct needed), vectors join back for candidates
+    // only, and the exact cosine filter verifies. The all-pairs
+    // BroadcastNestedLoopJoin this replaces is O(N²) and unusable at
+    // corpus scale; a plan spec asserts it never reappears. Declared
+    // semantics = "near-dup pairs within probe radius", which the oracle
+    // mirrors with the identical signature CTEs + bit_count(xor()) ≤ 2.
     Q("q_dedup_cosine",
       s"""WITH $normsCte,
+         |$lshCte,
          |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |        ${dotSqlIdx("a.e", "b.e")} AS dot, a.nrm AS na, b.nrm AS nb
-         |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
-         |SELECT vec_a, vec_b, dot / sqrt(na * nb) AS sim FROM p
-         |WHERE dot / sqrt(na * nb) >= 0.4 ORDER BY vec_a, vec_b""".stripMargin) {
+         |        ${dotSqlIdx("a.e", "b.e")} AS dot, a.nrm AS na, b.nrm AS nb2
+         |      FROM nb a JOIN nb b
+         |        ON a.vec_id < b.vec_id
+         |       AND bit_count(xor(a.bucket, b.bucket)) <= $ProbeHamming)
+         |SELECT vec_a, vec_b, dot / sqrt(na * nb2) AS sim FROM p
+         |WHERE dot / sqrt(na * nb2) >= 0.4 ORDER BY vec_a, vec_b""".stripMargin) {
       (s, d) =>
-        val n = withNorms(s, d)
-        val a = n.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("nrm").as("na"))
-        val b = n.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("nrm").as("nb"))
+        val nb = withBuckets(s, d).cache() // probe side + both vector join-backs
+        val masks = (0 until (1 << LshBits)).filter(Integer.bitCount(_) <= ProbeHamming)
+        val probes = nb.select(col("vec_id").as("vec_a"),
+          explode(array(masks.map(m =>
+            col("bucket").bitwiseXOR(lit(m.toLong))): _*)).as("pb"))
+        val bSide = nb.select(col("vec_id").as("vec_b"), col("e").as("eb"),
+          col("nrm").as("nb"), col("bucket").as("pb"))
+        val aVec = nb.select(col("vec_id").as("vec_a"), col("e").as("ea"),
+          col("nrm").as("na"))
         val sim = dotProduct(col("ea"), col("eb")) / sqrt(col("na") * col("nb"))
-        a.join(b, col("vec_a") < col("vec_b"))
+        probes.join(bSide, Seq("pb"))
+          .filter(col("vec_a") < col("vec_b"))
+          .join(aVec, Seq("vec_a"))
           .filter(sim >= 0.4)
           .select(col("vec_a"), col("vec_b"), sim.as("sim"))
           .orderBy("vec_a", "vec_b")
@@ -299,4 +303,20 @@ object Similarity {
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
       .withColumn("nrm", dotProduct(col("e"), col("e")))
 
+  /** [[withNorms]] plus the random-hyperplane sign-bucket id (Spark half of
+    * [[lshCte]]): plane weights are driver-derived literals via the same
+    * md5 formula the oracle uses, so the bucket id is one narrow map stage —
+    * no cross join, no per-plane shuffle.
+    */
+  private def withBuckets(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val planes: Seq[Seq[Double]] = (0 until LshBits).map { b =>
+      (1 to Dims).map(dd =>
+        ((md5LongLocal(s"$b:$dd") % 2001L) - 1000L) / 1000.0)
+    }
+    val bucketExpr = (0 until LshBits)
+      .map(b => when(dotProduct(col("e"), typedLit(planes(b))) > 0,
+        lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+    withNorms(s, d).withColumn("bucket", bucketExpr.cast("long"))
+  }
 }

@@ -26,12 +26,31 @@ class ExtensionsSpec extends SparkTestBase {
     assert(rows.forall(r => math.abs(r.getDouble(3)) <= 1.0 + 1e-9))
   }
 
+  // Exact top-1 per ANN query vector (vec_id % 25 = 0), computed inline:
+  // q_cosine_topk's declared query set is a fixed prefix (vec_id < 20) and
+  // no longer aligns with the ANN queries' set, so the recall tests build
+  // their own brute-force baseline. Cross join is fine at test scale.
+  private lazy val bruteTop1: Map[Long, (Long, Double)] = {
+    val n = graft.model.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val q = n.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = n.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    q.crossJoin(c).filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        graft.ops.Exprs.cosineSim(col("qe"), col("ce")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+  }
+
   test("q_ann_lsh: bucketed top-k sims never beat brute-force rank-1") {
-    val bf = run("q_cosine_topk").filter(col("rk") === 1).collect()
-      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
     val lsh = run("q_ann_lsh").filter(col("rk") === 1).collect()
       .map(r => r.getLong(0) -> r.getDouble(4)).toMap
-    assert(lsh.forall { case (q, s) => s <= bf(q) + 1e-12 })
+    assert(lsh.nonEmpty)
+    assert(lsh.forall { case (q, s) => s <= bruteTop1(q)._2 + 1e-12 })
   }
 
   test("q_simhash_pairs: hamming bounds and symmetry of the key order") {
@@ -73,8 +92,7 @@ class ExtensionsSpec extends SparkTestBase {
   }
 
   test("q_ann_ivf recall vs brute force: top-1 found for most queries") {
-    val exact = run("q_cosine_topk").collect()
-      .filter(_.getLong(1) == 1L).map(r => (r.getLong(0), r.getLong(2))).toMap
+    val exact = bruteTop1.map { case (q, (cid, _)) => (q, cid) }
     val approx = run("q_ann_ivf").collect()
       .groupBy(_.getLong(0)).map { case (q, g) => q -> g.map(_.getLong(2)).toSet }
     val hits = exact.count { case (q, top1) => approx.get(q).exists(_.contains(top1)) }
