@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts NANOS
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -36,25 +37,32 @@ object Bench {
       // timers — queries cache intermediates (encoded bitsets, LSH bands,
       // IVF assignments); left in place they accumulate across the run and
       // later queries pay the GC bill.
+      // A pass that throws reports -1 (not its elapsed time): a broken
+      // query must show up as an error in the JSON, never as a fast entry.
       def pass(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         val t = (System.nanoTime() - t0) / 1e9
         spark.sharedState.cacheManager.clearCache()
-        t
+        if (ok) t else -1.0
       }
-      val (t1, t2) = (pass(), pass())
+      val two = Seq(pass(), pass()).filter(_ >= 0)
       // When the two passes disagree wildly, an external load spike hit
       // one of them — take a third and keep the min.
       val dt =
-        if (math.max(t1, t2) > 2 * math.min(t1, t2)) math.min(pass(), math.min(t1, t2))
-        else math.min(t1, t2)
+        if (two.isEmpty) -1.0
+        else if (two.size == 2 && two.max > 2 * two.min)
+          (two ++ Seq(pass()).filter(_ >= 0)).min
+        else two.min
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    // errored queries carry -1 in "queries" and are excluded from the total
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

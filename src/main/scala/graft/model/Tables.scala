@@ -49,7 +49,11 @@ object Tables {
     * → TIMESTAMP cast does, so both engines see identical µs instants.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The flag belongs in the session builder (Verify/Bench/tests set it
+    // once); the guarded fallback here keeps ad-hoc sessions working
+    // without re-mutating shared conf on every call.
+    val k = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!s.conf.getOption(k).contains("true")) s.conf.set(k, "true")
     table(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))

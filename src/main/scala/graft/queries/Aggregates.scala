@@ -466,13 +466,19 @@ object Aggregates {
     // Spark semantics: session = [first ts, last ts + gap); a new session
     // starts when the next event is >= gap after the previous one.
     Q("q_session_window",
-      """WITH x AS (
+      """WITH e0 AS (
+        |  -- TIMESTAMP_NS → µs truncation: Spark's session_window sees
+        |  -- µs-truncated instants, so the 30-min gap must be computed on
+        |  -- the same precision (a gap within 1 µs of the boundary would
+        |  -- otherwise split sessions differently between engines)
+        |  SELECT user_id, ts::TIMESTAMP AS ts FROM events),
+        |x AS (
         |  SELECT user_id, ts,
         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
         |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
         |              >= INTERVAL 30 MINUTE
         |         THEN 1 ELSE 0 END AS brk
-        |  FROM events),
+        |  FROM e0),
         |y AS (
         |  SELECT user_id, ts,
         |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts

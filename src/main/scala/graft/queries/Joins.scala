@@ -210,12 +210,17 @@ object Joins {
     //    filters within the key group) — the scale-safe form of a range
     //    join; a pure inequality join would be a nested-loop cross ────────
     Q("q_range_join",
-      """WITH x AS (
+      """WITH e0 AS (
+        |  -- µs truncation to match Spark's timestamp precision (see
+        |  -- q_session_window): gap arithmetic and the interval-containment
+        |  -- predicates below must not see sub-µs components
+        |  SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events),
+        |x AS (
         |  SELECT user_id, ts,
         |    CASE WHEN lag(ts) OVER w IS NULL
         |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
         |         THEN 1 ELSE 0 END AS brk
-        |  FROM events
+        |  FROM e0
         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
         |y AS (
         |  SELECT user_id, ts,
@@ -227,7 +232,7 @@ object Joins {
         |  FROM y GROUP BY user_id, sid)
         |SELECT e.event_id, e.user_id,
         |  strftime(s.ss, '%Y-%m-%d %H:%M:%S.%f') AS session_start
-        |FROM events e JOIN sess s
+        |FROM e0 e JOIN sess s
         |  ON e.user_id = s.user_id AND e.ts >= s.ss AND e.ts < s.se
         |WHERE e.event_type = 'error'
         |ORDER BY e.event_id, session_start""".stripMargin) {

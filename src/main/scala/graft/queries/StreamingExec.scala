@@ -31,13 +31,17 @@ object StreamingExec {
     // grow and merge across micro-batches; the final state must equal the
     // batch session_window result (same oracle as q_session_window).
     Q("q_stream_session",
-      """WITH x AS (
+      """WITH e0 AS (
+        |  -- µs truncation to match Spark's timestamp precision (see
+        |  -- q_session_window)
+        |  SELECT user_id, ts::TIMESTAMP AS ts FROM events),
+        |x AS (
         |  SELECT user_id, ts,
         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
         |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
         |              >= INTERVAL 30 MINUTE
         |         THEN 1 ELSE 0 END AS brk
-        |  FROM events),
+        |  FROM e0),
         |y AS (
         |  SELECT user_id, ts,
         |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts

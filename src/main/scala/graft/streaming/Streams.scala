@@ -50,55 +50,64 @@ object Streams {
   def withLateTolerance(stream: DataFrame, tolerance: String = "30 days"): DataFrame =
     stream.withWatermark("ts", tolerance)
 
+  // Per-process sink counter: memory-sink names must be unique per run or
+  // concurrent/repeated executions would collide on the registered table.
+  private val sinkSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Shared snapshot-replay harness: stage `events` as a multi-file parquet
+    * directory, replay it as a watermarked file stream through `transform`,
+    * run to completion under `Trigger.AvailableNow`, and return the memory
+    * sink's final contents. The staging directory is deleted once the run
+    * terminates (the memory sink holds the rows; the files are dead weight
+    * after `awaitTermination`). At scale the memory sink becomes a real
+    * table sink and AvailableNow the scheduled trigger; the plan is
+    * unchanged.
+    */
+  private def replaySnapshot(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, sinkPrefix: String, mode: OutputMode)(
+      transform: DataFrame => DataFrame): DataFrame = {
+    val staging = java.nio.file.Files.createTempDirectory(sinkPrefix)
+    try {
+      graft.model.Tables.events(spark, sfDir)
+        .repartition(4) // several files → several input splits to micro-batch
+        .write.mode("overwrite").parquet(staging.toString)
+      val schema = spark.read.parquet(staging.toString).schema
+      val src = spark.readStream.schema(schema).parquet(staging.toString)
+      val sink = s"${sinkPrefix.replace('-', '_')}_${sinkSeq.incrementAndGet()}"
+      val q = transform(withLateTolerance(src))
+        .writeStream.outputMode(mode)
+        .format("memory").queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(sink)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(staging).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   /** REAL streaming execution of the tumbling-window aggregation over the
-    * events snapshot: stage the table as a multi-file parquet directory,
-    * replay it as a file stream (watermarked), run to completion under
-    * `Trigger.AvailableNow`, and return the final result from the memory
-    * sink. This is the declared-query form of the streaming surface — the
-    * same rows as the batch `groupBy(window(...))`, produced by the
+    * events snapshot — the declared-query form of the streaming surface:
+    * the same rows as the batch `groupBy(window(...))`, produced by the
     * micro-batch engine, so the batch DuckDB oracle verifies a streaming
-    * run. At scale the memory sink becomes a real table sink and
-    * AvailableNow becomes the scheduled trigger; the plan is unchanged.
+    * run.
     */
   def tumblingFromSnapshot(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String): DataFrame = {
-    val staging = java.nio.file.Files
-      .createTempDirectory("graft-stream-exec").toString
-    graft.model.Tables.events(spark, sfDir)
-      .repartition(4) // several files → several input splits to micro-batch
-      .write.mode("overwrite").parquet(staging)
-    val schema = spark.read.parquet(staging).schema
-    val src = spark.readStream.schema(schema).parquet(staging)
-    val q = tumblingCounts(withLateTolerance(src))
-      .writeStream.outputMode(OutputMode.Complete())
-      .format("memory").queryName("graft_stream_tumbling")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table("graft_stream_tumbling")
-  }
+      sfDir: String): DataFrame =
+    replaySnapshot(spark, sfDir, "graft-stream-tumbling",
+      OutputMode.Complete())(tumblingCounts(_))
 
   /** REAL streaming execution of session-window aggregation — gap-merged
     * session state, the most complex streaming state surface: sessions
     * grow/merge as events arrive across micro-batches.
     */
   def sessionsFromSnapshot(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String): DataFrame = {
-    val staging = java.nio.file.Files
-      .createTempDirectory("graft-stream-session").toString
-    graft.model.Tables.events(spark, sfDir)
-      .repartition(4)
-      .write.mode("overwrite").parquet(staging)
-    val schema = spark.read.parquet(staging).schema
-    val src = spark.readStream.schema(schema).parquet(staging)
-    val q = sessionCounts(withLateTolerance(src))
-      .writeStream.outputMode(OutputMode.Complete())
-      .format("memory").queryName("graft_stream_session")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table("graft_stream_session")
-  }
+      sfDir: String): DataFrame =
+    replaySnapshot(spark, sfDir, "graft-stream-session",
+      OutputMode.Complete())(sessionCounts(_))
 
   /** REAL streaming execution of stateful dedup over the events snapshot:
     * watermarked `dropDuplicates` on (user_id, event_type) replayed as a
@@ -109,24 +118,10 @@ object Streams {
     * watermark-bounded and sharded by key (O(window), not O(history)).
     */
   def dedupFromSnapshot(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String): DataFrame = {
-    val staging = java.nio.file.Files
-      .createTempDirectory("graft-stream-dedup").toString
-    graft.model.Tables.events(spark, sfDir)
-      .repartition(4)
-      .write.mode("overwrite").parquet(staging)
-    val schema = spark.read.parquet(staging).schema
-    val src = spark.readStream.schema(schema).parquet(staging)
-    val q = withLateTolerance(src)
-      .dropDuplicates("user_id", "event_type")
-      .select(col("user_id"), col("event_type"))
-      .writeStream.outputMode(OutputMode.Append())
-      .format("memory").queryName("graft_stream_dedup")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table("graft_stream_dedup")
-  }
+      sfDir: String): DataFrame =
+    replaySnapshot(spark, sfDir, "graft-stream-dedup", OutputMode.Append())(
+      _.dropDuplicates("user_id", "event_type")
+        .select(col("user_id"), col("event_type")))
 
   /** Stateful dedup on event_id under watermark (streaming state bounded by
     * the tolerance window — at scale state size is O(events within

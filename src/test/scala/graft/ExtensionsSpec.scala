@@ -176,6 +176,25 @@ class ExtensionsSpec extends SparkTestBase {
     assert(m(500L) == 0L && m(102L) == 100L)
   }
 
+  test("DotProduct matches HOF semantics on ragged and null-bearing arrays") {
+    import spark.implicits._
+    import graft.ops.Exprs
+    val df = Seq(
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)),      // equal → 11.0
+      (Seq[java.lang.Double](1.0, 2.0, 5.0), Seq[java.lang.Double](3.0, 4.0)), // ragged → NULL
+      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0)),     // null slot → NULL
+      (null, Seq[java.lang.Double](3.0, 4.0))                                  // null array → NULL
+    ).toDF("a", "b")
+    val rows = df.select(
+      Exprs.dotProduct(col("a"), col("b")).as("cg"),
+      Exprs.hofDotProduct(col("a"), col("b")).as("hof")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"null disagreement: $r")
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1))
+    }
+    assert(rows.count(_.isNullAt(0)) == 3)
+  }
+
   test("DotProduct codegen expression is bit-equal to the HOF fold") {
     import graft.ops.Exprs
     val vecs = graft.model.Tables.embeddings(spark, sfDir)
