@@ -80,11 +80,19 @@ object Selection {
       .orderBy("grp", "rank")
   }
 
-  /** Driver-side greedy walk (`main.py:277-279` shape) over a ranked,
-    * per-group candidate summary: `(group, candidateId, coveredParams)`
-    * already ordered by rank within group. Returns selected candidate ids
-    * per group. Input must be small (the reference caps at MAX_CANDIDATES
-    * = 40 per group) — callers aggregate + limit BEFORE collecting.
+  /** Driver-side greedy walk (`main.py:220-279` shape) over a ranked,
+    * per-group candidate summary: `(group, candidateId, emittedParams)`
+    * already ordered by rank within group, where `emittedParams` is the set
+    * of parameters the candidate actually emitted VALID measurements for
+    * (empty = no valid rows survived F6/F7/F8). Mirrors the reference's
+    * interleaving of measurement validation with selection: every walked
+    * candidate is selected (its rows go to the output), but only
+    * candidates with ≥ 1 valid row count toward the `minUsed` stop
+    * (`main.py:273-274`) and only emitted parameters grow the covered set
+    * (`main.py:270`) — a station whose measurements all fail validation
+    * forces the walk onward. Input must be small (the reference caps at
+    * MAX_CANDIDATES = 40 per group) — callers aggregate + limit BEFORE
+    * collecting.
     */
   def greedySelect(
       ranked: Seq[(String, Long, Set[String])],
@@ -100,7 +108,7 @@ object Selection {
         val (_, id, params) = it.next()
         sel += id
         covered ++= params
-        used += 1
+        if (params.nonEmpty) used += 1
         if (used >= minUsed && targets.subsetOf(covered)) done = true
       }
       grp -> sel.result()

@@ -29,6 +29,14 @@ object AirQuality {
   val MaxCandidates = 40
   val FreshDays = 30
   val MinUsed = 3
+  /** Primary per-city search radius (`CITY_CFG.radius_m`, `main.py:16`). */
+  val PrimaryRadiusM = 25000.0
+  /** Country-wide fallback radius (`main.py:141`). */
+  val FallbackRadiusM = 75000.0
+  /** Primary-phase result count below which the fallback scan is taken
+    * (`main.py:122`).
+    */
+  val MinPrimaryResults = 10
 
   // ── OpenAQ-payload-shaped rows (FIXTURES.md §A) ───────────────────────
   final case class Coordinates(latitude: Option[Double], longitude: Option[Double])
@@ -52,82 +60,125 @@ object AirQuality {
   def run(spark: SparkSession, locations: DataFrame, latest: DataFrame,
       cities: DataFrame): DataFrame = {
 
-    // F1: freshness vs data-derived cutoff (max last-seen − 30 days);
-    // missing/unparseable last-seen DROPPED (null >= x is null → filtered)
+    // per-city primary radius (`CITY_CFG.radius_m`); default when the
+    // config table doesn't carry the column
+    val cityCfg =
+      if (cities.columns.contains("radius_m")) cities
+      else cities.withColumn("radius_m", lit(PrimaryRadiusM))
+
+    // data-derived freshness cutoff (max last-seen − 30 days)
     val parsedLast = parseIsoTs(col("datetimeLast.utc"))
     val cutoff = locations.agg(max(parseIsoTs(col("datetimeLast.utc")))
       .as("max_seen"))
-    val fresh = locations.crossJoin(broadcast(cutoff))
+
+    // ── two-phase geo plan (`main.py:107-144`) ──────────────────────────
+    // F3 coordinate guard + distance to the city center, computed once
+    val located = locations
+      .filter(col("coordinates.latitude").isNotNull &&
+        col("coordinates.longitude").isNotNull)
+      .join(broadcast(cityCfg), "city")
+      .withColumn("dist_m", haversineMeters(col("lat"), col("lon"),
+        col("coordinates.latitude"), col("coordinates.longitude")))
+    // Phase decision: the reference counts RAW primary-radius results
+    // (`main.py:122`) — before freshness/sensor filters — and falls back to
+    // the country-wide 75 km scan when < 10. Driver-side `if` over one row
+    // per configured city (SURVEY §3.2), never data-sized.
+    val primaryCounts = located.filter(col("dist_m") <= col("radius_m"))
+      .groupBy("city").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fallbackCities = cityCfg.select("city").collect().map(_.getString(0))
+      .filter(c => primaryCounts.getOrElse(c, 0L) < MinPrimaryResults).toSet
+    val isFallback = col("city").isin(fallbackCities.toSeq: _*)
+    val geo = located.filter(
+      when(isFallback, col("dist_m") <= FallbackRadiusM)
+        .otherwise(col("dist_m") <= col("radius_m")))
+
+    // F1: candidate-stage freshness (`main.py:149`); missing/unparseable
+    // last-seen DROPPED (null >= x is null → filtered)
+    val fresh = geo.crossJoin(broadcast(cutoff))
       .filter(freshDropNull(parsedLast,
         col("max_seen") - expr(s"INTERVAL $FreshDays DAYS")))
 
-    // F3/F4: coordinate guard + 75 km fallback radius around the city
-    val withCity = fresh.join(broadcast(cities), "city")
-    val geo = withCity
-      .filter(col("coordinates.latitude").isNotNull &&
-        col("coordinates.longitude").isNotNull)
-      .filter(haversineMeters(col("lat"), col("lon"),
-        col("coordinates.latitude"), col("coordinates.longitude")) <= 75000.0)
-
-    // explode sensors → per-sensor rows with P3 unit / P5 lowercase
-    val sensors = geo.select(col("city"), col("id").as("loc_id"),
+    // explode sensors → per-sensor rows with P3 unit / P5 lowercase.
+    // sensor_map fidelity (`main.py:153-161`): a falsy sensor id (null OR
+    // 0) and a falsy parameter name (null OR "") never enter the map —
+    // they neither count as matches nor accept measurements.
+    val sensors = fresh.select(col("city"), col("id").as("loc_id"),
         nameCoalesce(col("name"), col("locality"), col("id")).as("loc_name"),
-        explode(col("sensors")).as("sensor"))
-      .select(col("city"), col("loc_id"), col("loc_name"),
+        col("dist_m"), explode(col("sensors")).as("sensor"))
+      .select(col("city"), col("loc_id"), col("loc_name"), col("dist_m"),
         col("sensor.id").as("sensor_id"),
         lower(col("sensor.parameter.name")).as("pname"),
         unitCoalesce(col("sensor.parameter.units"), col("sensor.units"),
           col("sensor.unit")).as("punit"))
-      .filter(col("sensor_id").isNotNull && col("pname").isNotNull)
+      .filter(sensorIdValid(col("sensor_id")) &&
+        col("pname").isNotNull && col("pname") =!= "")
 
-    // F5 + A1: coverage count per station, O2: top-40 per city
+    // F5 + A1: matched-SENSOR count per station (`len(matches)`,
+    // `main.py:162-167` — sensors, not distinct parameters: two pm25
+    // sensors count twice). O2: top-40 per city, ranked by matches; ties
+    // follow the order the reference's stable sort preserves — distance
+    // ascending in the fallback path (`main.py:144`), the API's paging
+    // order (stand-in: loc_id) in the primary path.
     val matched = sensors.filter(col("pname").isin(Parameters.toSeq: _*))
     val candidates = matched
       .groupBy("city", "loc_id")
-      .agg(countDistinct("pname").as("matches"),
-        array_sort(collect_set("pname")).as("covered"))
+      .agg(countDistinct("sensor_id").as("matches"), min("dist_m").as("dist_m"))
       .withColumn("rank", row_number().over(Window.partitionBy("city")
-        .orderBy(col("matches").desc, col("loc_id"))))
+        .orderBy(col("matches").desc,
+          when(isFallback, col("dist_m")).otherwise(lit(0.0)),
+          col("loc_id"))))
       .filter(col("rank") <= MaxCandidates)
 
+    // J1 against ALL candidates (not only the eventually-chosen ones): the
+    // reference interleaves measurement validation with selection
+    // (`main.py:220-279`), so each candidate's VALID rows must be known
+    // before the greedy walk. The candidate sensor map is ≤ cities × 40
+    // stations × sensors — always broadcast-tiny.
+    val candSensors = matched.join(
+      broadcast(candidates.select("city", "loc_id")), Seq("city", "loc_id"))
+    val meas = latest
+      .withColumn("sid", col("sensorsId").try_cast("long"))
+      .filter(sensorIdValid(col("sensorsId")))                       // F6
+      .filter(numericValid(col("value")))                            // F7
+    val dateStr = coalesce(col("datetime_utc"), col("datetime_local"), col("date"))
+    val valid = meas.join(broadcast(candSensors),
+        meas("sid") === candSensors("sensor_id") &&
+          meas("location_id") === candSensors("loc_id"))
+      .crossJoin(broadcast(cutoff))
+      .filter(freshKeepNull(parseIsoTs(dateStr),                     // F8
+        col("max_seen") - expr(s"INTERVAL $FreshDays DAYS")))
+
     // O4: greedy early-terminated selection — driver walk over the ≤40-row
-    // per-city summary (bounded by MAX_CANDIDATES, never by data volume)
-    val summary = candidates.orderBy("city", "rank")
-      .select("city", "loc_id", "covered")
+    // per-city summary (bounded by MAX_CANDIDATES, never by data volume).
+    // Each candidate carries the parameters it actually emitted valid
+    // measurements for: `used`/`covered` mirror `main.py:270-279`, so a
+    // station whose measurements all fail F6/F7/F8 is walked but does not
+    // count toward the ≥3 stop.
+    val perCand = valid.groupBy("city", "loc_id")
+      .agg(array_sort(collect_set("pname")).as("mparams"))
+    val summary = candidates.join(perCand, Seq("city", "loc_id"), "left")
+      .orderBy("city", "rank")
+      .select("city", "loc_id", "mparams")
       .collect()
       .map(r => (r.getString(0), r.getLong(1),
-        r.getSeq[String](2).toSet))
+        Option(r.getSeq[String](2)).map(_.toSet).getOrElse(Set.empty[String])))
       .toSeq
     val chosen = Selection.greedySelect(summary, Parameters, MinUsed)
     val chosenIds = chosen.toSeq.flatMap { case (c, ids) => ids.map((c, _)) }
     val chosenDf = spark.createDataFrame(chosenIds)
       .toDF("city", "loc_id")
 
-    // J1: measurements ⋈ selected sensor map — broadcast hash join (the
-    // sensor map is ≤ cities × 40 stations × sensors, always tiny)
-    val sensorMap = matched.join(broadcast(chosenDf), Seq("city", "loc_id"))
-    val meas = latest
-      .withColumn("sid", col("sensorsId").try_cast("long"))
-      .filter(sensorIdValid(col("sensorsId")))                       // F6
-      .filter(numericValid(col("value")))                            // F7
-    val joined = meas.join(broadcast(sensorMap),
-      meas("sid") === sensorMap("sensor_id") &&
-        meas("location_id") === sensorMap("loc_id"))
-
-    // F8: keep-unparseable measurement freshness vs the same cutoff
-    val dateStr = coalesce(col("datetime_utc"), col("datetime_local"), col("date"))
-    val withDates = joined.crossJoin(broadcast(cutoff))
-      .filter(freshKeepNull(parseIsoTs(dateStr),
-        col("max_seen") - expr(s"INTERVAL $FreshDays DAYS")))
-
-    // P3/P4/P7: final six-column projection; city union is implicit
-    withDates.select(
-      col("city"),
-      col("loc_name").as("location"),
-      col("pname").as("parameter"),
-      col("value"),
-      unitCoalesce(col("punit"), col("unit")).as("unit"),
-      dateStr.as("date"))
+    // P3/P4/P7: valid rows of the chosen prefix, six-column projection;
+    // city union is implicit (city is a column, not a loop)
+    valid.join(broadcast(chosenDf), Seq("city", "loc_id"), "left_semi")
+      .select(
+        col("city"),
+        col("loc_name").as("location"),
+        col("pname").as("parameter"),
+        col("value"),
+        unitCoalesce(col("punit"), col("unit")).as("unit"),
+        dateStr.as("date"))
       .orderBy("city", "location", "parameter", "value", "date")
   }
 

@@ -60,6 +60,74 @@ class FlagshipSpec extends SparkTestBase {
     assert(rows.map(_._1).toSet == Set("Warsaw", "New York"))
   }
 
+  // ── two-phase geo plan + interleaved-selection fixtures ───────────────
+  import AirQuality.{Coordinates, DatetimeLast, LatestRow, Location, ParameterInfo, Sensor, City}
+
+  private val FreshTs = "2025-09-07T12:00:00Z"
+  private def mkLoc(city: String, id: Long, name: String, lat: Double,
+      sens: Seq[Sensor]): Location =
+    Location(city, id, Some(name), None,
+      Some(Coordinates(Some(lat), Some(0.0))),
+      Some(DatetimeLast(Some(FreshTs), None)), sens)
+  private def mkSensor(id: Long, p: String): Sensor =
+    Sensor(Some(id), Some(ParameterInfo(Some(p), Some("µg/m³"))), None, None)
+  private def mkMeas(locId: Long, sid: Long, v: String): LatestRow =
+    LatestRow(locId, Some(sid.toString), Some(v), None, Some(FreshTs), None, None)
+
+  private def runCity(locs: Seq[Location], meas: Seq[LatestRow]): Set[String] = {
+    import spark.implicits._
+    AirQuality.run(spark, locs.toDS().toDF(), meas.toDS().toDF(),
+      Seq(City("T", 0.0, 0.0)).toDS().toDF())
+      .collect().map(_.getString(1)).toSet
+  }
+
+  // 1° latitude ≈ 111.2 km: 0.01 ≈ 1.1 km (inside 25 km), 0.45 ≈ 50 km
+  // (outside 25 km, inside 75 km)
+  test("two-phase geo: ≥10 primary-radius stations → 25 km plan, no fallback") {
+    val near = (1 to 12).map(i =>
+      mkLoc("T", 100L + i, s"Near$i", 0.01 * i, Seq(mkSensor(1000L + i, "pm25"))))
+    val mid = mkLoc("T", 200L, "Mid50", 0.45, Seq(mkSensor(2000L, "pm25")))
+    val meas = (1 to 12).map(i => mkMeas(100L + i, 1000L + i, "1.0")) :+
+      mkMeas(200L, 2000L, "9.9")
+    val locs = runCity(near :+ mid, meas)
+    // the 50 km station is reachable only through the 75 km fallback —
+    // with 12 primary hits the fallback is provably NOT taken
+    assert(!locs.contains("Mid50"))
+    assert(locs.contains("Near1") && locs.size == 12)
+  }
+
+  test("two-phase geo: <10 primary-radius stations → 75 km fallback taken") {
+    val near = (1 to 5).map(i =>
+      mkLoc("T", 100L + i, s"Near$i", 0.01 * i, Seq(mkSensor(1000L + i, "pm25"))))
+    val mid = mkLoc("T", 200L, "Mid50", 0.45, Seq(mkSensor(2000L, "pm25")))
+    val meas = (1 to 5).map(i => mkMeas(100L + i, 1000L + i, "1.0")) :+
+      mkMeas(200L, 2000L, "9.9")
+    val locs = runCity(near :+ mid, meas)
+    assert(locs.contains("Mid50")) // 5 < 10 primary hits → country-wide 75 km
+    assert(locs.size == 6)
+  }
+
+  test("selection interleaving: station with only invalid rows forces a 4th") {
+    val a = mkLoc("T", 1L, "A", 0.01, Seq(mkSensor(11, "pm25"),
+      mkSensor(12, "pm10"), mkSensor(13, "o3"), mkSensor(14, "no2")))
+    val b = mkLoc("T", 2L, "B", 0.02, Seq(mkSensor(21, "pm25"),
+      mkSensor(22, "pm10"), mkSensor(23, "o3")))
+    val c = mkLoc("T", 3L, "C", 0.03, Seq(mkSensor(31, "pm25")))
+    val d = mkLoc("T", 4L, "D", 0.04, Seq(mkSensor(41, "pm25")))
+    val meas = Seq(
+      mkMeas(1, 11, "1.0"), mkMeas(1, 12, "2.0"),
+      mkMeas(1, 13, "3.0"), mkMeas(1, 14, "4.0"),
+      // B ranks 2nd (3 matched sensors) but every value fails F7 — the
+      // reference walks it without counting it (main.py:273-274)
+      mkMeas(2, 21, "oops"), mkMeas(2, 22, "broken"), mkMeas(2, 23, "bad"),
+      mkMeas(3, 31, "5.0"),
+      mkMeas(4, 41, "6.0"))
+    val locs = runCity(Seq(a, b, c, d), meas)
+    // rank order A(4) B(3) C(1) D(1); A covers all params, but `used` only
+    // reaches 3 at D because B emitted nothing valid → D must be selected
+    assert(locs == Set("A", "C", "D"))
+  }
+
   test("K1 CSV sink: header, fixed column order, lossless round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("k1csv").toString
     try {

@@ -23,11 +23,16 @@ class SelectionSpec extends SparkTestBase {
       val ranked = cands.zipWithIndex.map { case (ps, i) => ("g", i.toLong, ps) }
       val sel = Selection.greedySelect(ranked, targets)("g")
       val coveredAt = (k: Int) => ranked.take(k).flatMap(_._3).toSet
-      val satisfiableAt = (k: Int) => k >= 3 && targets.subsetOf(coveredAt(k))
-      val anySatisfiable = (3 to ranked.size).exists(satisfiableAt)
+      // `used` counts only PRODUCTIVE candidates (non-empty emitted-param
+      // set), mirroring main.py:273-274 — an empty set is walked but
+      // doesn't advance the ≥3 stop
+      val usedAt = (k: Int) => ranked.take(k).count(_._3.nonEmpty)
+      val satisfiableAt = (k: Int) =>
+        usedAt(k) >= 3 && targets.subsetOf(coveredAt(k))
+      val anySatisfiable = (1 to ranked.size).exists(satisfiableAt)
       if (anySatisfiable) {
         // selected prefix satisfies, and no shorter prefix does
-        satisfiableAt(sel.size) && !(3 until sel.size).exists(satisfiableAt)
+        satisfiableAt(sel.size) && !(1 until sel.size).exists(satisfiableAt)
       } else {
         // unsatisfiable → whole list consumed
         sel.size == ranked.size
