@@ -31,8 +31,17 @@ object Tables {
     * queries the extra stage costs more than single-core scanning saves.
     */
   def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions <= 2 && target > 2) df.repartition(target)
+    val ss = df.sparkSession
+    val target = ss.sparkContext.defaultParallelism
+    // Plan-side probe — no RDD materialization (df.rdd would build the
+    // physical RDD lineage on the driver per call): the optimizer's size
+    // estimate over the split bound caps how many file splits the scan can
+    // offer. ≤ 2 × maxPartitionBytes ⇒ at most ~2 splits ⇒ redistribute.
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val splitBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      ss.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    if (target > 2 && bytes <= BigInt(2L) * BigInt(splitBytes))
+      df.repartition(target)
     else df
   }
 

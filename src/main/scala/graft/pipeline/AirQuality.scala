@@ -72,25 +72,42 @@ object AirQuality {
       .as("max_seen"))
 
     // ── two-phase geo plan (`main.py:107-144`) ──────────────────────────
-    // F3 coordinate guard + distance to the city center, computed once
-    val located = locations
-      .filter(col("coordinates.latitude").isNotNull &&
-        col("coordinates.longitude").isNotNull)
+    // distance to the city center, computed once. NOTE: haversineMeters does
+    // NOT propagate null (its `least(1.0, …)` clamp ignores the null arm —
+    // Spark's least() skips nulls), so missing coordinates are tested
+    // explicitly wherever they matter.
+    val coordsMissing = col("coordinates.latitude").isNull ||
+      col("coordinates.longitude").isNull
+    val withCfg = locations
       .join(broadcast(cityCfg), "city")
       .withColumn("dist_m", haversineMeters(col("lat"), col("lon"),
         col("coordinates.latitude"), col("coordinates.longitude")))
-    // Phase decision: the reference counts RAW primary-radius results
-    // (`main.py:122`) — before freshness/sensor filters — and falls back to
-    // the country-wide 75 km scan when < 10. Driver-side `if` over one row
-    // per configured city (SURVEY §3.2), never data-sized.
-    val primaryCounts = located.filter(col("dist_m") <= col("radius_m"))
+    // Phase decision: the reference counts the RAW primary payload —
+    // `len(results)` at `main.py:119-122` — BEFORE any client-side guard
+    // (the coordinate guard + 75 km filter exist only inside the fallback,
+    // `main.py:136-143`). A null-coordinate station returned by the 25 km
+    // server scan therefore counts toward the ≥10 decision. Snapshot
+    // emulation: a row without coordinates cannot be distance-tested, so
+    // it COUNTS as part of the primary payload (the server that returned
+    // it knew its position; inherent divergence: a null-coordinate station
+    // actually outside the radius would not have been in the real payload,
+    // but a snapshot cannot tell). Driver-side `if` over one row per
+    // configured city (SURVEY §3.2), never data-sized.
+    val primaryCounts = withCfg
+      .filter(coordsMissing || col("dist_m") <= col("radius_m"))
       .groupBy("city").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val fallbackCities = cityCfg.select("city").collect().map(_.getString(0))
       .filter(c => primaryCounts.getOrElse(c, 0L) < MinPrimaryResults).toSet
     val isFallback = col("city").isin(fallbackCities.toSeq: _*)
-    val geo = located.filter(
-      when(isFallback, col("dist_m") <= FallbackRadiusM)
+    // F3 applies to the CANDIDATE set in both phases: inside the fallback
+    // it mirrors `main.py:136-139`; in the primary path the reference never
+    // re-checks coordinates, but a snapshot ingest needs them to rank by
+    // distance — the COUNT above, not the candidate set, mirrors the raw
+    // payload.
+    val geo = withCfg
+      .filter(!coordsMissing)
+      .filter(when(isFallback, col("dist_m") <= FallbackRadiusM)
         .otherwise(col("dist_m") <= col("radius_m")))
 
     // F1: candidate-stage freshness (`main.py:149`); missing/unparseable

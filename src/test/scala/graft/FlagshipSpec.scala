@@ -107,6 +107,32 @@ class FlagshipSpec extends SparkTestBase {
     assert(locs.size == 6)
   }
 
+  test("two-phase geo: null-coordinate station counts toward the primary payload") {
+    // The reference's fallback decision is `len(results)` of the RAW 25 km
+    // payload (`main.py:119-122`) — before the coordinate guard. 9 located
+    // stations + 1 null-coordinate station = 10 primary hits → primary
+    // path, so the 50 km station must NOT appear. (Counting after the
+    // guard would see 9 → fallback → Mid50 selected — the round-2 bug.)
+    val near = (1 to 9).map(i =>
+      mkLoc("T", 100L + i, s"Near$i", 0.01 * i, Seq(mkSensor(1000L + i, "pm25"))))
+    val noCoord = Location("T", 300L, Some("NoCoord"), None,
+      Some(Coordinates(None, Some(0.0))),
+      Some(DatetimeLast(Some(FreshTs), None)), Seq(mkSensor(3000L, "pm25")))
+    val mid = mkLoc("T", 200L, "Mid50", 0.45, Seq(mkSensor(2000L, "pm25")))
+    val meas = (1 to 9).map(i => mkMeas(100L + i, 1000L + i, "1.0")) ++
+      Seq(mkMeas(300L, 3000L, "2.0"), mkMeas(200L, 2000L, "9.9"))
+    val locs = runCity(near ++ Seq(noCoord, mid), meas)
+    assert(!locs.contains("Mid50"))  // 10 raw primary hits → no fallback
+    assert(!locs.contains("NoCoord")) // F3: never a candidate (no distance)
+    assert(locs.size == 9)
+    // control: without the null-coordinate station the payload is 9 → the
+    // 75 km fallback IS taken and Mid50 is selected
+    val ctrl = runCity(near :+ mid,
+      (1 to 9).map(i => mkMeas(100L + i, 1000L + i, "1.0")) :+
+        mkMeas(200L, 2000L, "9.9"))
+    assert(ctrl.contains("Mid50"))
+  }
+
   test("selection interleaving: station with only invalid rows forces a 4th") {
     val a = mkLoc("T", 1L, "A", 0.01, Seq(mkSensor(11, "pm25"),
       mkSensor(12, "pm10"), mkSensor(13, "o3"), mkSensor(14, "no2")))
