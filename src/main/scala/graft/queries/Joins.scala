@@ -55,6 +55,47 @@ object Joins {
           .orderBy("n_name", "s_name")
     },
 
+    // ── the production layout for the fact⋈fact join: both sides written
+    //    bucketed (+ sorted) by the join key into the warehouse, so the
+    //    sort-merge join reads buckets pairwise and the plan contains NO
+    //    exchange before the join — at 100 TB the dominant network cost of
+    //    lineitem⋈orders becomes pure local reads. The one-time bucketed
+    //    write is the query's setup stage (projected to the referenced
+    //    columns only); BucketingSpec asserts the shuffle-free plan, this
+    //    declared query proves the rows against the plain-join oracle. ─────
+    Q("q_bucketed_join",
+      """SELECT o_orderstatus, l_returnflag, count(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus, l_returnflag
+        |ORDER BY o_orderstatus, l_returnflag""".stripMargin) {
+      (s, d) =>
+        // per-sfDir table names: the warehouse dir persists across sessions
+        // (tests/Verify/Bench share a cwd) — never alias different SFs
+        val tag = java.lang.Integer.toHexString(d.hashCode)
+        val (li, ord) = (s"graft_li_bkt_$tag", s"graft_ord_bkt_$tag")
+        // the in-memory catalog forgets tables across sessions but their
+        // warehouse files survive — clear BOTH or the managed-table create
+        // fails with LOCATION_ALREADY_EXISTS on the next session
+        Seq(li, ord).foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          val p = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"), t)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+        lineitem(s, d).select("l_orderkey", "l_quantity", "l_returnflag")
+          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .mode("overwrite").saveAsTable(li)
+        orders(s, d).select("o_orderkey", "o_orderstatus")
+          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .mode("overwrite").saveAsTable(ord)
+        s.table(li).join(s.table(ord), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderstatus", "l_returnflag")
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+          .orderBy("o_orderstatus", "l_returnflag")
+    },
+
     // ── hot-key mitigation, declared + oracle-proven: the salted join is
     //    row-identical to the plain equi-join for ANY salt assignment, so
     //    plain SQL oracles the rewritten (salt-spread) physical plan ──────

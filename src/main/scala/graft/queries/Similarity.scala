@@ -62,6 +62,49 @@ object Similarity {
        |  FROM proj GROUP BY vec_id),
        |nb AS (SELECT n.vec_id, n.e, n.nrm, bk.bucket FROM n JOIN bk USING (vec_id))""".stripMargin
 
+  /** Shared DuckDB candidate stage of the embedding-dedup family
+    * (q_dedup_cosine / _clusters / _keep): signature CTEs + hamming-≤2
+    * bucket pairs + exact cosine verify at ≥ 0.4, ending in
+    * `cp(vec_a, vec_b, sim)`.
+    */
+  private val cosinePairsCte =
+    s"""$normsCte,
+       |$lshCte,
+       |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |        ${dotSqlIdx("a.e", "b.e")} AS dot, a.nrm AS na, b.nrm AS nb2
+       |      FROM nb a JOIN nb b
+       |        ON a.vec_id < b.vec_id
+       |       AND bit_count(xor(a.bucket, b.bucket)) <= $ProbeHamming),
+       |cp AS (SELECT vec_a, vec_b, dot / sqrt(na * nb2) AS sim FROM p
+       |       WHERE dot / sqrt(na * nb2) >= 0.4)""".stripMargin
+
+  /** Spark half of [[cosinePairsCte]] — the bounded near-dup pair generator
+    * shared by the whole embedding-dedup family. Side A explodes its 22
+    * hamming-≤2 probe masks (C(6,0)+C(6,1)+C(6,2) XOR masks) as SLIM
+    * (id, bucket) rows, the bucket equi-join finds each candidate pair
+    * exactly once (the matching mask is bucketA⊕bucketB, unique per pair —
+    * no distinct needed), vectors join back for candidates only, and the
+    * exact cosine filter verifies. Never an all-pairs join — the plan spec
+    * (SimilarityPlanSpec) pins BroadcastNestedLoopJoin out of the plan.
+    */
+  private def cosinePairs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val nb = withBuckets(s, d).cache() // probe side + both vector join-backs
+    val masks = (0 until (1 << LshBits)).filter(Integer.bitCount(_) <= ProbeHamming)
+    val probes = nb.select(col("vec_id").as("vec_a"),
+      explode(array(masks.map(m =>
+        col("bucket").bitwiseXOR(lit(m.toLong))): _*)).as("pb"))
+    val bSide = nb.select(col("vec_id").as("vec_b"), col("e").as("eb"),
+      col("nrm").as("nb"), col("bucket").as("pb"))
+    val aVec = nb.select(col("vec_id").as("vec_a"), col("e").as("ea"),
+      col("nrm").as("na"))
+    val sim = dotProduct(col("ea"), col("eb")) / sqrt(col("na") * col("nb"))
+    probes.join(bSide, Seq("pb"))
+      .filter(col("vec_a") < col("vec_b"))
+      .join(aVec, Seq("vec_a"))
+      .filter(sim >= 0.4)
+      .select(col("vec_a"), col("vec_b"), sim.as("sim"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // ── brute-force cosine top-3 for each query vector ──────────────────
@@ -268,32 +311,64 @@ object Similarity {
     // semantics = "near-dup pairs within probe radius", which the oracle
     // mirrors with the identical signature CTEs + bit_count(xor()) ≤ 2.
     Q("q_dedup_cosine",
-      s"""WITH $normsCte,
-         |$lshCte,
-         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |        ${dotSqlIdx("a.e", "b.e")} AS dot, a.nrm AS na, b.nrm AS nb2
-         |      FROM nb a JOIN nb b
-         |        ON a.vec_id < b.vec_id
-         |       AND bit_count(xor(a.bucket, b.bucket)) <= $ProbeHamming)
-         |SELECT vec_a, vec_b, dot / sqrt(na * nb2) AS sim FROM p
-         |WHERE dot / sqrt(na * nb2) >= 0.4 ORDER BY vec_a, vec_b""".stripMargin) {
+      s"""WITH $cosinePairsCte
+         |SELECT vec_a, vec_b, sim FROM cp ORDER BY vec_a, vec_b""".stripMargin) {
+      (s, d) => cosinePairs(s, d).orderBy("vec_a", "vec_b")
+    },
+
+    // ── embedding-dedup clustering: connected components over the cosine
+    //    candidate-pair graph — the same closure the MinHash family gets
+    //    from q_dedup_clusters, so the embedding path is a full dedup
+    //    pipeline (pairs → clusters → canonical corpus), not just a pair
+    //    generator. Components via graft.ops.ConnectedComponents (bounded
+    //    driver union-find under the edge limit, distributed min-label +
+    //    pointer doubling above it); the oracle computes the identical
+    //    components with a recursive CTE over the shared pairs CTE. ────────
+    Q("q_dedup_cosine_clusters",
+      s"""WITH RECURSIVE $cosinePairsCte,
+         |edges AS (SELECT vec_a AS u, vec_b AS v FROM cp
+         |          UNION SELECT vec_b, vec_a FROM cp),
+         |nodes AS (SELECT DISTINCT u AS node FROM edges),
+         |reach(node, lbl) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v)
+         |SELECT node AS vec_id, min(lbl) AS component
+         |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin) {
       (s, d) =>
-        val nb = withBuckets(s, d).cache() // probe side + both vector join-backs
-        val masks = (0 until (1 << LshBits)).filter(Integer.bitCount(_) <= ProbeHamming)
-        val probes = nb.select(col("vec_id").as("vec_a"),
-          explode(array(masks.map(m =>
-            col("bucket").bitwiseXOR(lit(m.toLong))): _*)).as("pb"))
-        val bSide = nb.select(col("vec_id").as("vec_b"), col("e").as("eb"),
-          col("nrm").as("nb"), col("bucket").as("pb"))
-        val aVec = nb.select(col("vec_id").as("vec_a"), col("e").as("ea"),
-          col("nrm").as("na"))
-        val sim = dotProduct(col("ea"), col("eb")) / sqrt(col("na") * col("nb"))
-        probes.join(bSide, Seq("pb"))
-          .filter(col("vec_a") < col("vec_b"))
-          .join(aVec, Seq("vec_a"))
-          .filter(sim >= 0.4)
-          .select(col("vec_a"), col("vec_b"), sim.as("sim"))
-          .orderBy("vec_a", "vec_b")
+        graft.ops.ConnectedComponents.components(
+          cosinePairs(s, d).select(col("vec_a").as("a"), col("vec_b").as("b")))
+          .select(col("node").as("vec_id"), col("component"))
+          .orderBy("vec_id")
+    },
+
+    // ── the embedding-dedup end product: the deduplicated vector corpus —
+    //    each cosine cluster keeps its canonical (min-id) member, all
+    //    unclustered vectors pass through; an anti-join against the
+    //    non-canonical members, mirroring q_dedup_keep ─────────────────────
+    Q("q_dedup_cosine_keep",
+      s"""WITH RECURSIVE $cosinePairsCte,
+         |edges AS (SELECT vec_a AS u, vec_b AS v FROM cp
+         |          UNION SELECT vec_b, vec_a FROM cp),
+         |nodes AS (SELECT DISTINCT u AS node FROM edges),
+         |reach(node, lbl) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v),
+         |comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+         |SELECT vec_id FROM embeddings
+         |WHERE vec_id NOT IN (SELECT node FROM comp WHERE node <> component)
+         |ORDER BY vec_id""".stripMargin) {
+      (s, d) =>
+        val dupes = graft.ops.ConnectedComponents.components(
+          cosinePairs(s, d).select(col("vec_a").as("a"), col("vec_b").as("b")))
+          .filter(col("node") =!= col("component"))
+          .select(col("node").as("vec_id"))
+        // no broadcast hint: the duplicate set scales with the corpus's
+        // duplication rate — let AQE pick broadcast vs shuffle anti-join
+        embeddings(s, d).select("vec_id")
+          .join(dupes, Seq("vec_id"), "left_anti")
+          .orderBy("vec_id")
     }
   )
 

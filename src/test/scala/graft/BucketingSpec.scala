@@ -57,4 +57,33 @@ class BucketingSpec extends SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS ord_b")
   }
+
+  test("declared q_bucketed_join joins shuffle-free and matches the plain join") {
+    val df = SparkEntry.queries("q_bucketed_join")(spark, sfDir)
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+
+    // rows match the plain (unbucketed) formulation
+    val want = graft.model.Tables.lineitem(spark, sfDir)
+      .join(graft.model.Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus", "l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy("o_orderstatus", "l_returnflag")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.sameElements(want))
+
+    // and the executed plan has NO exchange feeding the join — the only
+    // shuffles allowed are the post-join aggregation/sort on o_orderstatus
+    val plan = df.queryExecution.executedPlan
+    def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Seq[ShuffleExchangeExec] =
+      p.collect { case s: ShuffleExchangeExec => s } ++
+        p.subqueries.flatMap(shuffles)
+    val joinShuffles = shuffles(plan).filterNot(
+      _.outputPartitioning.toString.contains("o_orderstatus"))
+    assert(joinShuffles.isEmpty,
+      s"expected shuffle-free bucketed join, found: $joinShuffles")
+  }
 }
