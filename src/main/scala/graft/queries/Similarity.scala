@@ -125,20 +125,7 @@ object Similarity {
          |      FROM s)
          |SELECT qid, rk, cid, sim FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin) {
       (s, d) =>
-        val n = withNorms(s, d)
-        val q = n.filter(col("vec_id") < TopKQueries)
-          .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
-        val c = n.select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
-        val sim = (dotProduct(col("qe"), col("ce")) /
-          sqrt(col("qn") * col("cn"))).as("sim")
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("qid").orderBy(col("sim").desc, col("cid"))
-        broadcast(q).join(c, col("cid") =!= col("qid"))
-          .select(col("qid"), col("cid"), sim)
-          .withColumn("rk", row_number().over(w).cast("long"))
-          .filter(col("rk") <= 3)
-          .select("qid", "rk", "cid", "sim")
-          .orderBy("qid", "rk")
+        exactRanked(s, d, col("vec_id") < TopKQueries).orderBy("qid", "rk")
     },
 
     // ── LSH-bucketed ANN: random-hyperplane signs → bucket equi-join ────
@@ -159,24 +146,7 @@ object Similarity {
          |      FROM s)
          |SELECT qid, rk, cid, bucket, sim FROM r WHERE rk <= 3
          |ORDER BY qid, rk""".stripMargin) {
-      (s, d) =>
-        val nb = withBuckets(s, d)
-        val q = nb.filter(col("vec_id") % 25 === 0)
-          .select(col("vec_id").as("qid"), col("e").as("qe"),
-            col("nrm").as("qn"), col("bucket"))
-        val c = nb.select(col("vec_id").as("cid"), col("e").as("ce"),
-          col("nrm").as("cn"), col("bucket"))
-        val sim = (dotProduct(col("qe"), col("ce")) /
-          sqrt(col("qn") * col("cn"))).as("sim")
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("qid").orderBy(col("sim").desc, col("cid"))
-        broadcast(q).join(c, Seq("bucket"))
-          .filter(col("cid") =!= col("qid"))
-          .select(col("qid"), col("cid"), col("bucket"), sim)
-          .withColumn("rk", row_number().over(w).cast("long"))
-          .filter(col("rk") <= 3)
-          .select("qid", "rk", "cid", "bucket", "sim")
-          .orderBy("qid", "rk")
+      (s, d) => lshRanked(s, d).orderBy("qid", "rk")
     },
 
     // ── multi-probe LSH: probe the query's bucket AND every bucket one
@@ -202,28 +172,7 @@ object Similarity {
          |      FROM s)
          |SELECT qid, rk, cid, sim FROM r WHERE rk <= 3
          |ORDER BY qid, rk""".stripMargin) {
-      (s, d) =>
-        val nb = withBuckets(s, d)
-        val probeSet = array(
-          col("bucket") +: (0 until LshBits).map(b =>
-            col("bucket").bitwiseXOR(lit(1L << b))): _*)
-        val q = nb.filter(col("vec_id") % 25 === 0)
-          .select(col("vec_id").as("qid"), col("e").as("qe"),
-            col("nrm").as("qn"), explode(probeSet).as("bucket"))
-        val c = nb.select(col("vec_id").as("cid"), col("e").as("ce"),
-          col("nrm").as("cn"), col("bucket"))
-        val sim = (dotProduct(col("qe"), col("ce")) /
-          sqrt(col("qn") * col("cn"))).as("sim")
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("qid").orderBy(col("sim").desc, col("cid"))
-        broadcast(q).join(c, Seq("bucket"))
-          .filter(col("cid") =!= col("qid"))
-          .select(col("qid"), col("cid"), sim)
-          .distinct() // a candidate reachable via several probes ranks once
-          .withColumn("rk", row_number().over(w).cast("long"))
-          .filter(col("rk") <= 3)
-          .select("qid", "rk", "cid", "sim")
-          .orderBy("qid", "rk")
+      (s, d) => multiprobeRanked(s, d).orderBy("qid", "rk")
     },
 
     // ── IVF-style ANN: coarse quantizer → inverted cell lists → nprobe=4 ─
@@ -258,44 +207,7 @@ object Similarity {
          |          ORDER BY sim DESC, cid) AS BIGINT) AS rk
          |      FROM cand)
          |SELECT qid, rk, cid, sim FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin) {
-      (s, d) =>
-        val n = withNorms(s, d).cache() // assignment + two vector join-backs
-        val cent = n.filter(col("vec_id") % 31 === 1)
-          .select(col("vec_id").as("ccid"), col("e").as("ce"), col("nrm").as("cn"))
-        val csim = (dotProduct(col("e"), col("ce")) /
-          sqrt(col("nrm") * col("cn"))).as("csim")
-        val wAssign = org.apache.spark.sql.expressions.Window
-          .partitionBy("vec_id").orderBy(col("csim").desc, col("ccid"))
-        // Rank on SLIM rows: csim is computed map-side, the vectors are
-        // projected away before the window shuffle (24 bytes/row instead of
-        // ~520 with the embedding), and joined back only for the ranked
-        // survivors. The window shuffle is the widest stage of the query —
-        // at scale this is the difference between shuffling ids and
-        // shuffling the entire vector corpus nlist times.
-        val assign = n.crossJoin(broadcast(cent))
-          .select(col("vec_id"), col("ccid"), csim)
-          .withColumn("crk", row_number().over(wAssign))
-          .filter(col("crk") <= 4)
-          .select("vec_id", "ccid", "crk")
-          .cache() // inverted lists + query probes read it once each
-        val inv = assign.filter(col("crk") === 1).join(n, "vec_id")
-          .select(col("vec_id").as("cid"), col("ccid").as("cell"),
-            col("e").as("ce2"), col("nrm").as("cn2"))
-        val qp = assign.filter(col("crk") <= 4 && col("vec_id") % 25 === 0)
-          .join(n, "vec_id")
-          .select(col("vec_id").as("qid"), col("ccid").as("cell"),
-            col("e").as("qe"), col("nrm").as("qn"))
-        val sim = (dotProduct(col("qe"), col("ce2")) /
-          sqrt(col("qn") * col("cn2"))).as("sim")
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("qid").orderBy(col("sim").desc, col("cid"))
-        broadcast(qp).join(inv, Seq("cell"))
-          .filter(col("cid") =!= col("qid"))
-          .select(col("qid"), col("cid"), sim)
-          .withColumn("rk", row_number().over(w).cast("long"))
-          .filter(col("rk") <= 3)
-          .select("qid", "rk", "cid", "sim")
-          .orderBy("qid", "rk")
+      (s, d) => ivfRanked(s, d).orderBy("qid", "rk")
     },
 
     // ── embedding-cosine near-duplicate pairs (dedup flavor) ────────────
