@@ -34,15 +34,22 @@ object Tables {
     val ss = df.sparkSession
     val target = ss.sparkContext.defaultParallelism
     // Plan-side probe — no RDD materialization (df.rdd would build the
-    // physical RDD lineage on the driver per call): the optimizer's size
-    // estimate over the split bound caps how many file splits the scan can
-    // offer. ≤ 2 × maxPartitionBytes ⇒ at most ~2 splits ⇒ redistribute.
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val splitBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-      ss.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
-    if (target > 2 && bytes <= BigInt(2L) * BigInt(splitBytes))
-      df.repartition(target)
-    else df
+    // physical RDD lineage on the driver per call). File COUNT, not byte
+    // size, is what caps effective scan parallelism here: parquet work
+    // parallelizes at row-group boundaries, and a single-file table (the
+    // testdata shape) is typically a single row group no matter how large —
+    // byte-based split math over it yields splits that do no work. Many
+    // small files, conversely, already scan in parallel and need no shuffle.
+    val fileCounts = df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.inputFiles.length
+          case _ => Int.MaxValue // non-file relation: assume it parallelizes
+        }
+    }
+    val minFiles = if (fileCounts.isEmpty) Int.MaxValue else fileCounts.min
+    if (target > 2 && minFiles <= 2) df.repartition(target) else df
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")

@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.model.Tables._
 import graft.ops.Exprs._
@@ -305,5 +307,101 @@ object Similarity {
         lit(1L << b)).otherwise(0L))
       .reduce(_ + _)
     withNorms(s, d).withColumn("bucket", bucketExpr.cast("long"))
+  }
+
+  private val rankW = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+
+  /** Brute-force cosine top-3 over the `qPred` query subset: broadcast the
+    * (bounded) query side, stream candidates, rank per-qid. O(Q·N) — the
+    * exact baseline the ANN variants are measured against (q_ann_recall).
+    */
+  private[queries] def exactRanked(s: SparkSession, d: String, qPred: Column): DataFrame = {
+    val n = withNorms(s, d)
+    val q = n.filter(qPred)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+    val c = n.select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
+    val sim = (dotProduct(col("qe"), col("ce")) /
+      sqrt(col("qn") * col("cn"))).as("sim")
+    broadcast(q).join(c, col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"), sim)
+      .withColumn("rk", row_number().over(rankW).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("qid", "rk", "cid", "sim")
+  }
+
+  /** Single-bucket LSH ANN: candidates via the sign-bucket equi-join only. */
+  private[queries] def lshRanked(s: SparkSession, d: String): DataFrame = {
+    val nb = withBuckets(s, d)
+    val q = nb.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("e").as("qe"),
+        col("nrm").as("qn"), col("bucket"))
+    val c = nb.select(col("vec_id").as("cid"), col("e").as("ce"),
+      col("nrm").as("cn"), col("bucket"))
+    val sim = (dotProduct(col("qe"), col("ce")) /
+      sqrt(col("qn") * col("cn"))).as("sim")
+    broadcast(q).join(c, Seq("bucket"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"), col("bucket"), sim)
+      .withColumn("rk", row_number().over(rankW).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("qid", "rk", "cid", "bucket", "sim")
+  }
+
+  /** Multi-probe LSH ANN: each query explodes its bucket plus the 6
+    * one-bit-flip neighbors; the candidate join stays a pure equi-join.
+    */
+  private[queries] def multiprobeRanked(s: SparkSession, d: String): DataFrame = {
+    val nb = withBuckets(s, d)
+    val probeSet = array(
+      col("bucket") +: (0 until LshBits).map(b =>
+        col("bucket").bitwiseXOR(lit(1L << b))): _*)
+    val q = nb.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("e").as("qe"),
+        col("nrm").as("qn"), explode(probeSet).as("bucket"))
+    val c = nb.select(col("vec_id").as("cid"), col("e").as("ce"),
+      col("nrm").as("cn"), col("bucket"))
+    val sim = (dotProduct(col("qe"), col("ce")) /
+      sqrt(col("qn") * col("cn"))).as("sim")
+    broadcast(q).join(c, Seq("bucket"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"), sim)
+      .distinct() // a candidate reachable via several probes ranks once
+      .withColumn("rk", row_number().over(rankW).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("qid", "rk", "cid", "sim")
+  }
+
+  /** IVF ANN: broadcast-centroid assignment on SLIM (id, cell, csim) rows —
+    * the window shuffle moves 24 B/row, not the vectors — then an equi-join
+    * on cell id between the nprobe=4 query probes and the inverted lists.
+    */
+  private[queries] def ivfRanked(s: SparkSession, d: String): DataFrame = {
+    val n = withNorms(s, d).cache() // assignment + two vector join-backs
+    val cent = n.filter(col("vec_id") % 31 === 1)
+      .select(col("vec_id").as("ccid"), col("e").as("ce"), col("nrm").as("cn"))
+    val csim = (dotProduct(col("e"), col("ce")) /
+      sqrt(col("nrm") * col("cn"))).as("csim")
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("ccid"))
+    val assign = n.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("ccid"), csim)
+      .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") <= 4)
+      .select("vec_id", "ccid", "crk")
+      .cache() // inverted lists + query probes read it once each
+    val inv = assign.filter(col("crk") === 1).join(n, "vec_id")
+      .select(col("vec_id").as("cid"), col("ccid").as("cell"),
+        col("e").as("ce2"), col("nrm").as("cn2"))
+    val qp = assign.filter(col("crk") <= 4 && col("vec_id") % 25 === 0)
+      .join(n, "vec_id")
+      .select(col("vec_id").as("qid"), col("ccid").as("cell"),
+        col("e").as("qe"), col("nrm").as("qn"))
+    val sim = (dotProduct(col("qe"), col("ce2")) /
+      sqrt(col("qn") * col("cn2"))).as("sim")
+    broadcast(qp).join(inv, Seq("cell"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"), sim)
+      .withColumn("rk", row_number().over(rankW).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("qid", "rk", "cid", "sim")
   }
 }

@@ -1,7 +1,10 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
 
 /** Co-located fact⋈fact joins via bucketing — the production layout for the
   * engine's one shuffle-heavy join (lineitem⋈orders on orderkey). Writing
@@ -12,11 +15,68 @@ import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
   */
 class BucketingSpec extends SparkTestBase {
 
-  test("bucketed lineitem ⋈ orders plans without a shuffle exchange") {
+  // AQE's executedPlan root is AdaptiveSparkPlanExec — a LeafExecNode, so
+  // collect{} on it sees nothing. Execute first, then unwrap to the real tree.
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): SparkPlan = {
+    df.count() // force AQE to finalize
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  // Once the frame has EXECUTED, AQE's final plan wraps each shuffle stage
+  // in a QueryStageExec LEAF — plain collect{} stops there and everything
+  // below an exchange (the join included) goes invisible. Recurse into
+  // stages and reused exchanges explicitly.
+  private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] =
+    p.collect(pf) ++
+      p.collect { case q: QueryStageExec => collectAll(q.plan)(pf) }.flatten ++
+      p.collect { case r: ReusedExchangeExec => collectAll(r.child)(pf) }.flatten ++
+      p.subqueries.flatMap(collectAll(_)(pf))
+
+  /** Shuffles not attributable to the post-join o_orderstatus aggregation,
+    * plus a non-vacuity witness: the sort-merge join must actually be in the
+    * traversed tree, or the empty-shuffle assertion proves nothing.
+    */
+  private def auditBucketedPlan(plan: SparkPlan): (Seq[ShuffleExchangeExec], Seq[SortMergeJoinExec]) = {
+    val joinShuffles = collectAll(plan) { case s: ShuffleExchangeExec => s }
+      .filterNot(_.outputPartitioning.toString.contains("o_orderstatus"))
+    val smj = collectAll(plan) { case j: SortMergeJoinExec => j }
+    (joinShuffles, smj)
+  }
+
+  /** At test SF the tables are tiny, so AQE would swap the SMJ for a
+    * broadcast join and the bucketed-layout claim would go untested; pin
+    * broadcast off so the spec exercises the path that matters at scale.
+    */
+  private def withNoBroadcast[T](body: => T): T = {
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(spark.conf.set(_, "-1"))
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  /** The in-memory catalog forgets tables across sessions but their
+    * warehouse directories survive — drop BOTH or the managed-table create
+    * fails with LOCATION_ALREADY_EXISTS on the next run.
+    */
+  private def dropHard(names: String*): Unit = names.foreach { t =>
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val p = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), t)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  test("bucketed lineitem ⋈ orders plans without a shuffle exchange") { withNoBroadcast {
     // warehouse.dir is a static conf — the shared test session's default
     // (spark-warehouse under the sbt cwd) is fine; just make the tables fresh
-    spark.sql("DROP TABLE IF EXISTS li_b")
-    spark.sql("DROP TABLE IF EXISTS ord_b")
+    dropHard("li_b", "ord_b")
 
     graft.model.Tables.lineitem(spark, sfDir)
       .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
@@ -42,23 +102,15 @@ class BucketingSpec extends SparkTestBase {
 
     // ...but the bucketed join's plan has no shuffle before the join (the
     // only exchange allowed is the one for the final single-key groupBy).
-    joined.count() // force AQE to finalize the plan
-    val plan = joined.queryExecution.executedPlan
-    def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Seq[ShuffleExchangeExec] =
-      p.collect { case s: ShuffleExchangeExec => s } ++
-        p.subqueries.flatMap(shuffles)
-    val joinShuffles = shuffles(plan).filterNot { s =>
-      // the post-join aggregation exchange partitions by o_orderstatus
-      s.outputPartitioning.toString.contains("o_orderstatus")
-    }
+    val (joinShuffles, smj) = auditBucketedPlan(finalPlan(joined))
+    assert(smj.nonEmpty, "no SortMergeJoin in plan — traversal is vacuous")
     assert(joinShuffles.isEmpty,
       s"expected shuffle-free bucketed join, found: $joinShuffles")
 
-    spark.sql("DROP TABLE IF EXISTS li_b")
-    spark.sql("DROP TABLE IF EXISTS ord_b")
-  }
+    dropHard("li_b", "ord_b")
+  } }
 
-  test("declared q_bucketed_join joins shuffle-free and matches the plain join") {
+  test("declared q_bucketed_join joins shuffle-free and matches the plain join") { withNoBroadcast {
     val df = SparkEntry.queries("q_bucketed_join")(spark, sfDir)
     val got = df.collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
@@ -77,13 +129,9 @@ class BucketingSpec extends SparkTestBase {
 
     // and the executed plan has NO exchange feeding the join — the only
     // shuffles allowed are the post-join aggregation/sort on o_orderstatus
-    val plan = df.queryExecution.executedPlan
-    def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Seq[ShuffleExchangeExec] =
-      p.collect { case s: ShuffleExchangeExec => s } ++
-        p.subqueries.flatMap(shuffles)
-    val joinShuffles = shuffles(plan).filterNot(
-      _.outputPartitioning.toString.contains("o_orderstatus"))
+    val (joinShuffles, smj) = auditBucketedPlan(finalPlan(df))
+    assert(smj.nonEmpty, "no SortMergeJoin in plan — traversal is vacuous")
     assert(joinShuffles.isEmpty,
       s"expected shuffle-free bucketed join, found: $joinShuffles")
-  }
+  } }
 }

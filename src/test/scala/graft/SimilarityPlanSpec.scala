@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
 
 /** Scale guard for the embedding-dedup family: candidate generation must be
@@ -13,15 +14,22 @@ import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJo
 class SimilarityPlanSpec extends SparkTestBase {
 
   private def finalPlan(df: org.apache.spark.sql.DataFrame): SparkPlan = {
-    df.count() // force AQE to finalize
+    df.count() // warm: count() plans a sibling QueryExecution, so the
+    // inspected plan below is the INITIAL adaptive plan — the full Catalyst
+    // tree, before stage wrapping — which is exactly what we want to audit
     df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }
   }
 
+  // Robust under both un-executed (full-tree) and executed (stage-wrapped)
+  // adaptive plans: QueryStageExec is a LEAF — recurse into it explicitly.
   private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] =
-    p.collect(pf) ++ p.subqueries.flatMap(collectAll(_)(pf))
+    p.collect(pf) ++
+      p.collect { case q: QueryStageExec => collectAll(q.plan)(pf) }.flatten ++
+      p.collect { case r: ReusedExchangeExec => collectAll(r.child)(pf) }.flatten ++
+      p.subqueries.flatMap(collectAll(_)(pf))
 
   test("q_dedup_cosine candidates come from a bucket equi-join, not all-pairs") {
     val plan = finalPlan(SparkEntry.queries("q_dedup_cosine")(spark, sfDir))
