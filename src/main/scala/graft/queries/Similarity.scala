@@ -212,6 +212,94 @@ object Similarity {
       (s, d) => ivfRanked(s, d).orderBy("qid", "rk")
     },
 
+    // ── ANN quality as a declared, hash-checked number: recall@3 of each
+    //    approximate variant (single-bucket LSH, multi-probe LSH, IVF)
+    //    against the exact brute-force top-3 over the SAME query set
+    //    (vec_id % 25 = 0). Counts are exact integers and the recall is a
+    //    single integer division — no order-dependent float accumulation,
+    //    so the result hash-matches bit-for-bit. ──────────────────────────
+    Q("q_ann_recall",
+      s"""WITH $normsCte,
+         |$lshCte,
+         |q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn, bucket FROM nb
+         |      WHERE vec_id % 25 = 0),
+         |xp AS (SELECT qid, c.vec_id AS cid,
+         |        ${dotSqlIdx("qe", "c.e")} AS dot, qn, c.nrm AS cn
+         |      FROM q JOIN n c ON c.vec_id <> qid),
+         |xr AS (SELECT qid, cid,
+         |        row_number() OVER (PARTITION BY qid
+         |          ORDER BY dot / sqrt(qn * cn) DESC, cid) AS rk
+         |      FROM xp),
+         |ex AS (SELECT qid, cid FROM xr WHERE rk <= 3),
+         |exn AS (SELECT count(*) AS n_expected FROM ex),
+         |lp AS (SELECT qid, c.vec_id AS cid,
+         |        ${dotSqlIdx("qe", "c.e")} AS dot, qn, c.nrm AS cn
+         |      FROM q JOIN nb c ON c.bucket = q.bucket AND c.vec_id <> qid),
+         |lr AS (SELECT qid, cid,
+         |        row_number() OVER (PARTITION BY qid
+         |          ORDER BY dot / sqrt(qn * cn) DESC, cid) AS rk
+         |      FROM lp),
+         |l3 AS (SELECT qid, cid FROM lr WHERE rk <= 3),
+         |probes AS (SELECT qid, qe, qn,
+         |    unnest([bucket${(0 until LshBits).map(b => s", xor(bucket, ${1L << b})").mkString}]) AS bucket
+         |  FROM q),
+         |mp AS (SELECT qid, c.vec_id AS cid,
+         |        ${dotSqlIdx("qe", "c.e")} AS dot, qn, c.nrm AS cn
+         |      FROM probes JOIN nb c USING (bucket) WHERE c.vec_id <> qid),
+         |ms AS (SELECT DISTINCT qid, cid, dot / sqrt(qn * cn) AS sim FROM mp),
+         |mr AS (SELECT qid, cid,
+         |        row_number() OVER (PARTITION BY qid
+         |          ORDER BY sim DESC, cid) AS rk
+         |      FROM ms),
+         |m3 AS (SELECT qid, cid FROM mr WHERE rk <= 3),
+         |cent AS (SELECT vec_id AS ccid, e AS ce, nrm AS cn FROM n
+         |         WHERE vec_id % 31 = 1),
+         |asg AS (SELECT n.vec_id, cent.ccid,
+         |        ${dotSqlIdx("n.e", "cent.ce")} / sqrt(n.nrm * cent.cn) AS csim
+         |      FROM n CROSS JOIN cent),
+         |rkd AS (SELECT vec_id, ccid,
+         |        row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY csim DESC, ccid) AS crk
+         |      FROM asg),
+         |inv AS (SELECT r.vec_id AS cid, r.ccid AS cell, n.e AS ce2, n.nrm AS cn2
+         |      FROM rkd r JOIN n ON n.vec_id = r.vec_id WHERE r.crk = 1),
+         |qp AS (SELECT r.vec_id AS qid, r.ccid AS cell, n.e AS qe, n.nrm AS qn
+         |      FROM rkd r JOIN n ON n.vec_id = r.vec_id
+         |      WHERE r.crk <= 4 AND r.vec_id % 25 = 0),
+         |cand AS (SELECT qid, cid,
+         |        ${dotSqlIdx("qe", "ce2")} / sqrt(qn * cn2) AS sim
+         |      FROM qp JOIN inv USING (cell) WHERE cid <> qid),
+         |ir AS (SELECT qid, cid,
+         |        row_number() OVER (PARTITION BY qid
+         |          ORDER BY sim DESC, cid) AS rk
+         |      FROM cand),
+         |i3 AS (SELECT qid, cid FROM ir WHERE rk <= 3),
+         |res AS (
+         |  SELECT 'ivf' AS method,
+         |    (SELECT count(*) FROM i3 JOIN ex USING (qid, cid)) AS n_hits
+         |  UNION ALL SELECT 'lsh',
+         |    (SELECT count(*) FROM l3 JOIN ex USING (qid, cid))
+         |  UNION ALL SELECT 'multiprobe',
+         |    (SELECT count(*) FROM m3 JOIN ex USING (qid, cid)))
+         |SELECT method, n_hits, n_expected,
+         |  n_hits::DOUBLE / n_expected AS recall
+         |FROM res CROSS JOIN exn ORDER BY method""".stripMargin) {
+      (s, d) =>
+        val ex = exactRanked(s, d, col("vec_id") % 25 === 0)
+          .select("qid", "cid").cache() // probed by all three variants
+        val exN = ex.agg(count(lit(1)).as("n_expected"))
+        def recallRow(m: String, approx: DataFrame) =
+          approx.select("qid", "cid").join(ex, Seq("qid", "cid"))
+            .agg(count(lit(1)).as("n_hits"))
+            .crossJoin(exN)
+            .select(lit(m).as("method"), col("n_hits"), col("n_expected"),
+              (col("n_hits").cast("double") / col("n_expected")).as("recall"))
+        recallRow("ivf", ivfRanked(s, d))
+          .unionByName(recallRow("lsh", lshRanked(s, d)))
+          .unionByName(recallRow("multiprobe", multiprobeRanked(s, d)))
+          .orderBy("method")
+    },
+
     // ── embedding-cosine near-duplicate pairs (dedup flavor) ────────────
     // Candidate generation is the SAME hyperplane signature stage as
     // q_ann_lsh, self-joined with a hamming-≤2 probe radius: side A
