@@ -100,15 +100,20 @@ object AirQuality {
     val fallbackCities = cityCfg.select("city").collect().map(_.getString(0))
       .filter(c => primaryCounts.getOrElse(c, 0L) < MinPrimaryResults).toSet
     val isFallback = col("city").isin(fallbackCities.toSeq: _*)
-    // F3 applies to the CANDIDATE set in both phases: inside the fallback
-    // it mirrors `main.py:136-139`; in the primary path the reference never
-    // re-checks coordinates, but a snapshot ingest needs them to rank by
-    // distance — the COUNT above, not the candidate set, mirrors the raw
-    // payload.
+    // F3 is a FALLBACK-ONLY guard, exactly as in the reference: the
+    // client-side coordinate check + 75 km filter exist only inside the
+    // fallback scan (`main.py:136-143`), while `_valid_active_location`
+    // (`main.py:89-97`) never looks at coordinates — so a null-coordinate
+    // station in the primary payload is a full candidate there (primary
+    // ranking breaks ties by payload order, not distance, so no distance is
+    // ever needed for it). One assumption, applied consistently with the
+    // count above: a null-coordinate row is treated as part of the 25 km
+    // payload because the server that returned it knew its position; a
+    // snapshot cannot re-test that.
     val geo = withCfg
-      .filter(!coordsMissing)
-      .filter(when(isFallback, col("dist_m") <= FallbackRadiusM)
-        .otherwise(col("dist_m") <= col("radius_m")))
+      .filter(when(isFallback,
+          !coordsMissing && col("dist_m") <= FallbackRadiusM)
+        .otherwise(coordsMissing || col("dist_m") <= col("radius_m")))
 
     // F1: candidate-stage freshness (`main.py:149`); missing/unparseable
     // last-seen DROPPED (null >= x is null → filtered)

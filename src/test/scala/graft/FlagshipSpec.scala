@@ -123,8 +123,12 @@ class FlagshipSpec extends SparkTestBase {
       Seq(mkMeas(300L, 3000L, "2.0"), mkMeas(200L, 2000L, "9.9"))
     val locs = runCity(near ++ Seq(noCoord, mid), meas)
     assert(!locs.contains("Mid50"))  // 10 raw primary hits → no fallback
-    assert(!locs.contains("NoCoord")) // F3: never a candidate (no distance)
-    assert(locs.size == 9)
+    // and in the PRIMARY path the station is a full candidate — the
+    // reference's _valid_active_location (main.py:89-97) never checks
+    // coordinates, and primary ranking needs no distance (payload-order
+    // ties); the coordinate guard exists only inside the fallback scan
+    assert(locs.contains("NoCoord"))
+    assert(locs.size == 10)
     // control: without the null-coordinate station the payload is 9 → the
     // 75 km fallback IS taken and Mid50 is selected
     val ctrl = runCity(near :+ mid,
