@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.model.Tables._
+import graft.ops.Exprs._
+
+/** Training-corpus curation operators beyond dedup: benchmark
+  * decontamination and deterministic stratified sampling. Both follow the
+  * engine's reproducibility rule (SURVEY §5.3): selection is a stable hash
+  * of the id, never random(), so results are identical across engines,
+  * runs, and cluster sizes.
+  */
+object Curation {
+
+  val all: Seq[Q] = Seq(
+
+    // ── benchmark decontamination: flag test-split documents whose word
+    //    3-gram shingles overlap the train split. The standard pre-training
+    //    hygiene pass: a test doc with ≥80% of its distinct shingles present
+    //    anywhere in train is contaminated (leaked) and must be dropped
+    //    from evaluation. Scale: shingle explode → per-doc distinct →
+    //    semi-join on the shingle hash (shuffle bounded by distinct
+    //    shingles, with partial aggregation before it) → slim count agg.
+    //    The train side collapses to DISTINCT hashes only — membership is
+    //    all the check needs (the exact-set analog of the bloom filter a
+    //    100 TB deployment would swap in). Threshold compares integers
+    //    (n_hit*5 >= n_sh*4), not a float ratio. ──────────────────────────
+    Q("q_decontaminate",
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+        |sh AS (SELECT doc_id,
+        |    CASE WHEN len(ts) >= 3
+        |         THEN list_transform(range(1, len(ts)-1),
+        |                             i -> array_to_string(ts[i:i+2], ' '))
+        |         ELSE [array_to_string(ts, ' ')] END AS shingles
+        |  FROM tok),
+        |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |hv AS (SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(s), 1, 15))::BIGINT AS hv FROM e),
+        |bk AS (SELECT doc_id,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bkt
+        |  FROM documents),
+        |tr AS (SELECT DISTINCT hv FROM hv JOIN bk USING (doc_id) WHERE bkt < 80),
+        |te AS (SELECT hv.doc_id, hv.hv FROM hv JOIN bk USING (doc_id) WHERE bkt >= 90),
+        |tot AS (SELECT doc_id, count(*) AS n_sh FROM te GROUP BY doc_id),
+        |hit AS (SELECT doc_id, count(*) AS n_hit FROM te
+        |        WHERE hv IN (SELECT hv FROM tr) GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_sh, coalesce(h.n_hit, 0) AS n_hit,
+        |  coalesce(h.n_hit, 0)::DOUBLE / t.n_sh AS ratio,
+        |  coalesce(h.n_hit, 0) * 5 >= t.n_sh * 4 AS contaminated
+        |FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+        |ORDER BY t.doc_id""".stripMargin) {
+      (s, d) =>
+        val docs = spread(documents(s, d))
+          .select(col("doc_id"), split(col("text"), " ").as("ts"),
+            (md5Long(col("doc_id").cast("string")) % 100).as("bkt"))
+        // distinct per (doc, shingle-hash): overlap counts distinct shingles
+        val sh = docs
+          .select(col("doc_id"), col("bkt"),
+            explode(wordShingles(col("ts"), 3)).as("s"))
+          .select(col("doc_id"), col("bkt"), md5Long(col("s")).as("hv"))
+          .distinct()
+          .cache() // train membership + test side both read it
+        val trainSh = sh.filter(col("bkt") < 80).select("hv").distinct()
+        val testSh = sh.filter(col("bkt") >= 90).select("doc_id", "hv")
+        val tot = testSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        val hit = testSh.join(trainSh, Seq("hv"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+        tot.join(hit, Seq("doc_id"), "left")
+          .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+          .select(col("doc_id"), col("n_sh"), col("n_hit"),
+            (col("n_hit").cast("double") / col("n_sh")).as("ratio"),
+            (col("n_hit") * 5 >= col("n_sh") * 4).as("contaminated"))
+          .orderBy("doc_id")
+    },
+
+    // ── deterministic stratified sampling: per-language rates (downsample
+    //    the dominant language to 25%, keep the tail at 100%) through an
+    //    independent hash channel ('smp:' prefix, so the sample is
+    //    uncorrelated with the train/val/test split buckets). Pure map
+    //    stage at any scale. ───────────────────────────────────────────────
+    Q("q_sample_stratified",
+      """WITH s AS (SELECT doc_id, lang,
+        |    ('0x' || substr(md5('smp:' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |      % 100 AS smp
+        |  FROM documents)
+        |SELECT doc_id, lang, smp FROM s
+        |WHERE smp < CASE WHEN lang = 'en' THEN 25 ELSE 100 END
+        |ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            (md5Long(concat(lit("smp:"), col("doc_id").cast("string"))) % 100)
+              .as("smp"))
+          .filter(col("smp") <
+            when(col("lang") === "en", 25).otherwise(100))
+          .orderBy("doc_id")
+    }
+  )
+}
