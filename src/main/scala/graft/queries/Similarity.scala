@@ -285,7 +285,13 @@ object Similarity {
          |  n_hits::DOUBLE / n_expected AS recall
          |FROM res CROSS JOIN exn ORDER BY method""".stripMargin) {
       (s, d) =>
-        val ex = exactRanked(s, d, col("vec_id") % 25 === 0)
+        // ONE cached norms pass feeds all four pipelines — signatures and
+        // norms are computed once, exactly as a production recall job would
+        // stage them (recomputing the vector math per variant is the wrong
+        // plan at any scale)
+        val n = withNorms(s, d).cache()
+        val nb = bucketsFrom(n)
+        val ex = exactRankedFrom(n, col("vec_id") % 25 === 0)
           .select("qid", "cid").cache() // probed by all three variants
         val exN = ex.agg(count(lit(1)).as("n_expected"))
         def recallRow(m: String, approx: DataFrame) =
@@ -294,9 +300,9 @@ object Similarity {
             .crossJoin(exN)
             .select(lit(m).as("method"), col("n_hits"), col("n_expected"),
               (col("n_hits").cast("double") / col("n_expected")).as("recall"))
-        recallRow("ivf", ivfRanked(s, d))
-          .unionByName(recallRow("lsh", lshRanked(s, d)))
-          .unionByName(recallRow("multiprobe", multiprobeRanked(s, d)))
+        recallRow("ivf", ivfRankedFrom(n))
+          .unionByName(recallRow("lsh", lshRankedFrom(nb)))
+          .unionByName(recallRow("multiprobe", multiprobeRankedFrom(nb)))
           .orderBy("method")
     },
 
@@ -385,7 +391,10 @@ object Similarity {
     * md5 formula the oracle uses, so the bucket id is one narrow map stage —
     * no cross join, no per-plane shuffle.
     */
-  private def withBuckets(s: org.apache.spark.sql.SparkSession, d: String) = {
+  private def withBuckets(s: org.apache.spark.sql.SparkSession, d: String) =
+    bucketsFrom(withNorms(s, d))
+
+  private def bucketsFrom(n: DataFrame): DataFrame = {
     val planes: Seq[Seq[Double]] = (0 until LshBits).map { b =>
       (1 to Dims).map(dd =>
         ((md5LongLocal(s"$b:$dd") % 2001L) - 1000L) / 1000.0)
@@ -394,7 +403,7 @@ object Similarity {
       .map(b => when(dotProduct(col("e"), typedLit(planes(b))) > 0,
         lit(1L << b)).otherwise(0L))
       .reduce(_ + _)
-    withNorms(s, d).withColumn("bucket", bucketExpr.cast("long"))
+    n.withColumn("bucket", bucketExpr.cast("long"))
   }
 
   private val rankW = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
@@ -403,8 +412,10 @@ object Similarity {
     * (bounded) query side, stream candidates, rank per-qid. O(Q·N) — the
     * exact baseline the ANN variants are measured against (q_ann_recall).
     */
-  private[queries] def exactRanked(s: SparkSession, d: String, qPred: Column): DataFrame = {
-    val n = withNorms(s, d)
+  private[queries] def exactRanked(s: SparkSession, d: String, qPred: Column): DataFrame =
+    exactRankedFrom(withNorms(s, d), qPred)
+
+  private def exactRankedFrom(n: DataFrame, qPred: Column): DataFrame = {
     val q = n.filter(qPred)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
     val c = n.select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
@@ -418,8 +429,10 @@ object Similarity {
   }
 
   /** Single-bucket LSH ANN: candidates via the sign-bucket equi-join only. */
-  private[queries] def lshRanked(s: SparkSession, d: String): DataFrame = {
-    val nb = withBuckets(s, d)
+  private[queries] def lshRanked(s: SparkSession, d: String): DataFrame =
+    lshRankedFrom(withBuckets(s, d))
+
+  private def lshRankedFrom(nb: DataFrame): DataFrame = {
     val q = nb.filter(col("vec_id") % 25 === 0)
       .select(col("vec_id").as("qid"), col("e").as("qe"),
         col("nrm").as("qn"), col("bucket"))
@@ -438,8 +451,10 @@ object Similarity {
   /** Multi-probe LSH ANN: each query explodes its bucket plus the 6
     * one-bit-flip neighbors; the candidate join stays a pure equi-join.
     */
-  private[queries] def multiprobeRanked(s: SparkSession, d: String): DataFrame = {
-    val nb = withBuckets(s, d)
+  private[queries] def multiprobeRanked(s: SparkSession, d: String): DataFrame =
+    multiprobeRankedFrom(withBuckets(s, d))
+
+  private def multiprobeRankedFrom(nb: DataFrame): DataFrame = {
     val probeSet = array(
       col("bucket") +: (0 until LshBits).map(b =>
         col("bucket").bitwiseXOR(lit(1L << b))): _*)
@@ -463,8 +478,10 @@ object Similarity {
     * the window shuffle moves 24 B/row, not the vectors — then an equi-join
     * on cell id between the nprobe=4 query probes and the inverted lists.
     */
-  private[queries] def ivfRanked(s: SparkSession, d: String): DataFrame = {
-    val n = withNorms(s, d).cache() // assignment + two vector join-backs
+  private[queries] def ivfRanked(s: SparkSession, d: String): DataFrame =
+    ivfRankedFrom(withNorms(s, d).cache()) // assignment + two vector join-backs
+
+  private def ivfRankedFrom(n: DataFrame): DataFrame = {
     val cent = n.filter(col("vec_id") % 31 === 1)
       .select(col("vec_id").as("ccid"), col("e").as("ce"), col("nrm").as("cn"))
     val csim = (dotProduct(col("e"), col("ce")) /
