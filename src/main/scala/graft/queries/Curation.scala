@@ -73,6 +73,69 @@ object Curation {
           .orderBy("doc_id")
     },
 
+    // ── within-document repetition: share of word 3-grams that are
+    //    duplicates — the boilerplate/spam signal every quality filter
+    //    carries. Pure per-row HOF math (shingle → distinct → sizes), no
+    //    shuffle at all; the ratio is a single division of two exact
+    //    integers. ─────────────────────────────────────────────────────────
+    Q("q_repetition",
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+        |sh AS (SELECT doc_id,
+        |    CASE WHEN len(ts) >= 3
+        |         THEN list_transform(range(1, len(ts)-1),
+        |                             i -> array_to_string(ts[i:i+2], ' '))
+        |         ELSE [array_to_string(ts, ' ')] END AS shingles
+        |  FROM tok)
+        |SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh,
+        |  CAST(len(list_distinct(shingles)) AS BIGINT) AS n_uniq,
+        |  1.0 - CAST(len(list_distinct(shingles)) AS BIGINT)::DOUBLE
+        |          / CAST(len(shingles) AS BIGINT) AS rep_ratio
+        |FROM sh ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        spread(documents(s, d))
+          .select(col("doc_id"),
+            wordShingles(split(col("text"), " "), 3).as("shingles"))
+          .select(col("doc_id"),
+            size(col("shingles")).cast("long").as("n_sh"),
+            size(array_distinct(col("shingles"))).cast("long").as("n_uniq"))
+          .withColumn("rep_ratio",
+            lit(1.0) - col("n_uniq").cast("double") / col("n_sh"))
+          .orderBy("doc_id")
+    },
+
+    // ── sequence packing: concatenate each source shard's documents in
+    //    corpus order and assign every document to the 2048-token window
+    //    its first token lands in — the batch-prep pass that turns a
+    //    document corpus into fixed-budget training sequences. The running
+    //    sum is windowed PER SOURCE (matching how a 100 TB corpus packs
+    //    within shards); a single global ORDER BY window would funnel the
+    //    corpus through one task and is deliberately avoided. ──────────────
+    Q("q_pack_sequences",
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT doc_id, source, n_tok,
+        |  CAST((cum - n_tok) // 2048 AS BIGINT) AS bin
+        |FROM c ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        documents(s, d)
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .withColumn("cum", sum("n_tok").over(w))
+          // start offset of the doc // budget; non-negative, so the long
+          // truncation IS floor division, matching DuckDB's `//`
+          .select(col("doc_id"), col("source"), col("n_tok"),
+            ((col("cum") - col("n_tok")) / 2048).cast("long").as("bin"))
+          .orderBy("doc_id")
+    },
+
     // ── deterministic stratified sampling: per-language rates (downsample
     //    the dominant language to 25%, keep the tail at 100%) through an
     //    independent hash channel ('smp:' prefix, so the sample is
