@@ -71,4 +71,25 @@ class PushdownSpec extends SparkTestBase {
     assert(pushed.exists(_.contains("l_returnflag")),
       s"In-filter not pushed to scan: $pushed")
   }
+
+  test("q_flagship_analog: membership filter pushed, events scan pruned") {
+    val df = SparkEntry.queries("q_flagship_analog")(spark, sfDir)
+    val pushed = pushedFilters(df)
+    assert(pushed.exists(_.contains("event_type")),
+      s"event_type In-filter not pushed to scan: $pushed")
+    val schemas = readSchemas(df)
+    // events has 6 columns; the pipeline references 4 (ts, user_id,
+    // event_type, value) — props and event_id must never be read
+    assert(schemas.nonEmpty && schemas.forall(s =>
+      !s.contains("props") && !s.contains("event_id")),
+      s"events scan reads unreferenced columns: $schemas")
+  }
+
+  test("q_sample_stratified: documents scan reads only id and lang") {
+    val df = SparkEntry.queries("q_sample_stratified")(spark, sfDir)
+    val schemas = readSchemas(df)
+    assert(schemas.nonEmpty && schemas.forall(s =>
+      !s.contains("text") && !s.contains("n_chars") && !s.contains("source")),
+      s"documents scan reads unreferenced columns: $schemas")
+  }
 }
