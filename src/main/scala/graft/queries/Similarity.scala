@@ -324,6 +324,39 @@ object Similarity {
       (s, d) => cosinePairs(s, d).orderBy("vec_a", "vec_b")
     },
 
+    // ── int8 symmetric quantization: per-vector max-abs scale, explicit
+    //    half-up rounding written as floor(x·s + 0.5) on BOTH engines so no
+    //    dialect rounding mode (HALF_UP vs HALF_EVEN) can diverge. The
+    //    compression pass an embedding store / ANN serving tier runs; pure
+    //    per-row HOF math, no shuffle. n_sat counts saturated lanes — the
+    //    quantization-quality signal. ─────────────────────────────────────
+    Q("q_quantize",
+      s"""WITH v AS (SELECT vec_id,
+         |    list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+         |a AS (SELECT vec_id, e,
+         |    list_max(list_transform(e, x -> abs(x))) AS amax FROM v),
+         |s AS (SELECT vec_id, e, amax, 127.0 / amax AS scale FROM a
+         |      WHERE amax > 0),
+         |q AS (SELECT vec_id, amax,
+         |    list_transform(e, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS qv
+         |  FROM s)
+         |SELECT vec_id, amax, qv,
+         |  CAST(len(list_filter(qv, q -> abs(q) = 127)) AS BIGINT) AS n_sat
+         |FROM q ORDER BY vec_id""".stripMargin) {
+      (s, d) =>
+        embeddings(s, d)
+          .select(col("vec_id"),
+            transform(col("embedding"), _.cast("double")).as("e"))
+          .withColumn("amax", array_max(transform(col("e"), x => abs(x))))
+          .filter(col("amax") > 0)
+          .withColumn("scale", lit(127.0) / col("amax"))
+          .withColumn("qv",
+            transform(col("e"), x => floor(x * col("scale") + 0.5).cast("long")))
+          .select(col("vec_id"), col("amax"), col("qv"),
+            size(filter(col("qv"), q => abs(q) === 127)).cast("long").as("n_sat"))
+          .orderBy("vec_id")
+    },
+
     // ── embedding-dedup clustering: connected components over the cosine
     //    candidate-pair graph — the same closure the MinHash family gets
     //    from q_dedup_clusters, so the embedding path is a full dedup
