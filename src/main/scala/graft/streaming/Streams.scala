@@ -28,13 +28,15 @@ object Streams {
       .select(col("window.start").as("ws"), col("event_type"), col("n"),
         col("sum_v"))
 
-  /** Sliding-window counts (overlapping windows). */
+  /** Sliding-window counts + exact decimal sums (overlapping windows). */
   def slidingCounts(events: DataFrame, width: String = "1 hour",
       slide: String = "30 minutes"): DataFrame =
     events
       .groupBy(window(col("ts"), width, slide), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"),
+        col("sum_v"))
 
   /** Session windows per user (gap-merged). */
   def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
