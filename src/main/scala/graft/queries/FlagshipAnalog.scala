@@ -110,12 +110,14 @@ object FlagshipAnalog {
           .select("grp", "user_id", "rank")
 
         // selected prefix is ≤ MaxCandidates rows/grp — broadcast it into the
-        // emit join; the customer dim joins broadcast too (AQE would pick the
-        // same given stats, the hint makes the 100 TB plan explicit)
+        // emit join. The customer dim carries NO hint: unlike the reference's
+        // constant-size cities dim, customer grows with the corpus, so AQE
+        // picks broadcast-vs-shuffle from runtime stats (small SFs broadcast,
+        // a 100 TB customer table shuffle-joins instead of OOMing the driver)
         base.join(broadcast(sel), Seq("grp", "user_id"))
-          .join(broadcast(customer(s, d)
+          .join(customer(s, d)
             .select(col("c_custkey").as("user_id"),
-              col("c_mktsegment").as("segment"))), Seq("user_id"))
+              col("c_mktsegment").as("segment")), Seq("user_id"))
           .withColumnRenamed("event_type", "parameter")
           .groupBy("grp", "rank", "user_id", "segment", "parameter")
           .agg(count(lit(1)).as("n"),

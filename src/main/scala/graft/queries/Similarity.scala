@@ -39,6 +39,13 @@ object Similarity {
     s"""list_reduce(list_prepend(0.0::DOUBLE,
        |  list_transform(range(1, ${Dims + 1}), i -> $a[i] * $b[i])), (x,y) -> x + y)""".stripMargin
 
+  // Exact-integer dot product over two BIGINT lists (q_ann_quant): every
+  // product and the running sum are exact integers, so the fold order can
+  // never matter — the one place float-determinism rules are unnecessary.
+  private def intDotSqlIdx(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0::BIGINT,
+       |  list_transform(range(1, ${Dims + 1}), i -> $a[i] * $b[i])), (x,y) -> x + y)""".stripMargin
+
   private val normsCte =
     s"""v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
        |      FROM embeddings),
@@ -340,7 +347,7 @@ object Similarity {
          |q AS (SELECT vec_id, amax,
          |    list_transform(e, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS qv
          |  FROM s)
-         |SELECT vec_id, amax, qv,
+         |SELECT vec_id, amax, array_to_string(qv, ',') AS qv,
          |  CAST(len(list_filter(qv, q -> abs(q) = 127)) AS BIGINT) AS n_sat
          |FROM q ORDER BY vec_id""".stripMargin) {
       (s, d) =>
@@ -352,9 +359,96 @@ object Similarity {
           .withColumn("scale", lit(127.0) / col("amax"))
           .withColumn("qv",
             transform(col("e"), x => floor(x * col("scale") + 0.5).cast("long")))
-          .select(col("vec_id"), col("amax"), col("qv"),
+          // stringified for the oracle comparator (the Aggregates rule: no
+          // top-level arrays in a declared projection — pandas can't sort them)
+          .select(col("vec_id"), col("amax"),
+            array_join(transform(col("qv"), _.cast("string")), ",").as("qv"),
             size(filter(col("qv"), q => abs(q) === 127)).cast("long").as("n_sat"))
           .orderBy("vec_id")
+    },
+
+    // ── quantization quality, closed the way every other family closes:
+    //    recall@3 of int8-quantized cosine against the exact float top-3
+    //    over the same query set (vec_id % 25 = 0). Key identity: with
+    //    symmetric per-vector scales s_a = amax_a/127, the reconstructed
+    //    cosine  (dot_int·s_a·s_b) / (s_a·√qnrm_a · s_b·√qnrm_b)  cancels
+    //    both scales — ranking by  dot_int / √(qnrm_a·qnrm_b)  over EXACT
+    //    integer dot products and norms is the true int8 ranking, and its
+    //    inputs are integers, so both engines produce bit-identical doubles.
+    //    Counts are integers; recall is one integer division. ──────────────
+    Q("q_ann_quant",
+      s"""WITH $normsCte,
+         |qz AS (SELECT vec_id, e,
+         |    list_max(list_transform(e, x -> abs(x))) AS amax FROM n),
+         |qs AS (SELECT vec_id, e, amax, 127.0 / amax AS scale FROM qz
+         |       WHERE amax > 0),
+         |qvs AS (SELECT vec_id,
+         |    list_transform(e, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS qv
+         |  FROM qs),
+         |qnm AS (SELECT vec_id, qv,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(qv, x -> x * x)), (a,b) -> a + b) AS qnrm
+         |  FROM qvs),
+         |fq AS (SELECT vec_id AS qid, e AS qe, nrm AS fqn FROM n
+         |       WHERE vec_id % 25 = 0),
+         |xp AS (SELECT qid, c.vec_id AS cid,
+         |        ${dotSqlIdx("qe", "c.e")} AS dot, fqn, c.nrm AS cn
+         |      FROM fq JOIN n c ON c.vec_id <> qid),
+         |xr AS (SELECT qid, cid,
+         |        row_number() OVER (PARTITION BY qid
+         |          ORDER BY dot / sqrt(fqn * cn) DESC, cid) AS rk
+         |      FROM xp),
+         |ex AS (SELECT qid, cid FROM xr WHERE rk <= 3),
+         |exn AS (SELECT count(*) AS n_expected FROM ex),
+         |iq AS (SELECT vec_id AS qid, qv AS qqv, qnrm AS qqn FROM qnm
+         |       WHERE vec_id % 25 = 0),
+         |ip AS (SELECT qid, c.vec_id AS cid,
+         |        ${intDotSqlIdx("qqv", "c.qv")} AS idot, qqn, c.qnrm AS icn
+         |      FROM iq JOIN qnm c ON c.vec_id <> qid),
+         |ir AS (SELECT qid, cid,
+         |        row_number() OVER (PARTITION BY qid
+         |          ORDER BY idot::DOUBLE / sqrt((qqn * icn)::DOUBLE) DESC, cid) AS rk
+         |      FROM ip),
+         |i3 AS (SELECT qid, cid FROM ir WHERE rk <= 3),
+         |hits AS (SELECT count(*) AS n_hits FROM i3 JOIN ex USING (qid, cid))
+         |SELECT 'int8' AS method, n_hits, n_expected,
+         |  n_hits::DOUBLE / n_expected AS recall
+         |FROM hits CROSS JOIN exn""".stripMargin) {
+      (s, d) =>
+        // ONE cached norms pass feeds the float baseline and the quantized
+        // ranking — same staging discipline as q_ann_recall
+        val n = withNorms(s, d).cache()
+        val qnm = n
+          .withColumn("amax", array_max(transform(col("e"), x => abs(x))))
+          .filter(col("amax") > 0)
+          .withColumn("scale", lit(127.0) / col("amax"))
+          .withColumn("qv",
+            transform(col("e"), x => floor(x * col("scale") + 0.5).cast("long")))
+          .withColumn("qnrm",
+            aggregate(transform(col("qv"), x => x * x), lit(0L), (a, b) => a + b))
+          .select("vec_id", "qv", "qnrm")
+        val ex = exactRankedFrom(n, col("vec_id") % 25 === 0)
+          .select("qid", "cid").cache()
+        val exN = ex.agg(count(lit(1)).as("n_expected"))
+        val iq = qnm.filter(col("vec_id") % 25 === 0)
+          .select(col("vec_id").as("qid"), col("qv").as("qqv"),
+            col("qnrm").as("qqn"))
+        val c = qnm.select(col("vec_id").as("cid"), col("qv").as("cqv"),
+          col("qnrm").as("icn"))
+        val idot = aggregate(zip_with(col("qqv"), col("cqv"), (x, y) => x * y),
+          lit(0L), (a, b) => a + b)
+        val simQ = idot.cast("double") /
+          sqrt((col("qqn") * col("icn")).cast("double"))
+        val i3 = broadcast(iq).join(c, col("cid") =!= col("qid"))
+          .select(col("qid"), col("cid"), simQ.as("sim"))
+          .withColumn("rk", row_number().over(rankW))
+          .filter(col("rk") <= 3)
+          .select("qid", "cid")
+        i3.join(ex, Seq("qid", "cid"))
+          .agg(count(lit(1)).as("n_hits"))
+          .crossJoin(exN)
+          .select(lit("int8").as("method"), col("n_hits"), col("n_expected"),
+            (col("n_hits").cast("double") / col("n_expected")).as("recall"))
     },
 
     // ── embedding-dedup clustering: connected components over the cosine
