@@ -136,6 +136,95 @@ object Curation {
           .orderBy("doc_id")
     },
 
+    // ── the curation chain END TO END, as ONE oracle-hashed plan — what a
+    //    pre-training data-prep job actually runs, stage order included:
+    //    language gate (marker-argmax 'en') → quality gate (the
+    //    q_text_quality score > 0.5) → repetition gate (distinct-shingle
+    //    ratio, integer compare) → exact-dedup canonical survivor (min id
+    //    per normalization key, computed on the GATED corpus) → train-split
+    //    gate (hash bucket < 80) → per-source sequence packing over the
+    //    survivors. The per-stage operators are each oracle-proven in
+    //    isolation (q_lang_id / q_text_quality / q_repetition /
+    //    q_dedup_exact / q_split / q_pack_sequences); this query proves the
+    //    unbroken compose, exactly as q_flagship_analog does for the
+    //    reference chain. Scale: gates + dedup key are a narrow map over the
+    //    scan, the dedup window and the packing window are the only two
+    //    shuffles, and both partition by unbounded-cardinality keys (k,
+    //    source) — nothing funnels through one task. ───────────────────────
+    Q("q_curation_pipeline",
+      """WITH t AS (SELECT doc_id, source, string_split(text,' ') AS ts
+        |           FROM documents),
+        |s AS (SELECT doc_id, source, ts,
+        |    len(list_filter(ts, w -> w IN ('the','a','of')))::BIGINT AS s1,
+        |    len(list_filter(ts, w -> w IN ('table','row','query')))::BIGINT AS s2,
+        |    len(list_filter(ts, w -> w IN ('join','filter','sort')))::BIGINT AS s3,
+        |    CAST(len(ts) AS BIGINT) AS n_tok
+        |  FROM t),
+        |g AS (SELECT doc_id, source, ts, n_tok,
+        |    least(1.0, CAST(n_tok AS DOUBLE) / 100.0) *
+        |      (1.0 - CAST(s1 AS DOUBLE) / n_tok) AS quality
+        |  FROM s
+        |  WHERE s1 >= s2 AND s1 >= s3
+        |    AND least(1.0, CAST(n_tok AS DOUBLE) / 100.0) *
+        |      (1.0 - CAST(s1 AS DOUBLE) / n_tok) > 0.5),
+        |r AS (SELECT doc_id, source, ts, n_tok, quality,
+        |    CASE WHEN len(ts) >= 3
+        |         THEN list_transform(range(1, len(ts)-1),
+        |                             i -> array_to_string(ts[i:i+2], ' '))
+        |         ELSE [array_to_string(ts, ' ')] END AS shingles
+        |  FROM g),
+        |r2 AS (SELECT doc_id, source, ts, n_tok, quality FROM r
+        |       WHERE len(list_distinct(shingles)) * 5 > len(shingles) * 4),
+        |dd AS (SELECT doc_id, source, n_tok, quality,
+        |         md5(array_to_string(ts[1:2], ' ')) AS k
+        |       FROM r2
+        |       QUALIFY doc_id = min(doc_id) OVER (PARTITION BY k)),
+        |tr AS (SELECT doc_id, source, n_tok, quality FROM dd
+        |       WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+        |             % 100 < 80),
+        |p AS (SELECT doc_id, source, n_tok, quality,
+        |        SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM tr)
+        |SELECT doc_id, source, n_tok, quality,
+        |  CAST((cum - n_tok) // 2048 AS BIGINT) AS bin
+        |FROM p ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        import org.apache.spark.sql.expressions.Window
+        def markers(ts: org.apache.spark.sql.Column, ws: Seq[String]) =
+          size(filter(ts, t => t.isin(ws.map(x => x: Any): _*))).cast("long")
+        val ts = col("ts")
+        val base = documents(s, d)
+          .select(col("doc_id"), col("source"), split(col("text"), " ").as("ts"))
+          .withColumn("s1", markers(ts, Seq("the", "a", "of")))
+          .withColumn("s2", markers(ts, Seq("table", "row", "query")))
+          .withColumn("s3", markers(ts, Seq("join", "filter", "sort")))
+          .withColumn("n_tok", size(ts).cast("long"))
+        val quality = least(lit(1.0), col("n_tok").cast("double") / 100.0) *
+          (lit(1.0) - col("s1").cast("double") / col("n_tok"))
+        val gated = base
+          .filter(col("s1") >= col("s2") && col("s1") >= col("s3"))
+          .withColumn("quality", quality)
+          .filter(col("quality") > 0.5)
+        val shingles = wordShingles(ts, 3)
+        val lowRep = gated.filter(
+          size(array_distinct(shingles)) * 5 > size(shingles) * 4)
+        val dd = lowRep
+          .withColumn("k", md5(array_join(slice(ts, 1, 2), " ")))
+          .withColumn("minId", min("doc_id").over(Window.partitionBy("k")))
+          .filter(col("doc_id") === col("minId"))
+        val train = dd
+          .filter(md5Long(col("doc_id").cast("string")) % 100 < 80)
+          .select("doc_id", "source", "n_tok", "quality")
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        train
+          .withColumn("cum", sum("n_tok").over(w))
+          .select(col("doc_id"), col("source"), col("n_tok"), col("quality"),
+            ((col("cum") - col("n_tok")) / 2048).cast("long").as("bin"))
+          .orderBy("doc_id")
+    },
+
     // ── deterministic stratified sampling: per-language rates (downsample
     //    the dominant language to 25%, keep the tail at 100%) through an
     //    independent hash channel ('smp:' prefix, so the sample is

@@ -351,12 +351,20 @@ object Similarity {
          |  CAST(len(list_filter(qv, q -> abs(q) = 127)) AS BIGINT) AS n_sat
          |FROM q ORDER BY vec_id""".stripMargin) {
       (s, d) =>
-        embeddings(s, d)
+        // cache boundary after the scale stage: without it CollapseProject
+        // inlines amax/scale into the quantization lambda and array_max
+        // re-evaluates once per ELEMENT — O(d²) per vector instead of O(d),
+        // a 1000× blowup at real embedding widths. The boundary materializes
+        // scale once per vector (exactly what the oracle's CTE column does)
+        // and the lambda reads it back as a plain attribute.
+        val scaled = embeddings(s, d)
           .select(col("vec_id"),
             transform(col("embedding"), _.cast("double")).as("e"))
           .withColumn("amax", array_max(transform(col("e"), x => abs(x))))
           .filter(col("amax") > 0)
           .withColumn("scale", lit(127.0) / col("amax"))
+          .cache()
+        scaled
           .withColumn("qv",
             transform(col("e"), x => floor(x * col("scale") + 0.5).cast("long")))
           // stringified for the oracle comparator (the Aggregates rule: no
@@ -418,10 +426,16 @@ object Similarity {
         // ONE cached norms pass feeds the float baseline and the quantized
         // ranking — same staging discipline as q_ann_recall
         val n = withNorms(s, d).cache()
-        val qnm = n
+        // second cache boundary after the scale stage (the q_quantize rule):
+        // stops CollapseProject from inlining array_max into the per-element
+        // quantization lambda (O(d²)/vector); both join sides re-derive qv
+        // from the cached scale with one O(d) map each
+        val scaled = n
           .withColumn("amax", array_max(transform(col("e"), x => abs(x))))
           .filter(col("amax") > 0)
           .withColumn("scale", lit(127.0) / col("amax"))
+          .cache()
+        val qnm = scaled
           .withColumn("qv",
             transform(col("e"), x => floor(x * col("scale") + 0.5).cast("long")))
           .withColumn("qnrm",
