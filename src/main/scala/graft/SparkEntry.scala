@@ -16,7 +16,8 @@ object SparkEntry {
   val registry: Seq[Q] =
     Relational.all ++ Joins.all ++ Aggregates.all ++
       TextAnalysis.all ++ Dedup.all ++ Similarity.all ++ Multimodal.all ++
-      StreamingExec.all ++ FlagshipAnalog.all ++ Flagship.all ++ Curation.all
+      StreamingExec.all ++ FlagshipAnalog.all ++ Flagship.all ++ Curation.all ++
+      Sinks.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -234,6 +234,38 @@ object Aggregates {
           .orderBy("status", "prio")
     },
 
+    // ── explicit GROUPING SETS: the general lattice rollup/cube are sugar
+    //    for — a set list neither of them generates ((status,prio), (prio),
+    //    ()), so this exercises the planner path the siblings don't.
+    //    grouping() flags disambiguate a rolled-up 'ALL' from a (never
+    //    occurring) literal value; one Expand + one aggregate, same scale
+    //    shape as q_rollup. ─────────────────────────────────────────────────
+    Q("q_grouping_sets",
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS prio,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY GROUPING SETS
+        |  ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+        |ORDER BY status, prio""".stripMargin) {
+      (s, d) =>
+        orders(s, d)
+          .groupingSets(
+            Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+              Seq(col("o_orderpriority")), Seq.empty),
+            col("o_orderstatus"), col("o_orderpriority"))
+          .agg(grouping(col("o_orderstatus")).cast("long").as("g_status"),
+            grouping(col("o_orderpriority")).cast("long").as("g_prio"),
+            count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+          .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+            col("g_status"), col("g_prio"), col("n"), col("sum_price"))
+          .orderBy("status", "prio")
+    },
+
     // ── U1: union across branches (the two-city append) ─────────────────
     Q("q_union",
       """SELECT o_orderkey, o_orderstatus, 'hi' AS src FROM orders

@@ -136,6 +136,87 @@ object Curation {
           .orderBy("doc_id")
     },
 
+    // ── packing efficiency as a declared, hash-checked number — the
+    //    measured-quality closure for q_pack_sequences (the q_ann_recall
+    //    pattern): per source, the bin count of in-corpus-order greedy
+    //    packing vs length-descending greedy packing vs the ceil(total/2048)
+    //    lower bound no packing can beat. Every column is an exact BIGINT.
+    //    Scale: two per-source windows + one per-source agg — the same
+    //    shuffle-by-source shape as q_pack_sequences, nothing global. ──────
+    Q("q_pack_bins",
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c1 AS (SELECT source, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t),
+        |c2 AS (SELECT source, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY source ORDER BY n_tok DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t),
+        |a1 AS (SELECT source, count(*) AS n_docs,
+        |         CAST(SUM(n_tok) AS BIGINT) AS total_tok,
+        |         CAST(MAX((cum - n_tok) // 2048) + 1 AS BIGINT) AS bins_naive
+        |       FROM c1 GROUP BY source),
+        |a2 AS (SELECT source,
+        |         CAST(MAX((cum - n_tok) // 2048) + 1 AS BIGINT) AS bins_sorted
+        |       FROM c2 GROUP BY source)
+        |SELECT source, n_docs, total_tok,
+        |  CAST((total_tok + 2047) // 2048 AS BIGINT) AS bins_lb,
+        |  bins_naive, bins_sorted
+        |FROM a1 JOIN a2 USING (source) ORDER BY source""".stripMargin) {
+      (s, d) =>
+        import org.apache.spark.sql.expressions.Window
+        val t = documents(s, d)
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+        def bins(ordered: org.apache.spark.sql.Column*) = {
+          val w = Window.partitionBy("source").orderBy(ordered: _*)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          // start offset // budget, as in q_pack_sequences; max index + 1
+          // is the bin count of the greedy pass in that order
+          ((sum("n_tok").over(w) - col("n_tok")) / 2048).cast("long")
+        }
+        val a1 = t.withColumn("bin", bins(col("doc_id")))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("total_tok"),
+            (max("bin") + 1).as("bins_naive"))
+        val a2 = t.withColumn("bin", bins(col("n_tok").desc, col("doc_id")))
+          .groupBy("source")
+          .agg((max("bin") + 1).as("bins_sorted"))
+        a1.join(a2, Seq("source"))
+          .select(col("source"), col("n_docs"), col("total_tok"),
+            ((col("total_tok") + 2047) / 2048).cast("long").as("bins_lb"),
+            col("bins_naive"), col("bins_sorted"))
+          .orderBy("source")
+    },
+
+    // ── length-outlier gate: drop documents above the corpus-wide exact
+    //    p95 token count — the global-statistic curation pattern (compute
+    //    one corpus statistic, broadcast it back as a filter threshold).
+    //    Scale: the percentile is ONE single-pass aggregation collapsing to
+    //    a single row; joining it back is a broadcast of one row, never a
+    //    shuffle of the corpus. (percentile() here is the exact aggregate,
+    //    proven DuckDB-identical by q_percentile — not approx_percentile,
+    //    which SURVEY §5.3 bans from declared queries.) ─────────────────────
+    Q("q_length_outliers",
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |p AS (SELECT quantile_cont(n_tok, 0.95) AS p95 FROM t)
+        |SELECT doc_id, n_tok, p95 FROM t CROSS JOIN p
+        |WHERE n_tok > p95 ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val t = documents(s, d)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+        val p = t.agg(expr("percentile(n_tok, 0.95)").as("p95"))
+        t.crossJoin(p) // single-row side → auto-broadcast
+          .filter(col("n_tok") > col("p95"))
+          .orderBy("doc_id")
+    },
+
     // ── the curation chain END TO END, as ONE oracle-hashed plan — what a
     //    pre-training data-prep job actually runs, stage order included:
     //    language gate (marker-argmax 'en') → quality gate (the

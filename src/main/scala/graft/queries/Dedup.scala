@@ -53,11 +53,22 @@ object Dedup {
     * and self-join on (band, signature), so candidates materialize only
     * within a bucket.
     */
-  private def minhashPairs(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
-    val sh = spread(documents(s, d))
+  /** Hashed 3-gram shingle rows (doc_id, hv) — the shared first stage of the
+    * MinHash family: signatures aggregate over it, and the recall query's
+    * exact-truth side reads the same rows (distinct) for its inverted index.
+    */
+  private def shingleHashes(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    spread(documents(s, d))
       .select(col("doc_id"), explode(wordShingles(toks, 3)).as("s"))
       .select(col("doc_id"), md5Long(col("s")).as("hv"))
+
+  private def minhashPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    minhashPairsFrom(shingleHashes(s, d))
+
+  private def minhashPairsFrom(
+      sh: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val minAggs = (0 until 16).map(j =>
       min(col("hv").bitwiseXOR(lit(md5LongLocal(s"perm:$j")))).as(s"h$j"))
     val hs = sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
@@ -196,6 +207,66 @@ object Dedup {
         // all-pairs compare — see graft.ops.HammingJoin.
         graft.ops.HammingJoin.pairsWithin(sig, "doc_id", "simhash", 60, 8)
           .orderBy("doc_a", "doc_b")
+    },
+
+    // ── MinHash banding quality as a declared, hash-checked number —
+    //    closing the dedup family the way q_ann_recall closes ANN: the
+    //    banding candidates (4 bands × 4 rows) measured against the exact
+    //    ground truth "3-gram Jaccard ≥ 0.5" over the SAME shingle sets the
+    //    signatures are built from. Recall says how much of the true
+    //    near-dup graph the bands caught; precision says how much of the
+    //    candidate volume was real. Counts are exact integers, each ratio
+    //    is one integer division — nothing order-dependent reaches the
+    //    hash. Scale: candidates stay band-bounded; the exact-truth side
+    //    uses the shared-shingle inverted-index join, NOT the bitset
+    //    all-pairs kernel — 3-gram sharing is sparse (Σk² ≈ 2.8M pair rows
+    //    at sf0.1 vs 12.5M doc pairs all-pairs would compare), so the
+    //    equi-join IS the cheaper exact plan here, while dense 2-gram
+    //    sharing keeps the bitset kernel right for q_dedup_ngram_jaccard.
+    //    Every J ≥ 0.5 pair shares a shingle, so no truth pair is missed.
+    //    Both engines compute the truth over the SAME md5-hashed shingle
+    //    rows the signatures aggregate (one scan+shingle+hash pass feeds
+    //    candidates AND truth; the inverted index joins on BIGINTs, and a
+    //    hash collision — ~2⁻⁶⁰ — would strike both engines identically). ──
+    Q("q_minhash_recall",
+      s"""WITH $MinhashPairsCte,
+        |e3 AS (SELECT DISTINCT doc_id, hv AS g FROM h),
+        |sz AS (SELECT doc_id, count(*) AS n FROM e3 GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |       FROM e3 a JOIN e3 b ON a.g = b.g AND a.doc_id < b.doc_id
+        |       GROUP BY a.doc_id, b.doc_id),
+        |truth AS (SELECT doc_a, doc_b FROM pr
+        |          JOIN sz sa ON sa.doc_id = doc_a
+        |          JOIN sz sb ON sb.doc_id = doc_b
+        |          WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5),
+        |tn AS (SELECT count(*) AS n_truth FROM truth),
+        |cn AS (SELECT count(*) AS n_cand FROM pairs),
+        |hn AS (SELECT count(*) AS n_hits
+        |       FROM pairs JOIN truth USING (doc_a, doc_b))
+        |SELECT 'minhash_b4r4' AS method, n_cand, n_truth, n_hits,
+        |  n_hits::DOUBLE / n_truth AS recall,
+        |  n_hits::DOUBLE / n_cand AS prec
+        |FROM cn CROSS JOIN tn CROSS JOIN hn""".stripMargin) {
+      (s, d) =>
+        // ONE scan+shingle+hash pass feeds both sides (q_ann_recall's
+        // staging discipline)
+        val sh = shingleHashes(s, d).cache()
+        val cand = minhashPairsFrom(sh).cache() // counted AND hit-joined
+        val e3 = sh.distinct()
+          .select(col("doc_id"), col("hv").as("g"))
+          .cache() // read 3×: sizes + both join sides of the inverted index
+        val truth = graft.ops.SetSimilarity
+          .naiveJaccardPairs(e3, "doc_id", "g", 0.5)
+          .select("doc_a", "doc_b").cache() // counted AND hit-joined below
+        val nT = truth.agg(count(lit(1)).as("n_truth"))
+        val nC = cand.agg(count(lit(1)).as("n_cand"))
+        val nH = cand.join(truth, Seq("doc_a", "doc_b"))
+          .agg(count(lit(1)).as("n_hits"))
+        nC.crossJoin(nT).crossJoin(nH)
+          .select(lit("minhash_b4r4").as("method"),
+            col("n_cand"), col("n_truth"), col("n_hits"),
+            (col("n_hits").cast("double") / col("n_truth")).as("recall"),
+            (col("n_hits").cast("double") / col("n_cand")).as("prec"))
     },
 
     // ── n-gram Jaccard: distinct 2-gram shingles, pairs via shared-shingle

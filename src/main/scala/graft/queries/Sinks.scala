@@ -1,0 +1,54 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.model.Tables._
+
+/** Sink/source round-trip queries: the K1 CSV sink (reference
+  * `main.py:280-289` writes the result as a header CSV) exercised under the
+  * oracle hash gate, not just spec-tested — the declared result is computed
+  * FROM the files the CSV writer produced, so quoting, header handling,
+  * double formatting and date formatting are all on the hashed path.
+  */
+object Sinks {
+
+  val all: Seq[Q] = Seq(
+
+    // ── CSV round-trip: project a lineitem subset, write it as a header
+    //    CSV (the K1 sink), read it back through the CSV source with the
+    //    ORIGINAL schema, and aggregate the re-read rows. Lossless by
+    //    construction: longs/strings are verbatim, doubles print as
+    //    shortest-exact Java repr and re-parse to the identical bits, and
+    //    the timestamp is cast to DATE before the write so no sub-second
+    //    format truncation can leak in. The aggregate is order-insensitive
+    //    (counts + DECIMAL sums), so the multi-file parallel write/read
+    //    never affects the hash. Scale: write and read are both
+    //    partition-parallel; the only shuffle is the final small groupBy. ──
+    Q("q_csv_roundtrip",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(min(CAST(l_shipdate AS DATE)) AS VARCHAR) AS min_ship,
+        |  CAST(max(CAST(l_shipdate AS DATE)) AS VARCHAR) AS max_ship
+        |FROM lineitem WHERE l_orderkey % 7 = 0
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) {
+      (s, d) =>
+        val src = lineitem(s, d)
+          .filter(col("l_orderkey") % 7 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            col("l_linestatus"), col("l_quantity"),
+            col("l_shipdate").cast("date").as("l_shipdate"))
+        // per-run unique staging dir under the JVM tmpdir; left in place —
+        // the returned plan lazily re-reads it when the driver collects
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-csv-roundtrip").toString
+        src.write.mode("overwrite").option("header", "true").csv(dir)
+        val back = s.read.schema(src.schema).option("header", "true").csv(dir)
+        back.groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+            min(col("l_shipdate")).cast("string").as("min_ship"),
+            max(col("l_shipdate")).cast("string").as("max_ship"))
+          .orderBy("l_returnflag", "l_linestatus")
+    }
+  )
+}

@@ -61,6 +61,23 @@ object StreamingExec {
           .orderBy("user_id", "session_start")
     },
 
+    // Stream-static enrichment: the event stream joins the static customer
+    // dim (stateless per micro-batch), then windowed per-segment counts —
+    // the standard streaming-ETL shape (enrich, then aggregate). The batch
+    // oracle joins and groups the same rows.
+    Q("q_stream_enrich",
+      """SELECT strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:%M:%S') AS ws,
+        |  c.c_mktsegment, count(*) AS n,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY ws, c_mktsegment""".stripMargin) {
+      (s, d) =>
+        graft.streaming.Streams.enrichedFromSnapshot(s, d)
+          .select(date_format(col("ws"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+            col("c_mktsegment"), col("n"), col("sum_v"))
+          .orderBy("ws", "c_mktsegment")
+    },
+
     // Stateful streaming dedup: watermark-bounded dropDuplicates state,
     // key-only projection so the surviving-row nondeterminism of "first
     // arrival wins" never reaches the output — the key SET is the batch

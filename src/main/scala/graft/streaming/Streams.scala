@@ -111,6 +111,30 @@ object Streams {
     replaySnapshot(spark, sfDir, "graft-stream-session",
       OutputMode.Complete())(sessionCounts(_))
 
+  /** REAL streaming execution of a stream-static enrichment join: the event
+    * stream joins the static customer dim on user_id, then aggregates
+    * tumbling-window counts per market segment. Stream-static equi-joins are
+    * STATELESS — the static side is planned per micro-batch (broadcast here:
+    * the dim is far under the autoBroadcastJoinThreshold, and with AQE
+    * disabled under streaming the size estimate decides, no hint needed) and
+    * no join state accumulates. The windowed aggregation after it is the
+    * only stateful operator, watermark-bounded as everywhere else.
+    */
+  def enrichedFromSnapshot(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    val dim = graft.model.Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    replaySnapshot(spark, sfDir, "graft-stream-enrich", OutputMode.Complete()) {
+      st =>
+        st.join(dim, Seq("user_id"))
+          .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
+          .select(col("window.start").as("ws"), col("c_mktsegment"), col("n"),
+            col("sum_v"))
+    }
+  }
+
   /** REAL streaming execution of stateful dedup over the events snapshot:
     * watermarked `dropDuplicates` on (user_id, event_type) replayed as a
     * file stream, appended to the memory sink. Only the KEY columns are
