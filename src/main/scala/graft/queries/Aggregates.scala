@@ -266,6 +266,33 @@ object Aggregates {
           .orderBy("status", "prio")
     },
 
+    // ── rank-statistics windows: percent_rank / cume_dist / first_value —
+    //    the normalized-rank family q_rank/q_ntile don't cover. Ratios of
+    //    small exact integers (rank-1)/(n-1) and rank/n, identical formulas
+    //    on both engines; ordering is the portable (epoch-µs, event_id)
+    //    total order. Same scale shape as every window here: partitioned
+    //    by an unbounded key, never a global sort. ──────────────────────────
+    Q("q_rank_stats",
+      """SELECT user_id, event_id,
+        |  percent_rank() OVER w AS prk,
+        |  cume_dist() OVER w AS cd,
+        |  first_value(event_id) OVER w AS first_ev
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |             ORDER BY epoch_us(ts), event_id)
+        |ORDER BY user_id, event_id""".stripMargin) {
+      (s, d) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy(unix_micros(col("ts")), col("event_id"))
+        events(s, d)
+          .select(col("user_id"), col("event_id"),
+            percent_rank().over(w).as("prk"),
+            cume_dist().over(w).as("cd"),
+            first("event_id").over(w).as("first_ev"))
+          .orderBy("user_id", "event_id")
+    },
+
     // ── U1: union across branches (the two-city append) ─────────────────
     Q("q_union",
       """SELECT o_orderkey, o_orderstatus, 'hi' AS src FROM orders

@@ -49,6 +49,39 @@ object Sinks {
             min(col("l_shipdate")).cast("string").as("min_ship"),
             max(col("l_shipdate")).cast("string").as("max_ship"))
           .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ── partition-pruned lake layout: write orders partitioned by
+    //    o_orderstatus (the date/tenant-partitioned layout every 100 TB
+    //    lake uses), read it back with a partition-key filter, aggregate.
+    //    The filter never touches file contents — it prunes DIRECTORIES at
+    //    planning time (PartitionFilters in the scan, pinned by
+    //    PushdownSpec), so at scale the query reads 1/3 of the lake, not
+    //    1/3 of each file. The aggregate matches the unpartitioned oracle
+    //    exactly: a layout change must never change results. ───────────────
+    Q("q_partition_prune",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) {
+      (s, d) => prunedOrdersScan(s, d)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .orderBy("o_orderpriority")
     }
   )
+
+  /** The partition-pruned scan under q_partition_prune, exposed so the plan
+    * spec can assert the scan carries PartitionFilters (pruning happened at
+    * planning, not execution).
+    */
+  def prunedOrdersScan(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-partitioned-orders").toString
+    orders(s, d).write.mode("overwrite")
+      .partitionBy("o_orderstatus").parquet(dir)
+    s.read.parquet(dir).filter(col("o_orderstatus") === "F")
+  }
 }

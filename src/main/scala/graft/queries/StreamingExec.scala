@@ -78,6 +78,19 @@ object StreamingExec {
           .orderBy("ws", "c_mktsegment")
     },
 
+    // Custom arbitrary state (flatMapGroupsWithState) under the REAL
+    // micro-batch engine: per-user running count + exact decimal total in
+    // Update mode; the final per-key state must equal the batch GROUP BY.
+    Q("q_stream_running",
+      """SELECT user_id, count(*) AS n,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |       AS VARCHAR) AS total
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) {
+      (s, d) =>
+        graft.streaming.Streams.runningFromSnapshot(s, d)
+          .orderBy("user_id")
+    },
+
     // Stateful streaming dedup: watermark-bounded dropDuplicates state,
     // key-only projection so the surviving-row nondeterminism of "first
     // arrival wins" never reaches the output — the key SET is the batch

@@ -149,6 +149,22 @@ object Streams {
       _.dropDuplicates("user_id", "event_type")
         .select(col("user_id"), col("event_type")))
 
+  /** REAL streaming execution of [[runningUserStats]] — the
+    * flatMapGroupsWithState surface under the micro-batch engine, declared
+    * and oracle-checked: per-user running (count, exact decimal total)
+    * state evolves across micro-batches in Update mode, the memory sink
+    * accumulates every per-batch update row, and the FINAL state per user
+    * (the max-n row — n is strictly monotone per key) must equal the batch
+    * GROUP BY. Exact decimals make the running sum arrival-order-proof.
+    */
+  def runningFromSnapshot(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame =
+    replaySnapshot(spark, sfDir, "graft-stream-running", OutputMode.Update()) {
+      st => runningUserStats(st).toDF("user_id", "n", "total")
+    }
+      .groupBy("user_id")
+      .agg(max("n").as("n"), max_by(col("total"), col("n")).as("total"))
+
   /** Stateful dedup on event_id under watermark (streaming state bounded by
     * the tolerance window — at scale state size is O(events within
     * tolerance), not O(history)).

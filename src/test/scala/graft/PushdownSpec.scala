@@ -85,6 +85,18 @@ class PushdownSpec extends SparkTestBase {
       s"events scan reads unreferenced columns: $schemas")
   }
 
+  test("q_partition_prune: the status filter prunes partitions at planning") {
+    val df = graft.queries.Sinks.prunedOrdersScan(spark, sfDir)
+    val plan = df.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    // the filter must appear as a PartitionFilters entry on the scan (prunes
+    // directories), not merely as a data filter evaluated per row
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(pf.exists(_.contains("o_orderstatus")),
+      s"o_orderstatus not in PartitionFilters: $plan")
+  }
+
   test("q_sample_stratified: documents scan reads only id and lang") {
     val df = SparkEntry.queries("q_sample_stratified")(spark, sfDir)
     val schemas = readSchemas(df)
