@@ -1,0 +1,57 @@
+package graft
+
+/** Global O(N²)-guard: no declared batch query may plan a
+  * BroadcastNestedLoopJoin or CartesianProduct unless it is on the explicit
+  * whitelist of deliberately-bounded cases below. This is the spec form of
+  * the survey's scale claim ("never an all-pairs join anywhere") — a
+  * refactor that turns an equi-join into a nested loop (a dropped join key,
+  * a non-equi condition slipping in) fails here, not in a 100 TB run.
+  *
+  * The whitelist is asserted in BOTH directions: a whitelisted query that
+  * stops planning a nested loop is flagged too, so stale entries cannot
+  * linger and silently widen the allowance.
+  *
+  * Inspection uses the INITIAL physical plan (nothing is executed), so
+  * AQE's QueryStageExec leaf-wrapping never hides a subtree (see
+  * BucketingSpec for the executed-plan traversal problem).
+  */
+class NoCrossJoinSpec extends SparkTestBase {
+
+  /** Queries whose nested-loop/cartesian is deliberate AND bounded:
+    * every entry either broadcasts a provably constant-size side or joins
+    * single-row aggregate frames.
+    */
+  private val bounded: Set[String] = Set(
+    "q_cross_join", // the declared CROSS JOIN parity op itself
+    // single-row aggregate frames joined back (global statistic → filter):
+    "q_fresh_station", "q_fresh_keep_null", // data-derived max(ts)−7d cutoff
+    "q_tfidf", // corpus document count N
+    "q_length_outliers", // corpus-wide exact p95 threshold
+    "q_minhash_recall", // n_cand/n_truth/n_hits one-row count frames
+    // constant-size literal dims (the two reference cities):
+    "q_haversine", "q_haversine_filter", "q_flagship",
+    // broadcast CONSTANT-size query/centroid side, streamed candidates —
+    // O(Q·N)/O(N·nlist) by construction, never O(N²):
+    "q_cosine_topk", "q_ann_recall", "q_ann_quant", "q_ann_ivf",
+    // the documented exact all-pairs verification kernel over fixed-width
+    // bit signatures (SetSimilarity fp stage) — quadratic in ids by
+    // declared semantics, broadcast side is the encoded bitmask frame:
+    "q_dedup_ngram_jaccard"
+  )
+
+  test("no declared batch query plans an unlisted nested-loop or cartesian join") {
+    val offenders = SparkEntry.registry
+      .filterNot(_.name.startsWith("q_stream_")) // memory-sink scans; running
+      // them here would re-execute every micro-batch pipeline for no signal
+      .flatMap { q =>
+        val plan = q.run(spark, sfDir).queryExecution
+          .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        val hasNL = plan.contains("BroadcastNestedLoopJoin") ||
+          plan.contains("CartesianProduct")
+        if (hasNL && !bounded(q.name)) Some(s"${q.name}: unlisted nested loop")
+        else if (!hasNL && bounded(q.name)) Some(s"${q.name}: stale whitelist entry")
+        else None
+      }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}
