@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sink/source fidelity pins behind q_csv_roundtrip's hash gate: exact
+  * double round-tripping through the CSV text form, and the permissive /
+  * drop-malformed error-handling semantics of the CSV source (the §2.10
+  * analog of SnapshotsSpec's JSON permissive-read pins).
+  */
+class SinksSpec extends SparkTestBase {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("CSV round-trip preserves doubles bit-exactly (shortest-repr write)") {
+    import spark.implicits._
+    // adversarial reprs: subnormal-ish, negative zero, many digits, exact
+    // halves — shortest-exact Java toString must re-parse to identical bits
+    val vals = Seq(0.1, 1.0 / 3.0, 1e-300, -0.0, 123456.789012345,
+      2.5, -17.125, 9007199254740993.0)
+    val dir = tmp("graft-csv-doubles")
+    vals.toDF("v").write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.schema(StructType(Seq(StructField("v", DoubleType))))
+      .option("header", "true").csv(dir)
+      .as[Double].collect().toSeq
+    assert(back.map(java.lang.Double.doubleToRawLongBits).sorted ==
+      vals.map(java.lang.Double.doubleToRawLongBits).sorted,
+      s"double bits changed through CSV: wrote $vals read $back")
+  }
+
+  test("CSV source error handling: PERMISSIVE nulls bad cells, DROPMALFORMED drops rows") {
+    val dir = tmp("graft-csv-malformed")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "part-0.csv"),
+      "id,qty\n1,10.5\n2,not-a-number\n3,7.25\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("qty", DoubleType)))
+    val permissive = spark.read.schema(schema).option("header", "true")
+      .csv(dir).collect().sortBy(_.getLong(0))
+    assert(permissive.length == 3)
+    assert(permissive(1).isNullAt(1), "malformed qty must become null")
+    assert(permissive(0).getDouble(1) == 10.5 && permissive(2).getDouble(1) == 7.25)
+    val dropped = spark.read.schema(schema).option("header", "true")
+      .option("mode", "DROPMALFORMED").csv(dir).collect()
+    assert(dropped.length == 2 && dropped.forall(!_.isNullAt(1)),
+      "DROPMALFORMED must drop exactly the malformed row")
+  }
+}
