@@ -306,6 +306,35 @@ object Curation {
           .orderBy("doc_id")
     },
 
+    // ── deterministic training-order shuffle: every epoch-prep pipeline
+    //    ends by randomizing document order; here order is a pure function
+    //    of the id (an independent 'shuf:' hash channel), so the
+    //    permutation is identical across engines, runs, and cluster sizes.
+    //    Each doc gets a shard (hash-mod, the write partitioning) and a
+    //    position within its shard (window ordered by the hash) — shards
+    //    are written independently and a trainer reads them round-robin.
+    //    Scale: one narrow map + per-shard windows; the full-corpus ORDER
+    //    BY a random key (the naive shuffle) never happens. ─────────────────
+    Q("q_shuffle_shards",
+      """WITH h AS (SELECT doc_id,
+        |    ('0x' || substr(md5('shuf:' || doc_id::VARCHAR), 1, 15))::BIGINT AS hv
+        |  FROM documents)
+        |SELECT doc_id, hv % 32 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY hv % 32 ORDER BY hv, doc_id)
+        |       AS BIGINT) AS pos
+        |FROM h ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("shard").orderBy("hv", "doc_id")
+        documents(s, d)
+          .select(col("doc_id"),
+            md5Long(concat(lit("shuf:"), col("doc_id").cast("string"))).as("hv"))
+          .withColumn("shard", col("hv") % 32)
+          .select(col("doc_id"), col("shard"),
+            row_number().over(w).cast("long").as("pos"))
+          .orderBy("doc_id")
+    },
+
     // ── deterministic stratified sampling: per-language rates (downsample
     //    the dominant language to 25%, keep the tail at 100%) through an
     //    independent hash channel ('smp:' prefix, so the sample is
