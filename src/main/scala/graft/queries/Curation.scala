@@ -136,13 +136,19 @@ object Curation {
           .orderBy("doc_id")
     },
 
-    // ── packing efficiency as a declared, hash-checked number — the
+    // ── packing quality as a declared, hash-checked number — the
     //    measured-quality closure for q_pack_sequences (the q_ann_recall
-    //    pattern): per source, the bin count of in-corpus-order greedy
-    //    packing vs length-descending greedy packing vs the ceil(total/2048)
-    //    lower bound no packing can beat. Every column is an exact BIGINT.
-    //    Scale: two per-source windows + one per-source agg — the same
-    //    shuffle-by-source shape as q_pack_sequences, nothing global. ──────
+    //    pattern). In the spanning model q_pack_sequences uses (a document
+    //    belongs to the window its first token lands in, bodies flow across
+    //    boundaries), bin CONSUMPTION is order-independent — always
+    //    ceil(total/2048) — so the order-sensitive quality metric is the
+    //    STRADDLE count: documents split across a window boundary, i.e. the
+    //    fragmentation cost the trainer pays (a straddler is truncated or
+    //    continued mid-document). Reported per source for corpus order vs
+    //    length-descending order, with the bin consumption alongside.
+    //    Every column is an exact BIGINT. Scale: two per-source windows +
+    //    one per-source agg — the same shuffle-by-source shape as
+    //    q_pack_sequences, nothing global. ─────────────────────────────────
     Q("q_pack_bins",
       """WITH t AS (SELECT doc_id, source,
         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
@@ -157,38 +163,42 @@ object Curation {
         |  FROM t),
         |a1 AS (SELECT source, count(*) AS n_docs,
         |         CAST(SUM(n_tok) AS BIGINT) AS total_tok,
-        |         CAST(MAX((cum - n_tok) // 2048) + 1 AS BIGINT) AS bins_naive
+        |         CAST(SUM(CASE WHEN (cum - n_tok) // 2048 <> (cum - 1) // 2048
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS straddle_naive
         |       FROM c1 GROUP BY source),
         |a2 AS (SELECT source,
-        |         CAST(MAX((cum - n_tok) // 2048) + 1 AS BIGINT) AS bins_sorted
+        |         CAST(SUM(CASE WHEN (cum - n_tok) // 2048 <> (cum - 1) // 2048
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS straddle_sorted
         |       FROM c2 GROUP BY source)
         |SELECT source, n_docs, total_tok,
-        |  CAST((total_tok + 2047) // 2048 AS BIGINT) AS bins_lb,
-        |  bins_naive, bins_sorted
+        |  CAST((total_tok + 2047) // 2048 AS BIGINT) AS bins,
+        |  straddle_naive, straddle_sorted
         |FROM a1 JOIN a2 USING (source) ORDER BY source""".stripMargin) {
       (s, d) =>
         import org.apache.spark.sql.expressions.Window
         val t = documents(s, d)
           .select(col("doc_id"), col("source"),
             size(split(col("text"), " ")).cast("long").as("n_tok"))
-        def bins(ordered: org.apache.spark.sql.Column*) = {
+        // per-row straddle flag: first and last token land in different
+        // 2048-token windows under the given packing order
+        def straddles(ordered: org.apache.spark.sql.Column*) = {
           val w = Window.partitionBy("source").orderBy(ordered: _*)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-          // start offset // budget, as in q_pack_sequences; max index + 1
-          // is the bin count of the greedy pass in that order
-          ((sum("n_tok").over(w) - col("n_tok")) / 2048).cast("long")
+          val cum = sum("n_tok").over(w)
+          when(((cum - col("n_tok")) / 2048).cast("long") =!=
+            ((cum - 1) / 2048).cast("long"), 1L).otherwise(0L)
         }
-        val a1 = t.withColumn("bin", bins(col("doc_id")))
+        val a1 = t.withColumn("st", straddles(col("doc_id")))
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("total_tok"),
-            (max("bin") + 1).as("bins_naive"))
-        val a2 = t.withColumn("bin", bins(col("n_tok").desc, col("doc_id")))
+            sum("st").as("straddle_naive"))
+        val a2 = t.withColumn("st", straddles(col("n_tok").desc, col("doc_id")))
           .groupBy("source")
-          .agg((max("bin") + 1).as("bins_sorted"))
+          .agg(sum("st").as("straddle_sorted"))
         a1.join(a2, Seq("source"))
           .select(col("source"), col("n_docs"), col("total_tok"),
-            ((col("total_tok") + 2047) / 2048).cast("long").as("bins_lb"),
-            col("bins_naive"), col("bins_sorted"))
+            ((col("total_tok") + 2047) / 2048).cast("long").as("bins"),
+            col("straddle_naive"), col("straddle_sorted"))
           .orderBy("source")
     },
 

@@ -28,10 +28,16 @@ import graft.sources.Snapshots
   */
 object Flagship {
 
-  /** Fixture lives in-repo; absolute so Spark and the driver's DuckDB agree
-    * regardless of working directory.
+  /** Fixture lives in-repo; resolved to an absolute path so Spark and the
+    * driver's DuckDB agree. Prefer the checkout we are actually running in
+    * (sbt sets CWD to the repo root); fall back to the canonical location
+    * for contexts launched elsewhere.
     */
-  private val Base = "/root/repo/fixtures/snapshots"
+  private val Base = {
+    val local = new java.io.File("fixtures/snapshots")
+    if (local.isDirectory) local.getAbsolutePath
+    else "/root/repo/fixtures/snapshots"
+  }
 
   private val citySeq = Seq(
     ("Warsaw", 52.2297, 21.0122),
@@ -58,8 +64,15 @@ object Flagship {
          |    columns={location_id:'BIGINT', sensorsId:'VARCHAR', value:'VARCHAR', unit:'VARCHAR',
          |      datetime:'STRUCT(utc VARCHAR, local VARCHAR)', "date":'VARCHAR'})),
          |cityc(city, clat, clon) AS (VALUES $cityValuesSql),
+         |-- AT TIME ZONE 'UTC' pins every instant to naive UTC wall time
+         |-- BEFORE interval arithmetic/comparison: TIMESTAMPTZ ± INTERVAL is
+         |-- calendar math in the DuckDB session TZ (SURVEY §5.3), which a
+         |-- DST boundary would shift by an hour vs Spark's UTC session,
+         |-- while the offset in the source string (the fixture has +02:00)
+         |-- still resolves correctly through the TIMESTAMPTZ parse.
          |cutoff AS (SELECT max(try_cast(regexp_replace(datetimeLast.utc, 'Z$$', '+00:00')
-         |    AS TIMESTAMPTZ)) - INTERVAL ${AirQuality.FreshDays} DAY AS cut FROM locs),
+         |    AS TIMESTAMPTZ) AT TIME ZONE 'UTC')
+         |    - INTERVAL ${AirQuality.FreshDays} DAY AS cut FROM locs),
          |wc AS (
          |  SELECT l.city, l.id, l.name, l.locality, l.sensors,
          |    2.0 * 6371000.0 * asin(least(1.0, sqrt(
@@ -67,7 +80,8 @@ object Flagship {
          |      + cos(radians(c.clat)) * cos(radians(l.coordinates.latitude))
          |        * pow(sin(radians(l.coordinates.longitude - c.clon) / 2), 2)))) AS dist_m,
          |    (l.coordinates.latitude IS NULL OR l.coordinates.longitude IS NULL) AS cmiss,
-         |    try_cast(regexp_replace(l.datetimeLast.utc, 'Z$$', '+00:00') AS TIMESTAMPTZ) AS last_seen
+         |    try_cast(regexp_replace(l.datetimeLast.utc, 'Z$$', '+00:00') AS TIMESTAMPTZ)
+         |      AT TIME ZONE 'UTC' AS last_seen
          |  FROM locs l JOIN cityc c USING (city)),
          |pcnt AS (SELECT city, count(*) AS n FROM wc
          |         WHERE cmiss OR dist_m <= ${AirQuality.PrimaryRadiusM} GROUP BY city),
@@ -108,7 +122,8 @@ object Flagship {
          |        FROM ms m JOIN cs ON m.sid = cs.sensor_id AND m.location_id = cs.loc_id
          |        CROSS JOIN cutoff
          |        WHERE try_cast(regexp_replace(m.dstr, 'Z$$', '+00:00') AS TIMESTAMPTZ) IS NULL
-         |           OR try_cast(regexp_replace(m.dstr, 'Z$$', '+00:00') AS TIMESTAMPTZ) >= cut),
+         |           OR try_cast(regexp_replace(m.dstr, 'Z$$', '+00:00') AS TIMESTAMPTZ)
+         |              AT TIME ZONE 'UTC' >= cut),
          |cp AS (SELECT DISTINCT city, loc_id, pname FROM val),
          |uc AS (SELECT r.city, r.loc_id, r.rank,
          |         SUM(CASE WHEN cnt.n IS NOT NULL THEN 1 ELSE 0 END)

@@ -37,10 +37,11 @@ object Sinks {
           .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
             col("l_linestatus"), col("l_quantity"),
             col("l_shipdate").cast("date").as("l_shipdate"))
-        // per-run unique staging dir under the JVM tmpdir; left in place —
-        // the returned plan lazily re-reads it when the driver collects
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-csv-roundtrip").toString
+        // deterministic per-input staging dir + overwrite: repeated builds
+        // (Bench warm-up + timed passes, plan specs) rewrite the SAME
+        // directory instead of leaking a fresh temp dir per call; the
+        // returned plan lazily re-reads it when the driver collects
+        val dir = stagingDir("graft-csv-roundtrip", d)
         src.write.mode("overwrite").option("header", "true").csv(dir)
         val back = s.read.schema(src.schema).option("header", "true").csv(dir)
         back.groupBy("l_returnflag", "l_linestatus")
@@ -78,10 +79,22 @@ object Sinks {
     */
   def prunedOrdersScan(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft-partitioned-orders").toString
+    val dir = stagingDir("graft-partitioned-orders", d)
     orders(s, d).write.mode("overwrite")
       .partitionBy("o_orderstatus").parquet(dir)
     s.read.parquet(dir).filter(col("o_orderstatus") === "F")
+  }
+
+  /** One stable staging path per (purpose, input dir) under the JVM tmpdir:
+    * bounded disk use across repeated query builds in one process, no
+    * cross-scale-factor collisions (the sfDir is hashed into the name).
+    */
+  private def stagingDir(prefix: String, sfDir: String): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"$prefix-$tag")
+    java.nio.file.Files.createDirectories(p)
+    p.toString
   }
 }

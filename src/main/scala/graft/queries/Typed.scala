@@ -25,7 +25,11 @@ object Typed {
   private final class DecimalSum extends Aggregator[Double, java.math.BigDecimal, String] {
     def zero: java.math.BigDecimal = java.math.BigDecimal.ZERO
     def reduce(b: java.math.BigDecimal, v: Double): java.math.BigDecimal =
-      b.add(new java.math.BigDecimal(v).setScale(2, java.math.RoundingMode.HALF_UP))
+      // valueOf (Double.toString-based), NOT new BigDecimal(v) (exact binary
+      // expansion): Spark's CAST(double AS DECIMAL) and DuckDB both round
+      // the decimal string form, and half-way doubles like 2.675
+      // (binary 2.67499…) diverge under the exact-expansion constructor
+      b.add(java.math.BigDecimal.valueOf(v).setScale(2, java.math.RoundingMode.HALF_UP))
     def merge(a: java.math.BigDecimal, b: java.math.BigDecimal): java.math.BigDecimal =
       a.add(b)
     def finish(b: java.math.BigDecimal): String =
@@ -57,7 +61,6 @@ object Typed {
           .mapValues(_._2) // the aggregator consumes the bare quantity
           .agg(count(lit(1)).as("n").as[Long],
             sumAgg.name("total"))
-          .map { case (k, n, t) => (k, n, t) }
           .toDF("l_returnflag", "n", "total")
           .orderBy("l_returnflag")
     },
@@ -93,8 +96,8 @@ object Typed {
           var qty = java.math.BigDecimal.ZERO
           ls.foreach { case (_, v) =>
             nLine += 1
-            qty = qty.add(
-              new java.math.BigDecimal(v).setScale(2, java.math.RoundingMode.HALF_UP))
+            qty = qty.add( // valueOf: match CAST rounding (see DecimalSum)
+              java.math.BigDecimal.valueOf(v).setScale(2, java.math.RoundingMode.HALF_UP))
           }
           Iterator((k, nOrd, nLine, qty.setScale(2).toPlainString))
         }

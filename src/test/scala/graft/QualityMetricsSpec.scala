@@ -20,16 +20,19 @@ class QualityMetricsSpec extends SparkTestBase {
     assert(rec >= 0.0 && rec <= 1.0 && prec >= 0.0 && prec <= 1.0)
   }
 
-  test("q_pack_bins: no packing order beats the volume lower bound") {
+  test("q_pack_bins: bin consumption is exact, straddles are bounded by docs") {
     val rows = run("q_pack_bins")
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val lb = r.getAs[Long]("bins_lb")
-      assert(lb >= 1L)
-      assert(r.getAs[Long]("bins_naive") >= lb,
-        s"naive packing beat the lower bound in ${r.getAs[String]("source")}")
-      assert(r.getAs[Long]("bins_sorted") >= lb,
-        s"sorted packing beat the lower bound in ${r.getAs[String]("source")}")
+      val (bins, total, nDocs) = (r.getAs[Long]("bins"),
+        r.getAs[Long]("total_tok"), r.getAs[Long]("n_docs"))
+      assert(bins >= 1L && bins * 2048 >= total && (bins - 1) * 2048 < total,
+        s"bins != ceil(total/2048) in ${r.getAs[String]("source")}")
+      Seq("straddle_naive", "straddle_sorted").foreach { c =>
+        val st = r.getAs[Long](c)
+        assert(st >= 0L && st <= nDocs,
+          s"$c out of [0, n_docs] in ${r.getAs[String]("source")}")
+      }
     }
   }
 
