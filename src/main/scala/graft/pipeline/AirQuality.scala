@@ -58,7 +58,8 @@ object AirQuality {
     * real API, or a 100 TB measurement lake.
     */
   def run(spark: SparkSession, locations: DataFrame, latest: DataFrame,
-      cities: DataFrame): DataFrame = {
+      cities: DataFrame,
+      metrics: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
 
     // per-city primary radius (`CITY_CFG.radius_m`); default when the
     // config table doesn't carry the column
@@ -193,7 +194,8 @@ object AirQuality {
 
     // P3/P4/P7: valid rows of the chosen prefix, six-column projection;
     // city union is implicit (city is a column, not a loop)
-    valid.join(broadcast(chosenDf), Seq("city", "loc_id"), "left_semi")
+    val projected = valid
+      .join(broadcast(chosenDf), Seq("city", "loc_id"), "left_semi")
       .select(
         col("city"),
         col("loc_name").as("location"),
@@ -201,7 +203,15 @@ object AirQuality {
         col("value"),
         unitCoalesce(col("punit"), col("unit")).as("unit"),
         dateStr.as("date"))
-      .orderBy("city", "location", "parameter", "value", "date")
+    // K3 observability: pipeline health counters ride the SAME plan as a
+    // CollectMetrics node (no second scan of anything) — the Spark-native
+    // form of the reference's response summary (`main.py:300-309`). Callers
+    // that pass an Observation read the counters after any action.
+    val observed = metrics.fold(projected)(o =>
+      projected.observe(o,
+        count(lit(1)).as("n_rows"),
+        sum(when(col("unit") === "", 1L).otherwise(0L)).as("n_empty_unit")))
+    observed.orderBy("city", "location", "parameter", "value", "date")
   }
 
   /** K1 CSV sink (`main.py:284-293`): header row, the reference's fixed

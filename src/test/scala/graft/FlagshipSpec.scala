@@ -158,6 +158,23 @@ class FlagshipSpec extends SparkTestBase {
     assert(locs == Set("A", "C", "D"))
   }
 
+  test("K3 observe(): health counters ride the plan, no second scan") {
+    import spark.implicits._
+    val a = mkLoc("T", 1, "A", 0.01, Seq(mkSensor(11, "pm25"), mkSensor(12, "o3"),
+      mkSensor(13, "pm10"), mkSensor(14, "no2")))
+    val b = mkLoc("T", 2, "B", 0.02, Seq(mkSensor(21, "pm25")))
+    val c = mkLoc("T", 3, "C", 0.03, Seq(mkSensor(31, "o3")))
+    val meas = Seq(mkMeas(1, 11, "1.0"), mkMeas(1, 12, "2.0"),
+      mkMeas(1, 13, "3.0"), mkMeas(1, 14, "4.0"),
+      mkMeas(2, 21, "5.0"), mkMeas(3, 31, "6.0"))
+    val obs = org.apache.spark.sql.Observation("graft-flagship-metrics")
+    val out = AirQuality.run(spark, Seq(a, b, c).toDS().toDF(),
+      meas.toDS().toDF(), Seq(City("T", 0.0, 0.0)).toDS().toDF(), Some(obs))
+    val n = out.count() // the one action: metrics must arrive with it
+    assert(obs.get("n_rows") == n, "CollectMetrics row count != action count")
+    assert(obs.get("n_empty_unit") == 0L) // every fixture sensor has a unit
+  }
+
   test("K1 CSV sink: header, fixed column order, lossless round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("k1csv").toString
     try {
