@@ -269,6 +269,117 @@ object Dedup {
             (col("n_hits").cast("double") / col("n_cand")).as("prec"))
     },
 
+    // ── SimHash quality as a declared, hash-checked number — the last
+    //    family closure (ANN, int8, MinHash already have theirs): the
+    //    hamming-≤8 candidate pairs measured against exact BAG (multiset)
+    //    Jaccard ≥ 0.6 over token counts. Bag Jaccard, not set Jaccard: the
+    //    corpus vocabulary is tiny (31 words), so token SETS saturate (74%
+    //    of pairs share half their vocabulary) while the COUNT profile —
+    //    which is what SimHash's weighted bit votes encode — discriminates
+    //    (0.6% of pairs at ≥ 0.6). Truth is computed on dense count vectors
+    //    over the global dictionary (driver-bounded like SetSimilarity's
+    //    vocabCap) and thresholded as exact integers (smin·8 ≥ 3·total ⟺
+    //    J ≥ 0.6), so no float reaches a decision. The all-pairs vector
+    //    compare is the same documented exact-verification kernel as
+    //    q_dedup_ngram_jaccard — quadratic by declared semantics because
+    //    the measurement needs the FULL truth set. ─────────────────────────
+    Q("q_simhash_recall",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS hv FROM tok),
+        |votes AS (SELECT doc_id, b,
+        |    SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM h CROSS JOIN range(60) r(b) GROUP BY doc_id, b),
+        |bits AS (SELECT doc_id,
+        |    CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM votes GROUP BY doc_id),
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 8),
+        |tokc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
+        |dict AS (SELECT t, row_number() OVER (ORDER BY t) AS idx
+        |         FROM (SELECT DISTINCT t FROM tokc)),
+        |docs AS (SELECT DISTINCT doc_id FROM tokc),
+        |cell AS (SELECT d.doc_id, dc.idx, coalesce(tc.c, 0) AS c
+        |         FROM docs d CROSS JOIN dict dc
+        |         LEFT JOIN tokc tc ON tc.doc_id = d.doc_id AND tc.t = dc.t),
+        |vec AS (SELECT doc_id, list(c ORDER BY idx) AS v, sum(c) AS n
+        |        FROM cell GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         list_reduce(list_prepend(0::BIGINT,
+        |           list_transform(range(1, len(a.v)+1),
+        |                          i -> least(a.v[i], b.v[i]))),
+        |           (x,y) -> x + y) AS smin,
+        |         a.n + b.n AS ntot
+        |       FROM vec a JOIN vec b ON a.doc_id < b.doc_id),
+        |truth AS (SELECT doc_a, doc_b FROM pr WHERE smin * 8 >= ntot * 3),
+        |tn AS (SELECT count(*) AS n_truth FROM truth),
+        |cn AS (SELECT count(*) AS n_cand FROM cand),
+        |hn AS (SELECT count(*) AS n_hits
+        |       FROM cand JOIN truth USING (doc_a, doc_b))
+        |SELECT 'simhash_h8' AS method, n_cand, n_truth, n_hits,
+        |  n_hits::DOUBLE / n_truth AS recall,
+        |  n_hits::DOUBLE / n_cand AS prec
+        |FROM cn CROSS JOIN tn CROSS JOIN hn""".stripMargin) {
+      (s, d) =>
+        val cand = graft.ops.HammingJoin
+          .pairsWithin(simhashes(s, d).cache(), "doc_id", "simhash", 60, 8)
+          .select("doc_a", "doc_b").cache() // counted AND hit-joined
+        val tokc = spread(documents(s, d))
+          .select(col("doc_id"), explode(toks).as("t"))
+          .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+          .cache() // dictionary scan + vector build both read it
+        // global dictionary, driver-bounded (SetSimilarity's vocabCap
+        // discipline): at corpus scale the dense-vector truth would use a
+        // capped frequent dictionary + exact rare tail; this corpus's
+        // 31-word vocabulary fits outright, and the guard makes growth loud
+        val vocab = tokc.select("t").distinct().orderBy("t")
+          .limit(1025).collect().map(_.getString(0))
+        require(vocab.length <= 1024,
+          "token vocabulary exceeds the dense-truth dictionary cap")
+        val V = vocab.length
+        val spark2 = s
+        import spark2.implicits._
+        val dictDf = broadcast(
+          vocab.zipWithIndex.toSeq.toDF("t", "idx"))
+        val vecs = tokc.join(dictDf, "t")
+          .groupBy("doc_id")
+          .agg(map_from_entries(collect_list(struct(col("idx"), col("c"))))
+            .as("m"), sum("c").as("n"))
+          .select(col("doc_id"),
+            transform(sequence(lit(0), lit(V - 1)),
+              i => coalesce(element_at(col("m"), i), lit(0L))).as("v"),
+            col("n"))
+        val a = vecs.select(col("doc_id").as("doc_a"), col("v").as("va"),
+          col("n").as("na"))
+        val b = vecs.select(col("doc_id").as("doc_b"), col("v").as("vb"),
+          col("n").as("nb"))
+        // per-pair Σ min as a V-term codegen expression, NOT a zip_with HOF:
+        // the HOF allocates an intermediate array per pair — at 12.5M pairs
+        // that allocation dominates; element_at terms are pure arithmetic
+        val smin = (0 until V)
+          .map(i => least(col("va")(i), col("vb")(i)))
+          .reduce(_ + _)
+        // length prefilter inside the join condition (classic prefix
+        // filtering): J ≤ min(na,nb)/max(na,nb), so J ≥ 0.6 is impossible
+        // unless 5·min ≥ 3·max — And short-circuits in codegen, so the
+        // V-term sum never evaluates for length-incompatible pairs
+        val lenOk = least(col("na"), col("nb")) * 5 >=
+          greatest(col("na"), col("nb")) * 3
+        val truth = broadcast(a).join(b,
+          col("doc_a") < col("doc_b") && lenOk &&
+            smin * 8 >= (col("na") + col("nb")) * 3)
+          .select("doc_a", "doc_b").cache() // counted AND hit-joined
+        val nT = truth.agg(count(lit(1)).as("n_truth"))
+        val nC = cand.agg(count(lit(1)).as("n_cand"))
+        val nH = cand.join(truth, Seq("doc_a", "doc_b"))
+          .agg(count(lit(1)).as("n_hits"))
+        nC.crossJoin(nT).crossJoin(nH)
+          .select(lit("simhash_h8").as("method"),
+            col("n_cand"), col("n_truth"), col("n_hits"),
+            (col("n_hits").cast("double") / col("n_truth")).as("recall"),
+            (col("n_hits").cast("double") / col("n_cand")).as("prec"))
+    },
+
     // ── n-gram Jaccard: distinct 2-gram shingles, pairs via shared-shingle
     //    equi-join (never a cross join) ──────────────────────────────────
     Q("q_dedup_ngram_jaccard",

@@ -28,6 +28,7 @@ class NoCrossJoinSpec extends SparkTestBase {
     "q_tfidf", // corpus document count N
     "q_length_outliers", // corpus-wide exact p95 threshold
     "q_minhash_recall", // n_cand/n_truth/n_hits one-row count frames
+    "q_simhash_recall", // count frames + the dense-vector truth kernel
     // constant-size literal dims (the two reference cities):
     "q_haversine", "q_haversine_filter", "q_flagship",
     // broadcast CONSTANT-size query/centroid side, streamed candidates —
