@@ -321,11 +321,13 @@ object Dedup {
         |  n_hits::DOUBLE / n_cand AS prec
         |FROM cn CROSS JOIN tn CROSS JOIN hn""".stripMargin) {
       (s, d) =>
+        // ONE cached token scan feeds signatures AND the bag-count truth
+        val tok = spread(documents(s, d))
+          .select(col("doc_id"), explode(toks).as("t")).cache()
         val cand = graft.ops.HammingJoin
-          .pairsWithin(simhashes(s, d).cache(), "doc_id", "simhash", 60, 8)
+          .pairsWithin(simhashesFromTok(tok).cache(), "doc_id", "simhash", 60, 8)
           .select("doc_a", "doc_b").cache() // counted AND hit-joined
-        val tokc = spread(documents(s, d))
-          .select(col("doc_id"), explode(toks).as("t"))
+        val tokc = tok
           .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
           .cache() // dictionary scan + vector build both read it
         // global dictionary, driver-bounded (SetSimilarity's vocabCap
@@ -420,8 +422,15 @@ object Dedup {
     * partial-aggregating groupBy, no tokens×60 row explosion. The signature
     * is then composed in a single projection.
     */
-  private def simhashes(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val tok = spread(documents(s, d)).select(col("doc_id"), explode(toks).as("t"))
+  private def simhashes(s: org.apache.spark.sql.SparkSession, d: String) =
+    simhashesFromTok(
+      spread(documents(s, d)).select(col("doc_id"), explode(toks).as("t")))
+
+  /** SimHash signatures from pre-exploded (doc_id, t) token rows — split
+    * out so q_simhash_recall can feed signatures AND bag-count truth from
+    * ONE cached token scan.
+    */
+  private def simhashesFromTok(tok: org.apache.spark.sql.DataFrame) = {
     val h = tok.select(col("doc_id"), md5Long(col("t")).as("hv"))
     val voteAggs = (0 until 60).map(b =>
       sum(when(expr(s"(hv >> $b) & 1") === 1, 1).otherwise(-1)).as(s"v$b"))
