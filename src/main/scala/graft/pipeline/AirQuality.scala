@@ -210,7 +210,10 @@ object AirQuality {
     val observed = metrics.fold(projected)(o =>
       projected.observe(o,
         count(lit(1)).as("n_rows"),
-        sum(when(col("unit") === "", 1L).otherwise(0L)).as("n_empty_unit")))
+        // coalesce: sum over ZERO rows is null, and a health counter must
+        // read 0, not null, on an empty result
+        coalesce(sum(when(col("unit") === "", 1L).otherwise(0L)), lit(0L))
+          .as("n_empty_unit")))
     observed.orderBy("city", "location", "parameter", "value", "date")
   }
 

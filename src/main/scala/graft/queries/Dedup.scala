@@ -339,18 +339,20 @@ object Dedup {
         require(vocab.length <= 1024,
           "token vocabulary exceeds the dense-truth dictionary cap")
         val V = vocab.length
-        val spark2 = s
-        import spark2.implicits._
+        import s.implicits._
         val dictDf = broadcast(
           vocab.zipWithIndex.toSeq.toDF("t", "idx"))
+        // total under V=0 (empty corpus): sequence(0,-1) would descend, so
+        // the vector degenerates to an explicit empty array instead
+        val vecExpr =
+          if (V == 0) array().cast("array<bigint>")
+          else transform(sequence(lit(0), lit(V - 1)),
+            i => coalesce(element_at(col("m"), i), lit(0L)))
         val vecs = tokc.join(dictDf, "t")
           .groupBy("doc_id")
           .agg(map_from_entries(collect_list(struct(col("idx"), col("c"))))
             .as("m"), sum("c").as("n"))
-          .select(col("doc_id"),
-            transform(sequence(lit(0), lit(V - 1)),
-              i => coalesce(element_at(col("m"), i), lit(0L))).as("v"),
-            col("n"))
+          .select(col("doc_id"), vecExpr.as("v"), col("n"))
         val a = vecs.select(col("doc_id").as("doc_a"), col("v").as("va"),
           col("n").as("na"))
         val b = vecs.select(col("doc_id").as("doc_b"), col("v").as("vb"),
@@ -360,7 +362,7 @@ object Dedup {
         // that allocation dominates; element_at terms are pure arithmetic
         val smin = (0 until V)
           .map(i => least(col("va")(i), col("vb")(i)))
-          .reduce(_ + _)
+          .foldLeft(lit(0L))(_ + _) // fold, not reduce: total under V=0
         // length prefilter inside the join condition (classic prefix
         // filtering): J ≤ min(na,nb)/max(na,nb), so J ≥ 0.6 is impossible
         // unless 5·min ≥ 3·max — And short-circuits in codegen, so the

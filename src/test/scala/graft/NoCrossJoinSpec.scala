@@ -11,9 +11,13 @@ package graft
   * stops planning a nested loop is flagged too, so stale entries cannot
   * linger and silently widen the allowance.
   *
-  * Inspection uses the INITIAL physical plan (nothing is executed), so
-  * AQE's QueryStageExec leaf-wrapping never hides a subtree (see
-  * BucketingSpec for the executed-plan traversal problem).
+  * Inspection uses the INITIAL physical plan — the inspected frames are
+  * never executed, so AQE's QueryStageExec leaf-wrapping never hides a
+  * subtree (see BucketingSpec for the executed-plan traversal problem).
+  * (A few builders run bounded dictionary/statistic collects and staging
+  * writes at CONSTRUCTION time — SetSimilarity's vocab, the simhash-recall
+  * dictionary, the Sinks staging dirs — so the sweep is not free, and the
+  * cache it leaves behind is cleared at the end.)
   */
 class NoCrossJoinSpec extends SparkTestBase {
 
@@ -53,6 +57,7 @@ class NoCrossJoinSpec extends SparkTestBase {
         else if (!hasNL && bounded(q.name)) Some(s"${q.name}: stale whitelist entry")
         else None
       }
+    spark.sharedState.cacheManager.clearCache() // builder-time cache residue
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 }

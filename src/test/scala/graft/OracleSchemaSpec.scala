@@ -28,6 +28,7 @@ class OracleSchemaSpec extends SparkTestBase {
       }
       bad
     }
+    spark.sharedState.cacheManager.clearCache() // builder-time cache residue
     assert(offenders.isEmpty,
       s"oracle-incomparable top-level columns (stringify them): ${offenders.mkString(", ")}")
   }
