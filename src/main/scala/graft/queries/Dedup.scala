@@ -67,7 +67,11 @@ object Dedup {
       d: String): org.apache.spark.sql.DataFrame =
     minhashPairsFrom(shingleHashes(s, d))
 
-  private def minhashPairsFrom(
+  /** (doc_id, band, sig) LSH band signatures — 16 min-aggregate columns
+    * unpivoted to 4 bands of 4; the index rows an incremental-dedup
+    * deployment persists.
+    */
+  private def minhashBands(
       sh: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val minAggs = (0 until 16).map(j =>
       min(col("hv").bitwiseXOR(lit(md5LongLocal(s"perm:$j")))).as(s"h$j"))
@@ -77,9 +81,13 @@ object Dedup {
         concat_ws("-", (0 until 4).map(k => col(s"h${b * 4 + k}")
           .cast("string")): _*).as("sig"))
     }
-    val bands = hs
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+    hs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  private def minhashPairsFrom(
+      sh: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val bands = minhashBands(sh)
       .cache() // self-joined below: compute the signatures once
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
@@ -168,6 +176,62 @@ object Dedup {
         // duplication rate, so let AQE pick broadcast vs shuffle anti-join
         documents(s, d).select("doc_id")
           .join(dupes, Seq("doc_id"), "left_anti")
+          .orderBy("doc_id")
+    },
+
+    // ── incremental dedup: a NEW batch checked against the PERSISTED band
+    //    index of the existing corpus — the production shape at lake scale
+    //    (nobody re-deduplicates 100 TB per ingest; the increment joins the
+    //    stored index). Corpus = hash bucket < 90, batch = bucket ≥ 90 (the
+    //    independent md5 split channel); the corpus's (doc_id, band, sig)
+    //    rows are STAGED TO PARQUET and read back, so the declared result
+    //    is computed from the persisted index exactly as a deployment
+    //    would. Per batch doc: how many distinct corpus docs it collides
+    //    with, the canonical (min-id) collision, and the drop flag.
+    //    Scale: index write/read is partition-parallel; the probe is a
+    //    band equi-join; nothing touches corpus text again. ─────────────────
+    Q("q_dedup_incremental",
+      s"""WITH $MinhashPairsCte,
+        |bk AS (SELECT doc_id,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bkt
+        |  FROM documents),
+        |idx AS (SELECT b.doc_id AS corpus_id, b.band, b.sig
+        |        FROM bands b JOIN bk USING (doc_id) WHERE bkt < 90),
+        |bt AS (SELECT b.doc_id, b.band, b.sig
+        |       FROM bands b JOIN bk USING (doc_id) WHERE bkt >= 90),
+        |hits AS (SELECT bt.doc_id,
+        |           count(DISTINCT idx.corpus_id) AS n_matches,
+        |           min(idx.corpus_id) AS first_match
+        |         FROM bt JOIN idx USING (band, sig) GROUP BY bt.doc_id),
+        |batch AS (SELECT DISTINCT doc_id FROM bt)
+        |SELECT b.doc_id, coalesce(h.n_matches, 0) AS n_matches,
+        |  h.first_match, h.n_matches IS NOT NULL AS is_dup
+        |FROM batch b LEFT JOIN hits h USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin) {
+      (s, d) =>
+        val bands = minhashBands(shingleHashes(s, d))
+          .withColumn("bkt", md5Long(col("doc_id").cast("string")) % 100)
+          .cache() // corpus index write + batch probe both read it
+        // persist the corpus index, then probe the READ-BACK files — the
+        // declared result flows through the stored index, not the in-memory
+        // frame (Sinks.stagingDir: stable per-input dir, overwrite)
+        val idxDir = Sinks.stagingDir("graft-minhash-index", d)
+        bands.filter(col("bkt") < 90)
+          .select(col("doc_id").as("corpus_id"), col("band"), col("sig"))
+          .write.mode("overwrite").parquet(idxDir)
+        val idx = s.read.parquet(idxDir)
+        val bt = bands.filter(col("bkt") >= 90)
+          .select(col("doc_id"), col("band"), col("sig"))
+        val hits = bt.join(idx, Seq("band", "sig"))
+          .groupBy("doc_id")
+          .agg(count_distinct(col("corpus_id")).as("n_matches"),
+            min("corpus_id").as("first_match"))
+        bt.select("doc_id").distinct()
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+            col("first_match"),
+            col("n_matches").isNotNull.as("is_dup"))
           .orderBy("doc_id")
     },
 

@@ -89,7 +89,7 @@ object Sinks {
     * bounded disk use across repeated query builds in one process, no
     * cross-scale-factor collisions (the sfDir is hashed into the name).
     */
-  private def stagingDir(prefix: String, sfDir: String): String = {
+  private[queries] def stagingDir(prefix: String, sfDir: String): String = {
     val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     val p = java.nio.file.Paths.get(
