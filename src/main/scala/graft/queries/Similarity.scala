@@ -219,6 +219,71 @@ object Similarity {
       (s, d) => ivfRanked(s, d).orderBy("qid", "rk")
     },
 
+    // ── IVF with a PERSISTED index: the inverted lists (cell, vector,
+    //    norm) are staged to parquet and the probe joins the READ-BACK
+    //    files — the serving shape (index built once, stored in the lake,
+    //    probed per query batch), mirroring q_dedup_incremental on the
+    //    embedding side. Same oracle as q_ann_ivf: a storage hop must
+    //    never change results (the q_stream_tumbling precedent). Doubles
+    //    round-trip parquet bit-exactly, so even the sim values hash-match.
+    Q("q_ann_persisted",
+      s"""WITH $normsCte,
+         |cent AS (SELECT vec_id AS ccid, e AS ce, nrm AS cn FROM n
+         |         WHERE vec_id % 31 = 1),
+         |asg AS (SELECT n.vec_id, cent.ccid,
+         |        ${dotSqlIdx("n.e", "cent.ce")} / sqrt(n.nrm * cent.cn) AS csim
+         |      FROM n CROSS JOIN cent),
+         |rkd AS (SELECT vec_id, ccid,
+         |        row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY csim DESC, ccid) AS crk
+         |      FROM asg),
+         |inv AS (SELECT r.vec_id AS cid, r.ccid AS cell, n.e AS ce2, n.nrm AS cn2
+         |      FROM rkd r JOIN n ON n.vec_id = r.vec_id WHERE r.crk = 1),
+         |qp AS (SELECT r.vec_id AS qid, r.ccid AS cell, n.e AS qe, n.nrm AS qn
+         |      FROM rkd r JOIN n ON n.vec_id = r.vec_id
+         |      WHERE r.crk <= 4 AND r.vec_id % 25 = 0),
+         |cand AS (SELECT qid, cid,
+         |        ${dotSqlIdx("qe", "ce2")} / sqrt(qn * cn2) AS sim
+         |      FROM qp JOIN inv USING (cell) WHERE cid <> qid),
+         |r AS (SELECT qid, cid, sim,
+         |        CAST(row_number() OVER (PARTITION BY qid
+         |          ORDER BY sim DESC, cid) AS BIGINT) AS rk
+         |      FROM cand)
+         |SELECT qid, rk, cid, sim FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin) {
+      (s, d) =>
+        val n = withNorms(s, d).cache() // assignment + query probes + lists
+        val cent = n.filter(col("vec_id") % 31 === 1)
+          .select(col("vec_id").as("ccid"), col("e").as("ce"), col("nrm").as("cn"))
+        val csim = (dotProduct(col("e"), col("ce")) /
+          sqrt(col("nrm") * col("cn"))).as("csim")
+        val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("ccid"))
+        val assign = n.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("ccid"), csim)
+          .withColumn("crk", row_number().over(wAssign))
+          .filter(col("crk") <= 4)
+          .cache() // inverted-list build + query probes
+        // build the index ONCE into the lake slot, probe the read-back files
+        val idxDir = Sinks.stagingDir("graft-ivf-index", d)
+        assign.filter(col("crk") === 1).join(n, "vec_id")
+          .select(col("vec_id").as("cid"), col("ccid").as("cell"),
+            col("e").as("ce2"), col("nrm").as("cn2"))
+          .write.mode("overwrite").parquet(idxDir)
+        val inv = s.read.parquet(idxDir)
+        val qp = assign.filter(col("crk") <= 4 && col("vec_id") % 25 === 0)
+          .join(n, "vec_id")
+          .select(col("vec_id").as("qid"), col("ccid").as("cell"),
+            col("e").as("qe"), col("nrm").as("qn"))
+        val sim = (dotProduct(col("qe"), col("ce2")) /
+          sqrt(col("qn") * col("cn2"))).as("sim")
+        broadcast(qp).join(inv, Seq("cell"))
+          .filter(col("cid") =!= col("qid"))
+          .select(col("qid"), col("cid"), sim)
+          .withColumn("rk", row_number().over(rankW).cast("long"))
+          .filter(col("rk") <= 3)
+          .select("qid", "rk", "cid", "sim")
+          .orderBy("qid", "rk")
+    },
+
     // ── ANN quality as a declared, hash-checked number: recall@3 of each
     //    approximate variant (single-bucket LSH, multi-probe LSH, IVF)
     //    against the exact brute-force top-3 over the SAME query set
