@@ -38,6 +38,7 @@ class NoCrossJoinSpec extends SparkTestBase {
     // broadcast CONSTANT-size query/centroid side, streamed candidates —
     // O(Q·N)/O(N·nlist) by construction, never O(N²):
     "q_cosine_topk", "q_ann_recall", "q_ann_quant", "q_ann_ivf",
+    "q_ann_persisted", // same broadcast-centroid assignment as q_ann_ivf
     // the documented exact all-pairs verification kernel over fixed-width
     // bit signatures (SetSimilarity fp stage) — quadratic in ids by
     // declared semantics, broadcast side is the encoded bitmask frame:
