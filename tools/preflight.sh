@@ -19,6 +19,9 @@ sbt -batch "runMain graft.Verify $SF $OUT"
 echo "== preflight: oracle check =="
 python3 tools/check.py "$SF" "$OUT"
 
+echo "== preflight: oracle timezone-independence =="
+python3 tools/tzcheck.py "$SF" "$OUT" | tail -1
+
 echo "== preflight: sbt test =="
 sbt -batch test
 
