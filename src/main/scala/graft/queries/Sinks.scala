@@ -52,6 +52,32 @@ object Sinks {
           .orderBy("l_returnflag", "l_linestatus")
     },
 
+    // ── ORC round-trip: the same sink+source discipline as
+    //    q_csv_roundtrip over Spark's other bundled columnar format —
+    //    write a lineitem subset as ORC, aggregate the read-back files.
+    //    Completes the source/sink matrix (parquet scan everywhere, JSON
+    //    via Snapshots, CSV and ORC here). Binary columnar round-trip is
+    //    exact by construction; the aggregate stays order-insensitive
+    //    anyway (counts + DECIMAL sums). ────────────────────────────────────
+    Q("q_orc_roundtrip",
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem WHERE l_orderkey % 11 = 0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, d) =>
+        val src = lineitem(s, d)
+          .filter(col("l_orderkey") % 11 === 0)
+          .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+        val dir = stagingDir("graft-orc-roundtrip", d)
+        src.write.mode("overwrite").orc(dir)
+        s.read.schema(src.schema).orc(dir)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+              .as("sum_price"))
+          .orderBy("l_returnflag")
+    },
+
     // ── partition-pruned lake layout: write orders partitioned by
     //    o_orderstatus (the date/tenant-partitioned layout every 100 TB
     //    lake uses), read it back with a partition-key filter, aggregate.

@@ -36,6 +36,17 @@ class QualityMetricsSpec extends SparkTestBase {
     }
   }
 
+  test("q_shuffle_shards: a true permutation — contiguous positions per shard") {
+    val rows = run("q_shuffle_shards")
+    val n = graft.model.Tables.documents(spark, sfDir).count()
+    assert(rows.length == n, "shuffle must keep every document exactly once")
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (shard, rs) =>
+      val pos = rs.map(_.getAs[Long]("pos")).sorted.toSeq
+      assert(pos == (1L to rs.length).toSeq,
+        s"shard $shard positions are not contiguous 1..${rs.length}")
+    }
+  }
+
   test("q_length_outliers: strictly-above-p95 rows are at most ~5% of corpus") {
     val n = graft.model.Tables.documents(spark, sfDir).count()
     val outliers = run("q_length_outliers").length
