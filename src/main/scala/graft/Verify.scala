@@ -9,6 +9,11 @@ object Verify {
     // aid) restrict the dump; the driver's 2-arg call dumps everything
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).toSet
+    // fail fast on a misspelled name: a silent no-match dump would feed
+    // check.py an empty directory and report phantom failures
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -44,6 +49,9 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      // filtered runs dump only the matching oracles, so check.py never
+      // reports spurious missing-result failures for unrequested queries
+      .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

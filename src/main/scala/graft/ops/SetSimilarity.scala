@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Exact all-pairs Jaccard similarity over element sets, as a reusable
@@ -108,15 +108,24 @@ object SetSimilarity {
 
   /** Reference inverted-index formulation — the textbook plan, kept for the
     * equivalence regression test of [[jaccardPairs]].
+    *
+    * `aPred` optionally restricts the LEFT side of the inverted-index join
+    * (the smaller id of each emitted pair): with a constant-size probe set
+    * (e.g. `doc_id < 200` over dense ids) the join cost drops from the
+    * all-pairs frontier to O(probe-shingles × sharing) — linear in the
+    * corpus — which is how the recall-measurement queries bound their
+    * exact-truth sides. Sizes still cover every id, so the Jaccard values
+    * are exact for every emitted pair.
     */
   def naiveJaccardPairs(
       e: DataFrame,
       idCol: String,
       elemCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      aPred: Column = lit(true)): DataFrame = {
     val base = e.select(col(idCol).as("doc_id"), col(elemCol).as("g"))
     val sz = base.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = base.select(col("doc_id").as("doc_a"), col("g"))
+    val a = base.filter(aPred).select(col("doc_id").as("doc_a"), col("g"))
     val b = base.select(col("doc_id").as("doc_b"), col("g"))
     val pr = a.join(b, Seq("g")).filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))

@@ -144,6 +144,9 @@ object AirQuality {
     // ascending in the fallback path (`main.py:144`), the API's paging
     // order (stand-in: loc_id) in the primary path.
     val matched = sensors.filter(col("pname").isin(Parameters.toSeq: _*))
+    // Cached: ≤40 rows/city by construction, and consumed twice (the
+    // candidate-sensor join below and the greedy-summary join) — without the
+    // boundary the whole explode(sensors) aggregation re-runs per consumer.
     val candidates = matched
       .groupBy("city", "loc_id")
       .agg(countDistinct("sensor_id").as("matches"), min("dist_m").as("dist_m"))
@@ -152,6 +155,7 @@ object AirQuality {
           when(isFallback, col("dist_m")).otherwise(lit(0.0)),
           col("loc_id"))))
       .filter(col("rank") <= MaxCandidates)
+      .cache()
 
     // J1 against ALL candidates (not only the eventually-chosen ones): the
     // reference interleaves measurement validation with selection
@@ -165,12 +169,19 @@ object AirQuality {
       .filter(sensorIdValid(col("sensorsId")))                       // F6
       .filter(numericValid(col("value")))                            // F7
     val dateStr = coalesce(col("datetime_utc"), col("datetime_local"), col("date"))
+    // Cached: this is the pipeline's dominant join (the full measurement
+    // scan against the broadcast candidate map) and it feeds BOTH the
+    // greedy-summary collect and the final projection. Its output is
+    // bounded — valid rows of ≤40 candidate stations/city — so the cache is
+    // small even when `latest` is a 100 TB lake, and the big scan+join
+    // executes exactly once instead of once per action.
     val valid = meas.join(broadcast(candSensors),
         meas("sid") === candSensors("sensor_id") &&
           meas("location_id") === candSensors("loc_id"))
       .crossJoin(broadcast(cutoff))
       .filter(freshKeepNull(parseIsoTs(dateStr),                     // F8
         col("max_seen") - expr(s"INTERVAL $FreshDays DAYS")))
+      .cache()
 
     // O4: greedy early-terminated selection — driver walk over the ≤40-row
     // per-city summary (bounded by MAX_CANDIDATES, never by data volume).
@@ -218,18 +229,41 @@ object AirQuality {
   }
 
   /** K1 CSV sink (`main.py:284-293`): header row, the reference's fixed
-    * six-column order, one file. `coalesce(1)` is correct here because the
-    * selected output is O(cities × stations × params) rows by construction
-    * (bounded by the greedy selection, not by input size) — a full-size
-    * export would drop the coalesce and write partitioned. The reference's
-    * utf-8-sig BOM is a deliberate divergence (Excel cosmetics; Spark's CSV
-    * writer has no BOM option — SURVEY.md §2.8 K1).
+    * six-column order, one file, utf-8-sig. `coalesce(1)` is correct here
+    * because the selected output is O(cities × stations × params) rows by
+    * construction (bounded by the greedy selection, not by input size) — a
+    * full-size export would drop the coalesce and write partitioned.
+    *
+    * The reference opens its CSV with `encoding="utf-8-sig"` (`main.py:287`),
+    * so the file starts with the UTF-8 BOM `EF BB BF`. Spark's CSV writer has
+    * no BOM option, so the BOM is prepended to the single part file through
+    * the Hadoop FS API after the write. The in-memory rewrite is safe for the
+    * same bounded-output reason the coalesce is.
     */
-  def writeCsv(result: DataFrame, path: String): Unit =
+  def writeCsv(result: DataFrame, path: String): Unit = {
     result
       .select("city", "location", "parameter", "value", "unit", "date")
       .coalesce(1)
       .write.option("header", true).mode("overwrite").csv(path)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(
+      result.sparkSession.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(hPath).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".csv"))
+      .getOrElse(sys.error(s"no CSV part file under $path"))
+    val buf = new java.io.ByteArrayOutputStream()
+    val in = fs.open(part)
+    try {
+      val tmp = new Array[Byte](65536)
+      var n = in.read(tmp)
+      while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+    } finally in.close()
+    val out = fs.create(part, true)
+    try {
+      out.write(Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte))
+      out.write(buf.toByteArray)
+    } finally out.close()
+  }
 
   /** Flagship entry: the full pipeline over the inline OpenAQ-shaped
     * fixture (FIXTURES.md §A) — every quirk row included.

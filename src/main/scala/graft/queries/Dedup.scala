@@ -21,6 +21,15 @@ object Dedup {
 
   private def toks = split(col("text"), " ")
 
+  // Measurement-probe discipline (mirrors Similarity.RecallQueries): the two
+  // recall queries bound BOTH their candidate and exact-truth sides to pairs
+  // whose smaller id lies in a CONSTANT-size probe prefix (doc_id < 200 —
+  // dense ids, so the probe is 200 docs at every SF). The exact-truth joins
+  // are then O(probe × corpus) — linear — instead of the O(N²) all-pairs
+  // frontier a full-corpus truth side creates at 100×.
+  private val ProbeDocs = 200
+  private val probeSqlA = s"a.doc_id < $ProbeDocs"
+
   /** The MinHash banding pipeline as a DuckDB CTE chain ending in
     * `pairs(doc_a, doc_b)` — shared by the pair query and the clustering
     * query so both oracles derive from the identical candidate graph.
@@ -281,30 +290,31 @@ object Dedup {
     //    near-dup graph the bands caught; precision says how much of the
     //    candidate volume was real. Counts are exact integers, each ratio
     //    is one integer division — nothing order-dependent reaches the
-    //    hash. Scale: candidates stay band-bounded; the exact-truth side
-    //    uses the shared-shingle inverted-index join, NOT the bitset
-    //    all-pairs kernel — 3-gram sharing is sparse (Σk² ≈ 2.8M pair rows
-    //    at sf0.1 vs 12.5M doc pairs all-pairs would compare), so the
-    //    equi-join IS the cheaper exact plan here, while dense 2-gram
-    //    sharing keeps the bitset kernel right for q_dedup_ngram_jaccard.
-    //    Every J ≥ 0.5 pair shares a shingle, so no truth pair is missed.
-    //    Both engines compute the truth over the SAME md5-hashed shingle
-    //    rows the signatures aggregate (one scan+shingle+hash pass feeds
-    //    candidates AND truth; the inverted index joins on BIGINTs, and a
-    //    hash collision — ~2⁻⁶⁰ — would strike both engines identically). ──
+    //    hash. Scale: candidates stay band-bounded, and the measurement is
+    //    bounded to the CONSTANT-size probe prefix (smaller pair id <
+    //    ProbeDocs): the exact-truth side is the shared-shingle
+    //    inverted-index join with its left side restricted to the probe
+    //    docs' shingles — O(probe × sharing), linear in the corpus at any
+    //    SF. Every J ≥ 0.5 probe pair shares a shingle, so no truth pair is
+    //    missed. Both engines compute the truth over the SAME md5-hashed
+    //    shingle rows the signatures aggregate (one scan+shingle+hash pass
+    //    feeds candidates AND truth; the inverted index joins on BIGINTs,
+    //    and a hash collision — ~2⁻⁶⁰ — would strike both engines
+    //    identically). ─────────────────────────────────────────────────────
     Q("q_minhash_recall",
       s"""WITH $MinhashPairsCte,
         |e3 AS (SELECT DISTINCT doc_id, hv AS g FROM h),
         |sz AS (SELECT doc_id, count(*) AS n FROM e3 GROUP BY doc_id),
         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
         |       FROM e3 a JOIN e3 b ON a.g = b.g AND a.doc_id < b.doc_id
+        |       WHERE $probeSqlA
         |       GROUP BY a.doc_id, b.doc_id),
         |truth AS (SELECT doc_a, doc_b FROM pr
         |          JOIN sz sa ON sa.doc_id = doc_a
         |          JOIN sz sb ON sb.doc_id = doc_b
         |          WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5),
         |tn AS (SELECT count(*) AS n_truth FROM truth),
-        |cn AS (SELECT count(*) AS n_cand FROM pairs),
+        |cn AS (SELECT count(*) AS n_cand FROM pairs WHERE doc_a < $ProbeDocs),
         |hn AS (SELECT count(*) AS n_hits
         |       FROM pairs JOIN truth USING (doc_a, doc_b))
         |SELECT 'minhash_b4r4' AS method, n_cand, n_truth, n_hits,
@@ -315,12 +325,15 @@ object Dedup {
         // ONE scan+shingle+hash pass feeds both sides (q_ann_recall's
         // staging discipline)
         val sh = shingleHashes(s, d).cache()
-        val cand = minhashPairsFrom(sh).cache() // counted AND hit-joined
+        val cand = minhashPairsFrom(sh)
+          .filter(col("doc_a") < ProbeDocs) // probe-bounded measurement
+          .cache() // counted AND hit-joined
         val e3 = sh.distinct()
           .select(col("doc_id"), col("hv").as("g"))
           .cache() // read 3×: sizes + both join sides of the inverted index
         val truth = graft.ops.SetSimilarity
-          .naiveJaccardPairs(e3, "doc_id", "g", 0.5)
+          .naiveJaccardPairs(e3, "doc_id", "g", 0.5,
+            aPred = col("doc_id") < ProbeDocs)
           .select("doc_a", "doc_b").cache() // counted AND hit-joined below
         val nT = truth.agg(count(lit(1)).as("n_truth"))
         val nC = cand.agg(count(lit(1)).as("n_cand"))
@@ -343,12 +356,12 @@ object Dedup {
     //    (0.6% of pairs at ≥ 0.6). Truth is computed on dense count vectors
     //    over the global dictionary (driver-bounded like SetSimilarity's
     //    vocabCap) and thresholded as exact integers (smin·8 ≥ 3·total ⟺
-    //    J ≥ 0.6), so no float reaches a decision. The all-pairs vector
-    //    compare is the same documented exact-verification kernel as
-    //    q_dedup_ngram_jaccard — quadratic by declared semantics because
-    //    the measurement needs the FULL truth set. ─────────────────────────
+    //    J ≥ 0.6), so no float reaches a decision. The measurement is
+    //    probe-bounded (smaller pair id < ProbeDocs): the truth kernel
+    //    broadcasts the CONSTANT-size probe vectors against the streamed
+    //    corpus — O(probe × N), linear, never the all-pairs frontier. ──────
     Q("q_simhash_recall",
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
         |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS hv FROM tok),
         |votes AS (SELECT doc_id, b,
         |    SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
@@ -358,7 +371,8 @@ object Dedup {
         |  FROM votes GROUP BY doc_id),
         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id
-        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 8),
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+        |    AND $probeSqlA),
         |tokc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
         |dict AS (SELECT t, row_number() OVER (ORDER BY t) AS idx
         |         FROM (SELECT DISTINCT t FROM tokc)),
@@ -374,7 +388,8 @@ object Dedup {
         |                          i -> least(a.v[i], b.v[i]))),
         |           (x,y) -> x + y) AS smin,
         |         a.n + b.n AS ntot
-        |       FROM vec a JOIN vec b ON a.doc_id < b.doc_id),
+        |       FROM vec a JOIN vec b
+        |         ON a.doc_id < b.doc_id AND $probeSqlA),
         |truth AS (SELECT doc_a, doc_b FROM pr WHERE smin * 8 >= ntot * 3),
         |tn AS (SELECT count(*) AS n_truth FROM truth),
         |cn AS (SELECT count(*) AS n_cand FROM cand),
@@ -390,6 +405,7 @@ object Dedup {
           .select(col("doc_id"), explode(toks).as("t")).cache()
         val cand = graft.ops.HammingJoin
           .pairsWithin(simhashesFromTok(tok).cache(), "doc_id", "simhash", 60, 8)
+          .filter(col("doc_a") < ProbeDocs) // probe-bounded measurement
           .select("doc_a", "doc_b").cache() // counted AND hit-joined
         val tokc = tok
           .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
@@ -417,8 +433,11 @@ object Dedup {
           .agg(map_from_entries(collect_list(struct(col("idx"), col("c"))))
             .as("m"), sum("c").as("n"))
           .select(col("doc_id"), vecExpr.as("v"), col("n"))
-        val a = vecs.select(col("doc_id").as("doc_a"), col("v").as("va"),
-          col("n").as("na"))
+        // broadcast side = the probe vectors only — a CONSTANT-size frame
+        // (ProbeDocs rows), so the theta-join below is O(probe × N)
+        val a = vecs.filter(col("doc_id") < ProbeDocs)
+          .select(col("doc_id").as("doc_a"), col("v").as("va"),
+            col("n").as("na"))
         val b = vecs.select(col("doc_id").as("doc_b"), col("v").as("vb"),
           col("n").as("nb"))
         // per-pair Σ min as a V-term codegen expression, NOT a zip_with HOF:

@@ -33,6 +33,16 @@ object Similarity {
   // probe radius stays fixed — candidate volume stays bucket-bounded.
   private val ProbeHamming = 2
   private val TopKQueries = 20 // q_cosine_topk's FIXED query-set size
+  // Measurement-query discipline: every recall/quality query (q_ann_recall,
+  // q_ann_quant) bounds BOTH its exact-truth side and the approximate sides
+  // to this constant-size query set (vec_id < 20 — same trick as
+  // q_cosine_topk, constant at every SF because vec_ids are dense from 0).
+  // The truth side is then O(Q·N) with constant Q — linear in the corpus —
+  // instead of the O(N²/25) frontier a grows-with-the-table query set
+  // (vec_id % 25 = 0) silently creates.
+  private val RecallQueries = 20
+  private def recallQPred: Column = col("vec_id") < RecallQueries
+  private val recallQPredSql = s"vec_id < $RecallQueries"
 
   // DuckDB mirror of Exprs.dotProduct over two double-lists by index
   private def dotSqlIdx(a: String, b: String): String =
@@ -286,15 +296,17 @@ object Similarity {
 
     // ── ANN quality as a declared, hash-checked number: recall@3 of each
     //    approximate variant (single-bucket LSH, multi-probe LSH, IVF)
-    //    against the exact brute-force top-3 over the SAME query set
-    //    (vec_id % 25 = 0). Counts are exact integers and the recall is a
-    //    single integer division — no order-dependent float accumulation,
-    //    so the result hash-matches bit-for-bit. ──────────────────────────
+    //    against the exact brute-force top-3 over the SAME query set —
+    //    the CONSTANT-size recall sample (vec_id < 20), so the exact-truth
+    //    side is O(Q·N) with fixed Q, never an O(N²) frontier. Counts are
+    //    exact integers and the recall is a single integer division — no
+    //    order-dependent float accumulation, so the result hash-matches
+    //    bit-for-bit. ──────────────────────────────────────────────────────
     Q("q_ann_recall",
       s"""WITH $normsCte,
          |$lshCte,
          |q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn, bucket FROM nb
-         |      WHERE vec_id % 25 = 0),
+         |      WHERE $recallQPredSql),
          |xp AS (SELECT qid, c.vec_id AS cid,
          |        ${dotSqlIdx("qe", "c.e")} AS dot, qn, c.nrm AS cn
          |      FROM q JOIN n c ON c.vec_id <> qid),
@@ -337,7 +349,7 @@ object Similarity {
          |      FROM rkd r JOIN n ON n.vec_id = r.vec_id WHERE r.crk = 1),
          |qp AS (SELECT r.vec_id AS qid, r.ccid AS cell, n.e AS qe, n.nrm AS qn
          |      FROM rkd r JOIN n ON n.vec_id = r.vec_id
-         |      WHERE r.crk <= 4 AND r.vec_id % 25 = 0),
+         |      WHERE r.crk <= 4 AND r.$recallQPredSql),
          |cand AS (SELECT qid, cid,
          |        ${dotSqlIdx("qe", "ce2")} / sqrt(qn * cn2) AS sim
          |      FROM qp JOIN inv USING (cell) WHERE cid <> qid),
@@ -363,7 +375,7 @@ object Similarity {
         // plan at any scale)
         val n = withNorms(s, d).cache()
         val nb = bucketsFrom(n)
-        val ex = exactRankedFrom(n, col("vec_id") % 25 === 0)
+        val ex = exactRankedFrom(n, recallQPred)
           .select("qid", "cid").cache() // probed by all three variants
         val exN = ex.agg(count(lit(1)).as("n_expected"))
         def recallRow(m: String, approx: DataFrame) =
@@ -372,9 +384,10 @@ object Similarity {
             .crossJoin(exN)
             .select(lit(m).as("method"), col("n_hits"), col("n_expected"),
               (col("n_hits").cast("double") / col("n_expected")).as("recall"))
-        recallRow("ivf", ivfRankedFrom(n))
-          .unionByName(recallRow("lsh", lshRankedFrom(nb)))
-          .unionByName(recallRow("multiprobe", multiprobeRankedFrom(nb)))
+        recallRow("ivf", ivfRankedFrom(n, recallQPred))
+          .unionByName(recallRow("lsh", lshRankedFrom(nb, recallQPred)))
+          .unionByName(recallRow("multiprobe",
+            multiprobeRankedFrom(nb, recallQPred)))
           .orderBy("method")
     },
 
@@ -442,7 +455,8 @@ object Similarity {
 
     // ── quantization quality, closed the way every other family closes:
     //    recall@3 of int8-quantized cosine against the exact float top-3
-    //    over the same query set (vec_id % 25 = 0). Key identity: with
+    //    over the same CONSTANT-size query sample (vec_id < 20, the
+    //    q_cosine_topk discipline — truth stays O(Q·N)). Key identity: with
     //    symmetric per-vector scales s_a = amax_a/127, the reconstructed
     //    cosine  (dot_int·s_a·s_b) / (s_a·√qnrm_a · s_b·√qnrm_b)  cancels
     //    both scales — ranking by  dot_int / √(qnrm_a·qnrm_b)  over EXACT
@@ -463,7 +477,7 @@ object Similarity {
          |      list_transform(qv, x -> x * x)), (a,b) -> a + b) AS qnrm
          |  FROM qvs),
          |fq AS (SELECT vec_id AS qid, e AS qe, nrm AS fqn FROM n
-         |       WHERE vec_id % 25 = 0),
+         |       WHERE $recallQPredSql),
          |xp AS (SELECT qid, c.vec_id AS cid,
          |        ${dotSqlIdx("qe", "c.e")} AS dot, fqn, c.nrm AS cn
          |      FROM fq JOIN n c ON c.vec_id <> qid),
@@ -474,7 +488,7 @@ object Similarity {
          |ex AS (SELECT qid, cid FROM xr WHERE rk <= 3),
          |exn AS (SELECT count(*) AS n_expected FROM ex),
          |iq AS (SELECT vec_id AS qid, qv AS qqv, qnrm AS qqn FROM qnm
-         |       WHERE vec_id % 25 = 0),
+         |       WHERE $recallQPredSql),
          |ip AS (SELECT qid, c.vec_id AS cid,
          |        ${intDotSqlIdx("qqv", "c.qv")} AS idot, qqn, c.qnrm AS icn
          |      FROM iq JOIN qnm c ON c.vec_id <> qid),
@@ -506,10 +520,10 @@ object Similarity {
           .withColumn("qnrm",
             aggregate(transform(col("qv"), x => x * x), lit(0L), (a, b) => a + b))
           .select("vec_id", "qv", "qnrm")
-        val ex = exactRankedFrom(n, col("vec_id") % 25 === 0)
+        val ex = exactRankedFrom(n, recallQPred)
           .select("qid", "cid").cache()
         val exN = ex.agg(count(lit(1)).as("n_expected"))
-        val iq = qnm.filter(col("vec_id") % 25 === 0)
+        val iq = qnm.filter(recallQPred)
           .select(col("vec_id").as("qid"), col("qv").as("qqv"),
             col("qnrm").as("qqn"))
         val c = qnm.select(col("vec_id").as("cid"), col("qv").as("cqv"),
@@ -638,8 +652,9 @@ object Similarity {
   private[queries] def lshRanked(s: SparkSession, d: String): DataFrame =
     lshRankedFrom(withBuckets(s, d))
 
-  private def lshRankedFrom(nb: DataFrame): DataFrame = {
-    val q = nb.filter(col("vec_id") % 25 === 0)
+  private def lshRankedFrom(nb: DataFrame,
+      qPred: Column = col("vec_id") % 25 === 0): DataFrame = {
+    val q = nb.filter(qPred)
       .select(col("vec_id").as("qid"), col("e").as("qe"),
         col("nrm").as("qn"), col("bucket"))
     val c = nb.select(col("vec_id").as("cid"), col("e").as("ce"),
@@ -660,11 +675,12 @@ object Similarity {
   private[queries] def multiprobeRanked(s: SparkSession, d: String): DataFrame =
     multiprobeRankedFrom(withBuckets(s, d))
 
-  private def multiprobeRankedFrom(nb: DataFrame): DataFrame = {
+  private def multiprobeRankedFrom(nb: DataFrame,
+      qPred: Column = col("vec_id") % 25 === 0): DataFrame = {
     val probeSet = array(
       col("bucket") +: (0 until LshBits).map(b =>
         col("bucket").bitwiseXOR(lit(1L << b))): _*)
-    val q = nb.filter(col("vec_id") % 25 === 0)
+    val q = nb.filter(qPred)
       .select(col("vec_id").as("qid"), col("e").as("qe"),
         col("nrm").as("qn"), explode(probeSet).as("bucket"))
     val c = nb.select(col("vec_id").as("cid"), col("e").as("ce"),
@@ -687,7 +703,8 @@ object Similarity {
   private[queries] def ivfRanked(s: SparkSession, d: String): DataFrame =
     ivfRankedFrom(withNorms(s, d).cache()) // assignment + two vector join-backs
 
-  private def ivfRankedFrom(n: DataFrame): DataFrame = {
+  private def ivfRankedFrom(n: DataFrame,
+      qPred: Column = col("vec_id") % 25 === 0): DataFrame = {
     val cent = n.filter(col("vec_id") % 31 === 1)
       .select(col("vec_id").as("ccid"), col("e").as("ce"), col("nrm").as("cn"))
     val csim = (dotProduct(col("e"), col("ce")) /
@@ -702,7 +719,7 @@ object Similarity {
     val inv = assign.filter(col("crk") === 1).join(n, "vec_id")
       .select(col("vec_id").as("cid"), col("ccid").as("cell"),
         col("e").as("ce2"), col("nrm").as("cn2"))
-    val qp = assign.filter(col("crk") <= 4 && col("vec_id") % 25 === 0)
+    val qp = assign.filter(col("crk") <= 4 && qPred)
       .join(n, "vec_id")
       .select(col("vec_id").as("qid"), col("ccid").as("cell"),
         col("e").as("qe"), col("nrm").as("qn"))

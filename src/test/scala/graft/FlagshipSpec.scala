@@ -175,14 +175,42 @@ class FlagshipSpec extends SparkTestBase {
     assert(obs.get("n_empty_unit") == 0L) // every fixture sensor has a unit
   }
 
-  test("K1 CSV sink: header, fixed column order, lossless round-trip") {
+  test("cache boundary: final projection reads `valid` from InMemoryRelation") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import spark.implicits._
+    val a = mkLoc("T", 1, "A", 0.01, Seq(mkSensor(11, "pm25"), mkSensor(12, "o3"),
+      mkSensor(13, "pm10"), mkSensor(14, "no2")))
+    val b = mkLoc("T", 2, "B", 0.02, Seq(mkSensor(21, "pm25")))
+    val meas = Seq(mkMeas(1, 11, "1.0"), mkMeas(1, 12, "2.0"),
+      mkMeas(1, 13, "3.0"), mkMeas(1, 14, "4.0"), mkMeas(2, 21, "5.0"))
+    val out = AirQuality.run(spark, Seq(a, b).toDS().toDF(),
+      meas.toDS().toDF(), Seq(City("T", 0.0, 0.0)).toDS().toDF())
+    // The measurements⋈candidates join (`valid`) feeds both the greedy
+    // summary (already collected inside run()) and this final plan; the
+    // cache boundary means the final action replays an InMemoryRelation
+    // instead of re-executing the measurement scan + join. Logical plan, not
+    // executed plan: AQE's QueryStageExec wrapping hides physical subtrees.
+    val imrs = out.queryExecution.optimizedPlan.collect {
+      case r: InMemoryRelation => r
+    }
+    assert(imrs.nonEmpty, "final flagship plan does not read the cached `valid`")
+    // and the action still computes the right rows from the cache
+    assert(out.collect().map(_.getString(1)).toSet == Set("A", "B"))
+  }
+
+  test("K1 CSV sink: BOM, header, fixed column order, lossless round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("k1csv").toString
     try {
       AirQuality.writeCsv(AirQuality.flagship(spark), dir)
       val files = new java.io.File(dir).listFiles()
         .filter(_.getName.endsWith(".csv"))
       assert(files.length == 1) // coalesce(1): one part file
-      val header = scala.io.Source.fromFile(files.head, "UTF-8").getLines().next()
+      // utf-8-sig fidelity (`main.py:287`): the file starts with EF BB BF,
+      // immediately followed by the header row
+      val bytes = java.nio.file.Files.readAllBytes(files.head.toPath)
+      assert(bytes.take(3).toSeq ==
+        Seq(0xEF.toByte, 0xBB.toByte, 0xBF.toByte), "missing UTF-8 BOM")
+      val header = new String(bytes.drop(3), "UTF-8").linesIterator.next()
       assert(header == "city,location,parameter,value,unit,date")
       val back = spark.read.option("header", true).csv(dir)
       assert(back.count() == rows.size)

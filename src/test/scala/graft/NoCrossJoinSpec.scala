@@ -32,11 +32,13 @@ class NoCrossJoinSpec extends SparkTestBase {
     "q_tfidf", // corpus document count N
     "q_length_outliers", // corpus-wide exact p95 threshold
     "q_minhash_recall", // n_cand/n_truth/n_hits one-row count frames
-    "q_simhash_recall", // count frames + the dense-vector truth kernel
+    "q_simhash_recall", // count frames + the PROBE-bounded truth kernel
+    // (broadcast side = ProbeDocs=200 dense vectors — constant at any SF)
     // constant-size literal dims (the two reference cities):
     "q_haversine", "q_haversine_filter", "q_flagship",
     // broadcast CONSTANT-size query/centroid side, streamed candidates —
-    // O(Q·N)/O(N·nlist) by construction, never O(N²):
+    // O(Q·N)/O(N·nlist) by construction, never O(N²) (since round 6 the
+    // recall queries' exact-truth sides use the fixed vec_id<20 sample too):
     "q_cosine_topk", "q_ann_recall", "q_ann_quant", "q_ann_ivf",
     "q_ann_persisted", // same broadcast-centroid assignment as q_ann_ivf
     // the documented exact all-pairs verification kernel over fixed-width
