@@ -294,6 +294,100 @@ object Similarity {
           .orderBy("qid", "rk")
     },
 
+    // ── incremental ANN ingest against the PERSISTED IVF index: a NEW
+    //    vector batch (independent md5 hash-split channel, bucket ≥ 90 —
+    //    the q_dedup_incremental discipline) is assigned to the READ-BACK
+    //    centroids and probed against the READ-BACK inverted lists of the
+    //    EXISTING corpus (bucket < 90), without recomputing a single corpus
+    //    assignment — the lake-serving shape on the embedding side: build
+    //    the index once, persist it, ingest increments forever. Per batch
+    //    vector: its top-3 corpus neighbors across its nprobe=4 cells.
+    //    Scale: index write/read is partition-parallel, batch assignment is
+    //    a broadcast-centroid map stage over the INCREMENT only, and
+    //    candidate generation is an equi-join on cell id; corpus vectors
+    //    are touched only through the stored lists. ─────────────────────────
+    Q("q_ann_incremental",
+      s"""WITH $normsCte,
+         |bk AS (SELECT vec_id,
+         |    ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT % 100 AS bkt
+         |  FROM embeddings),
+         |corpus AS (SELECT n.vec_id, n.e, n.nrm FROM n JOIN bk USING (vec_id)
+         |           WHERE bkt < 90),
+         |batch AS (SELECT n.vec_id, n.e, n.nrm FROM n JOIN bk USING (vec_id)
+         |          WHERE bkt >= 90),
+         |cent AS (SELECT vec_id AS ccid, e AS ce, nrm AS cn FROM corpus
+         |         WHERE vec_id % 31 = 1),
+         |asg AS (SELECT c.vec_id, cent.ccid,
+         |        ${dotSqlIdx("c.e", "cent.ce")} / sqrt(c.nrm * cent.cn) AS csim
+         |      FROM corpus c CROSS JOIN cent),
+         |rkd AS (SELECT vec_id, ccid,
+         |        row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY csim DESC, ccid) AS crk
+         |      FROM asg),
+         |inv AS (SELECT r.vec_id AS cid, r.ccid AS cell, c.e AS ce2, c.nrm AS cn2
+         |      FROM rkd r JOIN corpus c ON c.vec_id = r.vec_id WHERE r.crk = 1),
+         |qasg AS (SELECT b.vec_id, cent.ccid,
+         |        ${dotSqlIdx("b.e", "cent.ce")} / sqrt(b.nrm * cent.cn) AS csim
+         |      FROM batch b CROSS JOIN cent),
+         |qrkd AS (SELECT vec_id, ccid,
+         |        row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY csim DESC, ccid) AS crk
+         |      FROM qasg),
+         |qp AS (SELECT r.vec_id AS qid, r.ccid AS cell, b.e AS qe, b.nrm AS qn
+         |      FROM qrkd r JOIN batch b ON b.vec_id = r.vec_id WHERE r.crk <= 4),
+         |cand AS (SELECT qid, cid,
+         |        ${dotSqlIdx("qe", "ce2")} / sqrt(qn * cn2) AS sim
+         |      FROM qp JOIN inv USING (cell)),
+         |r AS (SELECT qid, cid, sim,
+         |        CAST(row_number() OVER (PARTITION BY qid
+         |          ORDER BY sim DESC, cid) AS BIGINT) AS rk
+         |      FROM cand)
+         |SELECT qid, rk, cid, sim FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin) {
+      (s, d) =>
+        val n = withNorms(s, d)
+          .withColumn("bkt", md5Long(col("vec_id").cast("string")) % 100)
+          .cache() // corpus index build + batch probe both read it
+        val corpus = n.filter(col("bkt") < 90)
+        val batch = n.filter(col("bkt") >= 90)
+        val cent = corpus.filter(col("vec_id") % 31 === 1)
+          .select(col("vec_id").as("ccid"), col("e").as("ce"), col("nrm").as("cn"))
+        val csim = (dotProduct(col("e"), col("ce")) /
+          sqrt(col("nrm") * col("cn"))).as("csim")
+        val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("ccid"))
+        // build the corpus index ONCE — inverted lists AND centroids go to
+        // the lake slot; everything the batch touches is read back from it
+        val idxDir = Sinks.stagingDir("graft-ivf-incr", d)
+        corpus.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("ccid"), csim)
+          .withColumn("crk", row_number().over(wAssign))
+          .filter(col("crk") === 1)
+          .join(corpus, "vec_id")
+          .select(col("vec_id").as("cid"), col("ccid").as("cell"),
+            col("e").as("ce2"), col("nrm").as("cn2"))
+          .write.mode("overwrite").parquet(s"$idxDir/lists")
+        cent.write.mode("overwrite").parquet(s"$idxDir/centroids")
+        val lists = s.read.parquet(s"$idxDir/lists")
+        val rcent = s.read.parquet(s"$idxDir/centroids")
+        // ingest: assign ONLY the new batch against the read-back centroids
+        val qp = batch.crossJoin(broadcast(rcent))
+          .select(col("vec_id"), col("ccid"), csim)
+          .withColumn("crk", row_number().over(wAssign))
+          .filter(col("crk") <= 4)
+          .join(batch, "vec_id")
+          .select(col("vec_id").as("qid"), col("ccid").as("cell"),
+            col("e").as("qe"), col("nrm").as("qn"))
+        val sim = (dotProduct(col("qe"), col("ce2")) /
+          sqrt(col("qn") * col("cn2"))).as("sim")
+        // qid (batch, bkt≥90) and cid (corpus, bkt<90) are disjoint by the
+        // split, so no self-match filter is needed
+        broadcast(qp).join(lists, Seq("cell"))
+          .select(col("qid"), col("cid"), sim)
+          .withColumn("rk", row_number().over(rankW).cast("long"))
+          .filter(col("rk") <= 3)
+          .select("qid", "rk", "cid", "sim")
+          .orderBy("qid", "rk")
+    },
+
     // ── ANN quality as a declared, hash-checked number: recall@3 of each
     //    approximate variant (single-bucket LSH, multi-probe LSH, IVF)
     //    against the exact brute-force top-3 over the SAME query set —

@@ -41,6 +41,7 @@ class NoCrossJoinSpec extends SparkTestBase {
     // recall queries' exact-truth sides use the fixed vec_id<20 sample too):
     "q_cosine_topk", "q_ann_recall", "q_ann_quant", "q_ann_ivf",
     "q_ann_persisted", // same broadcast-centroid assignment as q_ann_ivf
+    "q_ann_incremental", // broadcast-centroid assignment of the increment
     // the documented exact all-pairs verification kernel over fixed-width
     // bit signatures (SetSimilarity fp stage) — quadratic in ids by
     // declared semantics, broadcast side is the encoded bitmask frame:
