@@ -129,10 +129,11 @@ object Curation {
           .select(col("doc_id"), col("source"),
             size(split(col("text"), " ")).cast("long").as("n_tok"))
           .withColumn("cum", sum("n_tok").over(w))
-          // start offset of the doc // budget; non-negative, so the long
-          // truncation IS floor division, matching DuckDB's `//`
+          // start offset of the doc // budget: `div` is Spark's exact
+          // BIGINT integral divide, matching DuckDB's `//` at any
+          // magnitude and window size — no float round-trip
           .select(col("doc_id"), col("source"), col("n_tok"),
-            ((col("cum") - col("n_tok")) / 2048).cast("long").as("bin"))
+            expr("(cum - n_tok) div 2048").as("bin"))
           .orderBy("doc_id")
     },
 
@@ -180,24 +181,26 @@ object Curation {
           .select(col("doc_id"), col("source"),
             size(split(col("text"), " ")).cast("long").as("n_tok"))
         // per-row straddle flag: first and last token land in different
-        // 2048-token windows under the given packing order
-        def straddles(ordered: org.apache.spark.sql.Column*) = {
+        // 2048-token windows under the given packing order. `div` is
+        // Spark's exact BIGINT integral divide — matches DuckDB's `//`
+        // at any magnitude and window size, no float round-trip.
+        def straddled(ordered: org.apache.spark.sql.Column*) = {
           val w = Window.partitionBy("source").orderBy(ordered: _*)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-          val cum = sum("n_tok").over(w)
-          when(((cum - col("n_tok")) / 2048).cast("long") =!=
-            ((cum - 1) / 2048).cast("long"), 1L).otherwise(0L)
+          t.withColumn("cum", sum("n_tok").over(w))
+            .withColumn("st", when(expr("(cum - n_tok) div 2048") =!=
+              expr("(cum - 1) div 2048"), 1L).otherwise(0L))
         }
-        val a1 = t.withColumn("st", straddles(col("doc_id")))
+        val a1 = straddled(col("doc_id"))
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("total_tok"),
             sum("st").as("straddle_naive"))
-        val a2 = t.withColumn("st", straddles(col("n_tok").desc, col("doc_id")))
+        val a2 = straddled(col("n_tok").desc, col("doc_id"))
           .groupBy("source")
           .agg(sum("st").as("straddle_sorted"))
         a1.join(a2, Seq("source"))
           .select(col("source"), col("n_docs"), col("total_tok"),
-            ((col("total_tok") + 2047) / 2048).cast("long").as("bins"),
+            expr("(total_tok + 2047) div 2048").as("bins"),
             col("straddle_naive"), col("straddle_sorted"))
           .orderBy("source")
     },
@@ -311,8 +314,9 @@ object Curation {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         train
           .withColumn("cum", sum("n_tok").over(w))
+          // exact integral divide — see q_pack_sequences
           .select(col("doc_id"), col("source"), col("n_tok"), col("quality"),
-            ((col("cum") - col("n_tok")) / 2048).cast("long").as("bin"))
+            expr("(cum - n_tok) div 2048").as("bin"))
           .orderBy("doc_id")
     },
 

@@ -223,7 +223,7 @@ object Dedup {
           .cache() // corpus index write + batch probe both read it
         // persist the corpus index, then probe the READ-BACK files — the
         // declared result flows through the stored index, not the in-memory
-        // frame (Sinks.stagingDir: stable per-input dir, overwrite)
+        // frame (Sinks.stagingDir: fresh per-build generation dir)
         val idxDir = Sinks.stagingDir("graft-minhash-index", d)
         bands.filter(col("bkt") < 90)
           .select(col("doc_id").as("corpus_id"), col("band"), col("sig"))

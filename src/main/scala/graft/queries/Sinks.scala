@@ -37,10 +37,10 @@ object Sinks {
           .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
             col("l_linestatus"), col("l_quantity"),
             col("l_shipdate").cast("date").as("l_shipdate"))
-        // deterministic per-input staging dir + overwrite: repeated builds
-        // (Bench warm-up + timed passes, plan specs) rewrite the SAME
-        // directory instead of leaking a fresh temp dir per call; the
-        // returned plan lazily re-reads it when the driver collects
+        // per-build generation dir (see stagingDir): repeated builds (Bench
+        // warm-up + timed passes, plan specs) never overwrite files a
+        // previously-built plan still lazily references, and disk stays
+        // bounded at two generations per purpose
         val dir = stagingDir("graft-csv-roundtrip", d)
         src.write.mode("overwrite").option("header", "true").csv(dir)
         val back = s.read.schema(src.schema).option("header", "true").csv(dir)
@@ -111,15 +111,50 @@ object Sinks {
     s.read.parquet(dir).filter(col("o_orderstatus") === "F")
   }
 
-  /** One stable staging path per (purpose, input dir) under the JVM tmpdir:
-    * bounded disk use across repeated query builds in one process, no
-    * cross-scale-factor collisions (the sfDir is hashed into the name).
+  /** Staging paths for sink round-trip queries. Three lifecycle rules:
+    *
+    *  - The whole tree lives under ONE process-owned temp root
+    *    (`Files.createTempDirectory`, deleted on JVM exit), so a foreign
+    *    process can neither pre-own the path nor poison the read-back, and
+    *    concurrent JVMs (Bench while Verify runs) never share a directory.
+    *  - Each (purpose, input dir) pair gets a fresh GENERATION subdir per
+    *    build, so a rebuilt query writes new files instead of overwriting
+    *    ones a previously-built (still collectable) plan references.
+    *  - Generations older than the previous one are pruned on each build —
+    *    disk use stays bounded at ≤2 generations per purpose no matter how
+    *    many times Bench/specs rebuild the query in one process.
     */
+  private lazy val stagingRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-staging-")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(p.toFile)
+    }
+    p
+  }
+  private val generation =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]
   private[queries] def stagingDir(prefix: String, sfDir: String): String = {
     val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    val p = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"$prefix-$tag")
+    val purpose = stagingRoot.resolve(s"$prefix-$tag")
+    val gen = generation
+      .computeIfAbsent(purpose.toString,
+        _ => new java.util.concurrent.atomic.AtomicLong(0L))
+      .incrementAndGet()
+    // prune everything older than the previous generation
+    val keep = Set(gen.toString, (gen - 1).toString)
+    Option(purpose.toFile.listFiles()).foreach(_.foreach { f =>
+      if (!keep(f.getName)) {
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+        }
+        rm(f)
+      }
+    })
+    val p = purpose.resolve(gen.toString)
     java.nio.file.Files.createDirectories(p)
     p.toString
   }
