@@ -97,6 +97,7 @@ object ConnectedComponents {
       .localCheckpoint(true)
     var converged = false
     var iter = 0
+    var lastChanged = -1L
     while (!converged && iter < maxIter) {
       // Two propagation channels per round:
       //  (a) neighbor min — for each edge (u,v), v's label reaches u;
@@ -128,6 +129,7 @@ object ConnectedComponents {
       // ContextCleaner once the old frame becomes unreachable here
       labels = next
       converged = changed == 0
+      lastChanged = changed
       iter += 1
     }
     sym.unpersist()
@@ -136,6 +138,16 @@ object ConnectedComponents {
         s"after $maxIter rounds — labels are partially propagated")
     // `labels` is already materialized (eager localCheckpoint); the final
     // projection reads those blocks, so nothing upstream is recomputed.
+    // Convergence is surfaced as DATA, not a log line: a CollectMetrics
+    // node rides the result plan (the K3 observe() discipline), so any
+    // consumer — and the equivalence spec's forced-distributed run — can
+    // read iterations/final_changed/converged after an action instead of
+    // trusting stderr silence. The loop counters are driver scalars at
+    // this point, so the literals are exact.
     labels.select(col("node"), col("lbl").as("component"))
+      .observe("cc_convergence",
+        max(lit(iter)).cast("long").as("iterations"),
+        max(lit(lastChanged)).as("final_changed"),
+        max(lit(if (converged) 1L else 0L)).as("converged"))
   }
 }

@@ -166,14 +166,25 @@ class ExtensionsSpec extends SparkTestBase {
     ).toDF("a", "b")
     val driver = graft.ops.ConnectedComponents.components(edges)
       .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
-    val dist = graft.ops.ConnectedComponents
+    val distDf = graft.ops.ConnectedComponents
       .components(edges, driverEdgeLimit = 0)
-      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .orderBy("node")
+    val dist = distDf.collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(driver.nonEmpty)
     assert(dist.sameElements(driver))
     // the 30-chain + bridge folds the cycle into component 0
     val m = driver.toMap
     assert(m(500L) == 0L && m(102L) == 100L)
+    // convergence is read from the plan's own CollectMetrics observation —
+    // data, not stderr silence: the loop must have CONVERGED (a final round
+    // that changed nothing), in more than zero rounds, within the default
+    // iteration budget
+    val obs = distDf.queryExecution.observedMetrics("cc_convergence")
+    assert(obs.getAs[Long]("converged") == 1L,
+      s"distributed CC did not converge: $obs")
+    assert(obs.getAs[Long]("final_changed") == 0L)
+    assert(obs.getAs[Long]("iterations") > 0L &&
+      obs.getAs[Long]("iterations") < 20L)
   }
 
   test("DotProduct matches HOF semantics on ragged and null-bearing arrays") {

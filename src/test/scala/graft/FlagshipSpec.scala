@@ -198,6 +198,62 @@ class FlagshipSpec extends SparkTestBase {
     assert(out.collect().map(_.getString(1)).toSet == Set("A", "B"))
   }
 
+  test("flagship plan: pruned snapshot scans, every join a broadcast") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    import graft.sources.Snapshots
+    import spark.implicits._
+    // the REAL pipeline over the production source path — same build as
+    // q_flagship (snapshot JSON through Snapshots.read*)
+    val base = new java.io.File("fixtures/snapshots").getAbsolutePath
+    val cities = Seq(("Warsaw", 52.2297, 21.0122), ("New York", 40.7128, -74.0060),
+      ("Berlin", 52.52, 13.405)).toDF("city", "lat", "lon")
+    val out = AirQuality.run(spark,
+      Snapshots.readLocations(spark, s"$base/locations.jsonl"),
+      Snapshots.readLatest(spark, s"$base/latest.jsonl"), cities)
+    // pre-AQE physical plan (no QueryStageExec wrapping), recursing through
+    // the cache boundaries — the scans and the big joins live INSIDE the
+    // cached `valid`/`candidates` plans, which the outer explain hides.
+    // A cached plan is itself compiled under AQE, so its root is an
+    // AdaptiveSparkPlanExec LEAF: recurse into its inputPlan (the
+    // deterministic initial plan, same discipline as NoCrossJoinSpec).
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val here = p.collect { case x => x }
+      here ++ here.collect {
+        case s: InMemoryTableScanExec => flatten(s.relation.cachedPlan)
+        case a: AdaptiveSparkPlanExec => flatten(a.inputPlan)
+      }.flatten
+    }
+    val plans = flatten(out.queryExecution.sparkPlan)
+    // 1. Column pruning reaches both snapshot scans: the PERMISSIVE-mode
+    //    _corrupt_record column is dropped at the SCAN (ReadSchema), not
+    //    after it — at 100 TB that column is a second copy of every
+    //    malformed payload. explode(sensors) must not widen the scan back.
+    val scans = plans.collect { case f: FileSourceScanExec => f }
+    assert(scans.size >= 2, s"expected both snapshot scans, saw ${scans.size}")
+    scans.foreach { f =>
+      assert(!f.requiredSchema.fieldNames.contains("_corrupt_record"),
+        s"unpruned _corrupt_record in scan: ${f.requiredSchema.catalogString}")
+    }
+    // 2. Every join in the flagship is a broadcast: the candidate-sensor
+    //    map, the city config, the one-row cutoff and the chosen-station
+    //    semi-join are all bounded-small by construction. A SortMergeJoin
+    //    or ShuffledHashJoin here means something bounded stopped being
+    //    broadcast — the 100 TB measurement scan would shuffle.
+    val shuffledJoins = plans.collect {
+      case j: SortMergeJoinExec => j.nodeName
+      case j: ShuffledHashJoinExec => j.nodeName
+    }
+    assert(shuffledJoins.isEmpty,
+      s"flagship plans a shuffled join: ${shuffledJoins.mkString(", ")}")
+    val bhj = plans.count(_.nodeName.contains("BroadcastHashJoin"))
+    assert(bhj >= 3,
+      s"expected >=3 broadcast hash joins (config, candidate map, semi), saw $bhj")
+    spark.sharedState.cacheManager.clearCache() // run() caches valid/candidates
+  }
+
   test("K1 CSV sink: BOM, header, fixed column order, lossless round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("k1csv").toString
     try {
