@@ -388,6 +388,75 @@ object Similarity {
           .orderBy("qid", "rk")
     },
 
+    // ── one Lloyd refinement step for the IVF coarse quantizer: assign
+    //    every vector to its nearest centroid (the q_ann_ivf assignment),
+    //    then recompute each centroid as the MEAN of its assigned vectors —
+    //    the training step that turns the deterministic modulo-centroids
+    //    into learned ones (tighter cells → fewer probes at the same
+    //    recall). The float assignment only STEERS grouping (the IVF-family
+    //    rule: floats never reach the hash); the recomputed means live in
+    //    the int8-QUANTIZED domain (q_quantize's engine-exact integers), so
+    //    each mean is one exact integer sum and one IEEE double division —
+    //    bit-identical across engines. (A DECIMAL(38,18) float-domain sum
+    //    is NOT portable: Spark's double→decimal cast rounds the shortest
+    //    string repr, DuckDB the exact binary value.) Scale: assignment is
+    //    the broadcast-centroid map stage; the recompute is one
+    //    groupBy(cell, dim) partial-aggregating sum — 64·ncent rows out of
+    //    the shuffle. ───────────────────────────────────────────────────────
+    Q("q_kmeans_step",
+      s"""WITH $normsCte,
+         |cent AS (SELECT vec_id AS ccid, e AS ce, nrm AS cn FROM n
+         |         WHERE vec_id % 31 = 1),
+         |asg AS (SELECT n.vec_id, cent.ccid,
+         |        ${dotSqlIdx("n.e", "cent.ce")} / sqrt(n.nrm * cent.cn) AS csim
+         |      FROM n CROSS JOIN cent),
+         |rkd AS (SELECT vec_id, ccid,
+         |        row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY csim DESC, ccid) AS crk
+         |      FROM asg),
+         |sc AS (SELECT vec_id, e,
+         |         127.0 / list_max(list_transform(e, x -> abs(x))) AS scale
+         |       FROM n WHERE list_max(list_transform(e, x -> abs(x))) > 0),
+         |qv AS (SELECT vec_id,
+         |         list_transform(e, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS q
+         |       FROM sc),
+         |a1 AS (SELECT r.ccid, qv.q
+         |       FROM rkd r JOIN qv ON qv.vec_id = r.vec_id WHERE r.crk = 1),
+         |x AS (SELECT ccid, d - 1 AS dim, q[d] AS v
+         |      FROM a1 CROSS JOIN range(1, ${Dims + 1}) t(d))
+         |SELECT ccid, dim, count(*) AS n_assigned,
+         |  (SUM(v)::DOUBLE) / count(*) AS mean_q
+         |FROM x GROUP BY ccid, dim
+         |ORDER BY ccid, dim""".stripMargin) {
+      (s, d) =>
+        val n = withNorms(s, d).cache() // assignment + quantized join-back
+        val cent = n.filter(col("vec_id") % 31 === 1)
+          .select(col("vec_id").as("ccid"), col("e").as("ce"), col("nrm").as("cn"))
+        val csim = (dotProduct(col("e"), col("ce")) /
+          sqrt(col("nrm") * col("cn"))).as("csim")
+        val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("ccid"))
+        // cache boundary after the scale stage (the q_quantize rule): stops
+        // CollapseProject inlining array_max into the per-element lambda
+        val scaled = n
+          .withColumn("amax", array_max(transform(col("e"), x => abs(x))))
+          .filter(col("amax") > 0)
+          .withColumn("scale", lit(127.0) / col("amax"))
+          .cache()
+        val qvDf = scaled.withColumn("q",
+          transform(col("e"), x => floor(x * col("scale") + 0.5).cast("long")))
+          .select("vec_id", "q")
+        n.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("ccid"), csim)
+          .withColumn("crk", row_number().over(wAssign))
+          .filter(col("crk") === 1)
+          .join(qvDf, "vec_id")
+          .select(col("ccid"), posexplode(col("q")).as(Seq("dim", "v")))
+          .groupBy("ccid", "dim")
+          .agg(count(lit(1)).as("n_assigned"),
+            (sum(col("v")).cast("double") / count(lit(1))).as("mean_q"))
+          .orderBy("ccid", "dim")
+    },
+
     // ── ANN quality as a declared, hash-checked number: recall@3 of each
     //    approximate variant (single-bucket LSH, multi-probe LSH, IVF)
     //    against the exact brute-force top-3 over the SAME query set —

@@ -78,6 +78,78 @@ object Sinks {
           .orderBy("l_returnflag")
     },
 
+    // ── Z-order layout planning: the multi-dimensional clustering every
+    //    100 TB lake uses when queries filter on TWO columns. Each row's
+    //    (x, y) in a 1024×1024 key space (two independent md5 channels of
+    //    the row key, so the space is fully populated at every scale
+    //    factor) is interleaved bit-by-bit into a 20-bit Morton key; 64
+    //    equal key-range files per layout. The
+    //    declared result is the data-skipping arithmetic a parquet reader
+    //    does with footer stats: a file is READ iff its per-file [min,max]
+    //    of x AND of y both overlap the query box. Z-order files are
+    //    128×128 tiles (tight in BOTH dims) → the 100×100 box touches ~4
+    //    files; an x-sorted layout is tight in x only → every x-matching
+    //    file is read regardless of y. All-integer math, so the skipping
+    //    counts are engine-exact. ─────────────────────────────────────────
+    Q("q_zorder", {
+      // Morton interleave, spelled once per engine from the same formula:
+      // bit b of x lands at position 2b, bit b of y at 2b+1.
+      val zDuck = (0 until 10).map(b =>
+        s"(((x >> $b) & 1) << ${2 * b}) + (((y >> $b) & 1) << ${2 * b + 1})")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT
+         |    ('0x' || substr(md5('zx:' || l_orderkey::VARCHAR || ':' ||
+         |       l_linenumber::VARCHAR), 1, 15))::BIGINT % 1024 AS x,
+         |    ('0x' || substr(md5('zy:' || l_orderkey::VARCHAR || ':' ||
+         |       l_linenumber::VARCHAR), 1, 15))::BIGINT % 1024 AS y
+         |  FROM lineitem),
+         |z AS (SELECT x, y, ($zDuck) // 16384 AS file_z,
+         |             x // 16 AS file_x, y // 16 AS file_y FROM t),
+         |sz AS (SELECT file_z, min(x) AS x0, max(x) AS x1,
+         |              min(y) AS y0, max(y) AS y1 FROM z GROUP BY file_z),
+         |sx AS (SELECT file_x, min(x) AS x0, max(x) AS x1,
+         |              min(y) AS y0, max(y) AS y1 FROM z GROUP BY file_x),
+         |sy AS (SELECT file_y, min(x) AS x0, max(x) AS x1,
+         |              min(y) AS y0, max(y) AS y1 FROM z GROUP BY file_y),
+         |nr AS (SELECT count(*) AS n_rows FROM t
+         |       WHERE x BETWEEN 100 AND 199 AND y BETWEEN 300 AND 399),
+         |fz AS (SELECT count(*) AS files_z FROM sz
+         |       WHERE x1 >= 100 AND x0 <= 199 AND y1 >= 300 AND y0 <= 399),
+         |fx AS (SELECT count(*) AS files_x FROM sx
+         |       WHERE x1 >= 100 AND x0 <= 199 AND y1 >= 300 AND y0 <= 399),
+         |fy AS (SELECT count(*) AS files_y FROM sy
+         |       WHERE x1 >= 100 AND x0 <= 199 AND y1 >= 300 AND y0 <= 399)
+         |SELECT n_rows, files_z, files_x, files_y
+         |FROM nr CROSS JOIN fz CROSS JOIN fx CROSS JOIN fy""".stripMargin
+    }) { (s, d) =>
+      val zCol = (0 until 10).map(b =>
+        (shiftright(col("x"), b) % 2) * lit(1L << (2 * b)) +
+          (shiftright(col("y"), b) % 2) * lit(1L << (2 * b + 1)))
+        .reduce(_ + _)
+      import graft.ops.Exprs.md5Long
+      def ch(tag: String) = md5Long(concat(lit(s"$tag:"),
+        col("l_orderkey").cast("string"), lit(":"),
+        col("l_linenumber").cast("string"))) % 1024
+      val z = lineitem(s, d)
+        .select(ch("zx").as("x"), ch("zy").as("y"))
+        .withColumn("zval", zCol)
+        .select(col("x"), col("y"), expr("zval div 16384").as("file_z"),
+          expr("x div 16").as("file_x"), expr("y div 16").as("file_y"))
+        .cache() // one narrow pass feeds the box count + three stats aggs
+      val box = col("x1") >= 100 && col("x0") <= 199 &&
+        col("y1") >= 300 && col("y0") <= 399
+      def touched(fileCol: String, as: String) =
+        z.groupBy(fileCol)
+          .agg(min("x").as("x0"), max("x").as("x1"),
+            min("y").as("y0"), max("y").as("y1"))
+          .filter(box).agg(count(lit(1)).as(as))
+      val nr = z.filter(col("x").between(100, 199) && col("y").between(300, 399))
+        .agg(count(lit(1)).as("n_rows"))
+      nr.crossJoin(touched("file_z", "files_z"))
+        .crossJoin(touched("file_x", "files_x"))
+        .crossJoin(touched("file_y", "files_y"))
+    },
+
     // ── partition-pruned lake layout: write orders partitioned by
     //    o_orderstatus (the date/tenant-partitioned layout every 100 TB
     //    lake uses), read it back with a partition-key filter, aggregate.

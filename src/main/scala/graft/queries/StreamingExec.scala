@@ -91,6 +91,34 @@ object StreamingExec {
           .orderBy("user_id")
     },
 
+    // STREAM-STREAM event-time interval join (attribution shape): each
+    // purchase joins the same user's clicks from the preceding hour, both
+    // sides watermarked, the time bound in the join condition so buffered
+    // state is watermark-evicted. Two independent file streams (one paced
+    // to 1 file/micro-batch) make the join genuinely buffer across
+    // batches; the emitted Append rows must be exactly the batch join.
+    Q("q_stream_join",
+      """WITH e AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type
+        |           FROM events),
+        |c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+        |      FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+        |      FROM e WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.purchase_id, c.click_id,
+        |  strftime(p.purchase_ts, '%Y-%m-%d %H:%M:%S.%f') AS pts,
+        |  strftime(c.click_ts, '%Y-%m-%d %H:%M:%S.%f') AS cts
+        |FROM p JOIN c ON c.user_id = p.user_id
+        |  AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+        |  AND c.click_ts <= p.purchase_ts
+        |ORDER BY p.user_id, purchase_id, click_id""".stripMargin) {
+      (s, d) =>
+        graft.streaming.Streams.streamJoinFromSnapshot(s, d)
+          .select(col("user_id"), col("purchase_id"), col("click_id"),
+            date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("pts"),
+            date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("cts"))
+          .orderBy("user_id", "purchase_id", "click_id")
+    },
+
     // Stateful streaming dedup: watermark-bounded dropDuplicates state,
     // key-only projection so the surviving-row nondeterminism of "first
     // arrival wins" never reaches the output — the key SET is the batch

@@ -91,6 +91,68 @@ object Streams {
     }
   }
 
+  /** Two-stream variant of [[replaySnapshot]]: the staged snapshot is read
+    * as TWO independent file streams (each with its own source offsets and
+    * micro-batch pacing — `maxFilesPerTrigger(1)` on one side staggers the
+    * arrival order, so the join genuinely buffers state across batches),
+    * joined/transformed by `transform`, appended to a memory sink.
+    */
+  private def replayTwoStreams(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, sinkPrefix: String)(
+      transform: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val staging = java.nio.file.Files.createTempDirectory(sinkPrefix)
+    try {
+      graft.model.Tables.events(spark, sfDir)
+        .repartition(4)
+        .write.mode("overwrite").parquet(staging.toString)
+      val schema = spark.read.parquet(staging.toString).schema
+      val sa = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(staging.toString)
+      val sb = spark.readStream.schema(schema).parquet(staging.toString)
+      val sink = s"${sinkPrefix.replace('-', '_')}_${sinkSeq.incrementAndGet()}"
+      val q = transform(sa, sb)
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(sink)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(staging).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  /** REAL streaming execution of a STREAM-STREAM event-time interval join —
+    * the attribution shape: each purchase joins the same user's clicks from
+    * the preceding hour. Both sides are watermarked and the join condition
+    * carries the event-time bound, so each side's buffered state is evicted
+    * as the other side's watermark passes — state is O(events within
+    * interval + tolerance), never O(history). Inner stream-stream joins
+    * emit in Append mode; the result set is exactly the batch join, which
+    * is what the DuckDB oracle checks.
+    */
+  def streamJoinFromSnapshot(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame =
+    replayTwoStreams(spark, sfDir, "graft-stream-join") { (sa, sb) =>
+      val clicks = sa.filter(col("event_type") === "click")
+        .select(col("user_id").as("click_user"),
+          col("event_id").as("click_id"), col("ts").as("click_ts"))
+        .withWatermark("click_ts", "30 days")
+      val purchases = sb.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "30 days")
+      purchases.join(clicks,
+        col("user_id") === col("click_user") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+          col("click_ts") <= col("purchase_ts"))
+        .select(col("user_id"), col("purchase_id"), col("click_id"),
+          col("purchase_ts"), col("click_ts"))
+    }
+
   /** REAL streaming execution of the tumbling-window aggregation over the
     * events snapshot — the declared-query form of the streaming surface:
     * the same rows as the batch `groupBy(window(...))`, produced by the
