@@ -108,6 +108,33 @@ object TextAnalysis {
           .orderBy("doc_id")
     },
 
+    // ── sketch cardinality, accuracy-gated: the one declared APPROXIMATE
+    //    op. At 100 TB approx_count_distinct (HLL++) is the cardinality
+    //    operator — one pass, mergeable fixed-size sketch, no distinct
+    //    shuffle. Sketch REGISTERS are engine-specific, so the declared
+    //    columns are the exact count plus a bounded-relative-error flag:
+    //    if Spark's sketch ever drifts past 5% of truth the flag flips and
+    //    the hash gate goes red (the q_ann_recall discipline — measure the
+    //    approximation, hash the measurement). rsd=2% keeps 5% a wide
+    //    margin, and HLL is deterministic for a given input set, so the
+    //    flag is stable across runs/partitionings. ─────────────────────────
+    Q("q_sketch_distinct",
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents)
+        |SELECT source, count(DISTINCT tok) AS n_exact, TRUE AS within_5pct
+        |FROM t GROUP BY source ORDER BY source""".stripMargin) {
+      (s, d) =>
+        documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("source")
+          .agg(count_distinct(col("tok")).as("n_exact"),
+            approx_count_distinct(col("tok"), 0.02).as("n_approx"))
+          .select(col("source"), col("n_exact"),
+            (abs(col("n_approx") - col("n_exact")).cast("double") <=
+              col("n_exact").cast("double") * 0.05).as("within_5pct"))
+          .orderBy("source")
+    },
+
     // ── TF-IDF: term frequency × inverse document frequency ─────────────
     // ln() differs by 1 ulp between engines on ~8% of inputs (measured), so
     // the score is round(.,6) on BOTH sides — the one declared query where
