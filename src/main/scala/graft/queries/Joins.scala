@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.model.Tables._
+import graft.ops.Exprs.md5Long
 
 /** Joins — SURVEY.md §2.4 (J1–J3 + declared parity semi/anti/as-of).
   *
@@ -340,6 +341,93 @@ object Joins {
           .select(col("pid").as("purchase_id"), col("user_id"),
             col("matched_vid"), unix_micros(col("ts")).as("ts_us"))
           .orderBy("purchase_id")
+    },
+
+    // ── CDC upsert (MERGE INTO semantics, Spark-first): a change batch is
+    //    applied to the current dimension with latest-wins column
+    //    resolution — updates overwrite, inserts append, untouched rows
+    //    survive. Base = customers outside the change channel at their
+    //    "old" state; changes = the md5-hash channel (≈20%), some keys
+    //    existing (update) and, via the base's narrower predicate, some
+    //    new (insert). One key-partitioned full-outer join + coalesce per
+    //    column — exactly how MERGE executes on a lake at scale (shuffle
+    //    on the upsert key, no driver involvement), with the op tag
+    //    (insert/update/keep) emitted for audit. ──────────────────────────
+    Q("q_upsert",
+      """WITH bk AS (SELECT c_custkey,
+        |    ('0x' || substr(md5('up:' || c_custkey::VARCHAR), 1, 15))::BIGINT % 100
+        |      AS ch FROM customer),
+        |base AS (SELECT c.c_custkey, c.c_mktsegment,
+        |           CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS acctbal
+        |         FROM customer c JOIN bk USING (c_custkey) WHERE ch < 80),
+        |chg AS (SELECT c.c_custkey, 'MIGRATED' AS c_mktsegment,
+        |          CAST(CAST(c.c_acctbal + 100.0 AS DECIMAL(12,2)) AS VARCHAR)
+        |            AS acctbal
+        |        FROM customer c JOIN bk USING (c_custkey) WHERE ch >= 60)
+        |SELECT coalesce(g.c_custkey, b.c_custkey) AS c_custkey,
+        |  coalesce(g.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
+        |  coalesce(g.acctbal, b.acctbal) AS acctbal,
+        |  CASE WHEN b.c_custkey IS NULL THEN 'insert'
+        |       WHEN g.c_custkey IS NULL THEN 'keep' ELSE 'update' END AS op
+        |FROM base b FULL OUTER JOIN chg g ON g.c_custkey = b.c_custkey
+        |ORDER BY c_custkey""".stripMargin) {
+      (s, d) =>
+        val ch = md5Long(concat(lit("up:"), col("c_custkey").cast("string"))) % 100
+        val cust = customer(s, d).withColumn("ch", ch)
+        val base = cust.filter(col("ch") < 80)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            col("c_acctbal").cast("decimal(12,2)").cast("string").as("acctbal"))
+        val chg = cust.filter(col("ch") >= 60)
+          .select(col("c_custkey"), lit("MIGRATED").as("c_mktsegment"),
+            (col("c_acctbal") + 100.0).cast("decimal(12,2)").cast("string")
+              .as("acctbal"))
+        base.as("b").join(chg.as("g"),
+            col("g.c_custkey") === col("b.c_custkey"), "full_outer")
+          .select(
+            coalesce(col("g.c_custkey"), col("b.c_custkey")).as("c_custkey"),
+            coalesce(col("g.c_mktsegment"), col("b.c_mktsegment")).as("c_mktsegment"),
+            coalesce(col("g.acctbal"), col("b.acctbal")).as("acctbal"),
+            when(col("b.c_custkey").isNull, "insert")
+              .when(col("g.c_custkey").isNull, "keep")
+              .otherwise("update").as("op"))
+          .orderBy("c_custkey")
+    },
+
+    // ── distributed triangle counting over an undirected graph — the
+    //    classic multi-way self-join the dedup candidate graphs need for
+    //    cluster-density diagnostics. Nodes are two independent md5
+    //    channels of the order key (fully populated 60-node space at every
+    //    SF), edges deduplicated as (a < b); triangles enumerate via two
+    //    equi-joins with the a < b < c orientation so each triangle counts
+    //    exactly once. Scale: edges partition by key; each join is an
+    //    equi-join on a node column (never all-pairs), the standard
+    //    edge-oriented enumeration that survives skew via the ordering. ────
+    Q("q_triangles",
+      """WITH r AS (SELECT
+        |    ('0x' || substr(md5('ta:' || o_orderkey::VARCHAR), 1, 15))::BIGINT % 60 AS x,
+        |    ('0x' || substr(md5('tb:' || o_orderkey::VARCHAR), 1, 15))::BIGINT % 60 AS y
+        |  FROM orders),
+        |e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+        |      FROM r WHERE x <> y)
+        |SELECT count(*) AS n_triangles,
+        |  (SELECT count(*) FROM e) AS n_edges
+        |FROM e e1
+        |JOIN e e2 ON e2.a = e1.b
+        |JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin) {
+      (s, d) =>
+        val r = orders(s, d).select(
+          (md5Long(concat(lit("ta:"), col("o_orderkey").cast("string"))) % 60).as("x"),
+          (md5Long(concat(lit("tb:"), col("o_orderkey").cast("string"))) % 60).as("y"))
+        val e = r.filter(col("x") =!= col("y"))
+          .select(least(col("x"), col("y")).as("a"),
+            greatest(col("x"), col("y")).as("b"))
+          .distinct()
+          .cache() // three self-join arms + the edge count read it
+        val tri = e.as("e1")
+          .join(e.select(col("a").as("b"), col("b").as("c")).as("e2"), "b")
+          .join(e.select(col("a"), col("b").as("c")).as("e3"), Seq("a", "c"))
+          .agg(count(lit(1)).as("n_triangles"))
+        tri.crossJoin(e.agg(count(lit(1)).as("n_edges")))
     }
   )
 }

@@ -248,6 +248,34 @@ object Relational {
           .orderBy("l_orderkey", "l_linenumber", "l_returnflag")
     },
 
+    // ── wide→long reshape (unpivot/melt): three measure columns become
+    //    (metric, val) rows, then a per-flag/metric aggregate — the
+    //    feature-table→feature-store reshape. Spark's native `unpivot`
+    //    keeps the reshape inside one narrow stage (no self-union scans:
+    //    ONE pass over lineitem emits all three measures); the oracle
+    //    spells the same relation as UNION ALL, the portable SQL form.
+    //    Exact decimal sums keep the aggregate order-insensitive. ──────────
+    Q("q_unpivot",
+      """WITH u AS (
+        |  SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS val
+        |  FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+        |SELECT l_returnflag, metric, count(*) AS n,
+        |  CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+        |FROM u GROUP BY l_returnflag, metric
+        |ORDER BY l_returnflag, metric""".stripMargin) {
+      (s, d) =>
+        lineitem(s, d)
+          .unpivot(Array(col("l_returnflag")),
+            Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+            "metric", "val")
+          .groupBy("l_returnflag", "metric")
+          .agg(count(lit(1)).as("n"),
+            sum(col("val").cast("decimal(18,2)")).cast("double").as("sum_val"))
+          .orderBy("l_returnflag", "metric")
+    },
+
     // ── F7: lexical numeric validation; original string emitted verbatim
     Q("q_numeric_valid",
       """SELECT event_id, vstr FROM (
