@@ -150,6 +150,39 @@ object Aggregates {
           .orderBy("l_returnflag")
     },
 
+    // ── sketch quantiles, accuracy-gated (the q_sketch_distinct pattern,
+    //    closing the sketch family: cardinality + quantiles). At 100 TB
+    //    approx_percentile's mergeable fixed-size summary replaces the
+    //    full-sort exact percentile; its rank-error guarantee (≤1/accuracy
+    //    of N, here 0.1%) is checked against EXACT order statistics at
+    //    q±1% — a 10× margin, so the flag is stable under any merge order
+    //    while a broken sketch flips it red. The declared doubles are the
+    //    exact percentiles (portable, proven by q_percentile); the sketch
+    //    only feeds the flags. ───────────────────────────────────────────────
+    Q("q_sketch_quantile", {
+      val qs = Seq(0.5, 0.9, 0.99)
+      val exact = qs.map(q =>
+        s"quantile_cont(l_extendedprice, $q) AS p${(q * 100).toInt}").mkString(", ")
+      val flags = qs.map(q => s"TRUE AS ok${(q * 100).toInt}").mkString(", ")
+      s"""SELECT $exact, $flags
+         |FROM lineitem""".stripMargin
+    }) { (s, d) =>
+      val qs = Seq(0.5, 0.9, 0.99)
+      val aggs = qs.flatMap { q =>
+        val t = (q * 100).toInt
+        Seq(expr(s"percentile(l_extendedprice, $q)").as(s"p$t"),
+          expr(s"percentile(l_extendedprice, ${q - 0.01})").as(s"lo$t"),
+          expr(s"percentile(l_extendedprice, ${math.min(q + 0.01, 1.0)})").as(s"hi$t"),
+          expr(s"approx_percentile(l_extendedprice, $q, 1000)").as(s"a$t"))
+      }
+      val flags = qs.map { q =>
+        val t = (q * 100).toInt
+        (col(s"a$t") >= col(s"lo$t") && col(s"a$t") <= col(s"hi$t")).as(s"ok$t")
+      }
+      lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+        .select(qs.map(q => col(s"p${(q * 100).toInt}")) ++ flags: _*)
+    },
+
     // ── pivot: wide conditional aggregation with an EXPLICT value list
     //    (no extra distinct-scan job to discover columns — the scale form) ─
     Q("q_pivot",

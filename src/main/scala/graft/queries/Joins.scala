@@ -393,6 +393,53 @@ object Joins {
           .orderBy("c_custkey")
     },
 
+    // ── SCD-2 history build — q_upsert's companion: instead of
+    //    latest-wins overwrite, every version is KEPT with a validity
+    //    interval. Version 0 = the base state of all customers; version
+    //    1 = the change batch (same md5 channel as q_upsert). One window
+    //    per key (lead(ver) → ver_to, open intervals closed by sentinel
+    //    999) — a single key-partitioned shuffle builds the full history,
+    //    the standard warehouse dimension-versioning shape at any scale. ────
+    Q("q_scd2",
+      """WITH bk AS (SELECT c_custkey,
+        |    ('0x' || substr(md5('up:' || c_custkey::VARCHAR), 1, 15))::BIGINT % 100
+        |      AS ch FROM customer),
+        |v0 AS (SELECT c_custkey, c_mktsegment,
+        |         CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS acctbal,
+        |         0 AS ver FROM customer),
+        |v1 AS (SELECT c.c_custkey, 'MIGRATED' AS c_mktsegment,
+        |         CAST(CAST(c.c_acctbal + 100.0 AS DECIMAL(12,2)) AS VARCHAR)
+        |           AS acctbal, 1 AS ver
+        |       FROM customer c JOIN bk USING (c_custkey) WHERE ch >= 60),
+        |u AS (SELECT * FROM v0 UNION ALL SELECT * FROM v1)
+        |SELECT c_custkey, c_mktsegment, acctbal,
+        |  CAST(ver AS BIGINT) AS ver_from,
+        |  CAST(coalesce(lead(ver) OVER (PARTITION BY c_custkey ORDER BY ver),
+        |                999) AS BIGINT) AS ver_to,
+        |  lead(ver) OVER (PARTITION BY c_custkey ORDER BY ver) IS NULL
+        |    AS is_current
+        |FROM u ORDER BY c_custkey, ver_from""".stripMargin) {
+      (s, d) =>
+        val cust = customer(s, d)
+          .withColumn("ch",
+            md5Long(concat(lit("up:"), col("c_custkey").cast("string"))) % 100)
+        val v0 = cust.select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").cast("decimal(12,2)").cast("string").as("acctbal"),
+          lit(0).as("ver"))
+        val v1 = cust.filter(col("ch") >= 60)
+          .select(col("c_custkey"), lit("MIGRATED").as("c_mktsegment"),
+            (col("c_acctbal") + 100.0).cast("decimal(12,2)").cast("string")
+              .as("acctbal"), lit(1).as("ver"))
+        val w = Window.partitionBy("c_custkey").orderBy("ver")
+        v0.unionByName(v1)
+          .withColumn("nxt", lead("ver", 1).over(w))
+          .select(col("c_custkey"), col("c_mktsegment"), col("acctbal"),
+            col("ver").cast("long").as("ver_from"),
+            coalesce(col("nxt"), lit(999)).cast("long").as("ver_to"),
+            col("nxt").isNull.as("is_current"))
+          .orderBy("c_custkey", "ver_from")
+    },
+
     // ── distributed triangle counting over an undirected graph — the
     //    classic multi-way self-join the dedup candidate graphs need for
     //    cluster-density diagnostics. Nodes are two independent md5
