@@ -80,9 +80,10 @@ object Sinks {
 
     // ── Z-order layout planning: the multi-dimensional clustering every
     //    100 TB lake uses when queries filter on TWO columns. Each row's
-    //    (x, y) in a 1024×1024 key space (two independent md5 channels of
-    //    the row key, so the space is fully populated at every scale
-    //    factor) is interleaved bit-by-bit into a 20-bit Morton key; 64
+    //    (x, y) in a 1024×1024 key space (two disjoint 10-bit fields of
+    //    ONE md5 of the row key — independent bits, one hash per row, and
+    //    the space is fully populated at every scale factor) is
+    //    interleaved bit-by-bit into a 20-bit Morton key; 64
     //    equal key-range files per layout. The
     //    declared result is the data-skipping arithmetic a parquet reader
     //    does with footer stats: a file is READ iff its per-file [min,max]
@@ -97,12 +98,11 @@ object Sinks {
       val zDuck = (0 until 10).map(b =>
         s"(((x >> $b) & 1) << ${2 * b}) + (((y >> $b) & 1) << ${2 * b + 1})")
         .mkString(" + ")
-      s"""WITH t AS (SELECT
-         |    ('0x' || substr(md5('zx:' || l_orderkey::VARCHAR || ':' ||
-         |       l_linenumber::VARCHAR), 1, 15))::BIGINT % 1024 AS x,
-         |    ('0x' || substr(md5('zy:' || l_orderkey::VARCHAR || ':' ||
-         |       l_linenumber::VARCHAR), 1, 15))::BIGINT % 1024 AS y
+      s"""WITH h AS (SELECT
+         |    ('0x' || substr(md5('z:' || l_orderkey::VARCHAR || ':' ||
+         |       l_linenumber::VARCHAR), 1, 15))::BIGINT AS hv
          |  FROM lineitem),
+         |t AS (SELECT hv % 1024 AS x, (hv // 1024) % 1024 AS y FROM h),
          |z AS (SELECT x, y, ($zDuck) // 16384 AS file_z,
          |             x // 16 AS file_x, y // 16 AS file_y FROM t),
          |sz AS (SELECT file_z, min(x) AS x0, max(x) AS x1,
@@ -127,11 +127,13 @@ object Sinks {
           (shiftright(col("y"), b) % 2) * lit(1L << (2 * b + 1)))
         .reduce(_ + _)
       import graft.ops.Exprs.md5Long
-      def ch(tag: String) = md5Long(concat(lit(s"$tag:"),
+      val hv = md5Long(concat(lit("z:"),
         col("l_orderkey").cast("string"), lit(":"),
-        col("l_linenumber").cast("string"))) % 1024
+        col("l_linenumber").cast("string")))
       val z = lineitem(s, d)
-        .select(ch("zx").as("x"), ch("zy").as("y"))
+        .select(hv.as("hv"))
+        .select((col("hv") % 1024).as("x"),
+          expr("(hv div 1024) % 1024").as("y"))
         .withColumn("zval", zCol)
         .select(col("x"), col("y"), expr("zval div 16384").as("file_z"),
           expr("x div 16").as("file_x"), expr("y div 16").as("file_y"))

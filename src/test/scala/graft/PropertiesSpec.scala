@@ -27,6 +27,32 @@ class PropertiesSpec extends SparkTestBase {
     for { a <- coordGen; b <- coordGen; c <- coordGen } yield (a, b, c), 500)
     .map { case ((a1, a2), (b1, b2), (c1, c2)) => (a1, a2, b1, b2, c1, c2) }
 
+  test("Morton interleave (q_zorder): bijective on the 1024x1024 key space") {
+    // the same bit-interleave formula the query builds, evaluated in one
+    // Spark pass; decode must invert encode exactly for random (x, y)
+    val pairs = sample(for {
+      x <- Gen.chooseNum(0L, 1023L); y <- Gen.chooseNum(0L, 1023L)
+    } yield (x, y), 2000)
+    val zCol = (0 until 10).map(b =>
+      (shiftright(col("x"), b) % 2) * lit(1L << (2 * b)) +
+        (shiftright(col("y"), b) % 2) * lit(1L << (2 * b + 1)))
+      .reduce(_ + _)
+    def unshuffle(zShifted: org.apache.spark.sql.Column) = // even bits of z
+      (0 until 10).map(b =>
+        (shiftright(zShifted, 2 * b) % 2) * lit(1L << b)).reduce(_ + _)
+    val rows = pairs.toDF("x", "y")
+      .withColumn("z", zCol)
+      .select(col("x"), col("y"), col("z"),
+        unshuffle(col("z")).as("x2"),
+        unshuffle(shiftright(col("z"), 1)).as("y2"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(3) && r.getLong(1) == r.getLong(4),
+        s"Morton round-trip failed: $r")
+      assert(r.getLong(2) >= 0L && r.getLong(2) < (1L << 20))
+    }
+  }
+
   test("haversine: symmetry, zero self-distance, range [0, piR]") {
     val rows = triples.toDF("la", "lo", "lb", "ob", "lc", "oc")
       .select(
