@@ -17,7 +17,7 @@ object SparkEntry {
     Relational.all ++ Joins.all ++ Aggregates.all ++
       TextAnalysis.all ++ Dedup.all ++ Similarity.all ++ Multimodal.all ++
       StreamingExec.all ++ FlagshipAnalog.all ++ Flagship.all ++ Curation.all ++
-      Sinks.all ++ Typed.all
+      Sinks.all ++ Typed.all ++ Analytics.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,286 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model.Tables._
+import graft.ops.Exprs.md5Long
+
+/** Warehouse-analytics operators beyond the SURVEY §2 parity set: frequency
+  * sketching, time-series gap-fill, one PageRank iteration, bigram
+  * language-model scoring, and range-partition planning. Each is the Spark
+  * form of an operator a 100 TB training-data warehouse runs routinely, and
+  * each is exact-arithmetic by construction so the DuckDB oracle hash-matches
+  * bit-for-bit (SURVEY §5.3 discipline: integer/DECIMAL accumulation,
+  * `round(...,6)` only where `ln` differs by 1 ulp between engines).
+  */
+object Analytics {
+
+  val all: Seq[Q] = Seq(
+
+    // ── Count-Min frequency sketch, accuracy-gated: 4 hash rows × 256
+    //    buckets over document tokens. At 100 TB the CMS replaces the full
+    //    token groupBy when only heavy hitters matter: the bucket sums are a
+    //    FIXED-size (4×256) mergeable aggregate — one map-side-combined
+    //    shuffle of 1024 rows regardless of corpus size — while the exact
+    //    count is an unbounded-cardinality groupBy. The declared result
+    //    carries the CMS guarantee as data: estimate ≥ exact always
+    //    (overcount-only), and within 3N/256 of exact (the ε·N bound).
+    //    Bucket sums are computed FROM the exact counts (sum of counts of
+    //    the tokens in each bucket ≡ count of token instances in the
+    //    bucket), so one scan feeds both sides of the comparison. ───────────
+    Q("q_heavy_hitters",
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |exact AS (SELECT tok, count(*) AS n_exact FROM tok GROUP BY tok),
+        |tot AS (SELECT count(*) AS nt FROM tok),
+        |b AS (SELECT tok, n_exact,
+        |  ('0x' || substr(md5('cm0:' || tok),1,15))::BIGINT % 256 AS b0,
+        |  ('0x' || substr(md5('cm1:' || tok),1,15))::BIGINT % 256 AS b1,
+        |  ('0x' || substr(md5('cm2:' || tok),1,15))::BIGINT % 256 AS b2,
+        |  ('0x' || substr(md5('cm3:' || tok),1,15))::BIGINT % 256 AS b3
+        |  FROM exact),
+        |s0 AS (SELECT b0 AS k, SUM(n_exact)::BIGINT AS s FROM b GROUP BY 1),
+        |s1 AS (SELECT b1 AS k, SUM(n_exact)::BIGINT AS s FROM b GROUP BY 1),
+        |s2 AS (SELECT b2 AS k, SUM(n_exact)::BIGINT AS s FROM b GROUP BY 1),
+        |s3 AS (SELECT b3 AS k, SUM(n_exact)::BIGINT AS s FROM b GROUP BY 1)
+        |SELECT b.tok, b.n_exact,
+        |  least(s0.s, s1.s, s2.s, s3.s) AS n_est,
+        |  least(s0.s, s1.s, s2.s, s3.s) >= b.n_exact AS overcount_ok,
+        |  least(s0.s, s1.s, s2.s, s3.s) - b.n_exact <= (3 * tot.nt) // 256
+        |    AS within_bound
+        |FROM b JOIN s0 ON b.b0 = s0.k JOIN s1 ON b.b1 = s1.k
+        |       JOIN s2 ON b.b2 = s2.k JOIN s3 ON b.b3 = s3.k CROSS JOIN tot
+        |ORDER BY b.n_exact DESC, b.tok LIMIT 20""".stripMargin) {
+      (s, d) =>
+        val tok = documents(s, d)
+          .select(explode(split(col("text"), " ")).as("tok"))
+        val exact = tok.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+        val tot = tok.agg(count(lit(1)).as("nt"))
+        def bucket(i: Int): Column =
+          md5Long(concat(lit(s"cm$i:"), col("tok"))) % 256
+        val b = exact.select(col("tok") +: col("n_exact") +:
+          (0 to 3).map(i => bucket(i).as(s"b$i")): _*)
+        // bucket sums derived from the (cached) per-token counts — ≤256 rows
+        // each, broadcast back onto the token side
+        val bc = b.cache()
+        val joined = (0 to 3).foldLeft(bc.as("t")) { (acc, i) =>
+          val si = bc.groupBy(col(s"b$i").as(s"k$i"))
+            .agg(sum(col("n_exact")).as(s"s$i"))
+          acc.join(broadcast(si), col(s"b$i") === col(s"k$i"))
+        }
+        val est = least((0 to 3).map(i => col(s"s$i")): _*)
+        joined.crossJoin(broadcast(tot))
+          .select(col("tok"), col("n_exact"), est.as("n_est"),
+            (est >= col("n_exact")).as("overcount_ok"),
+            (est - col("n_exact") <= expr("(3 * nt) div 256"))
+              .as("within_bound"))
+          .orderBy(col("n_exact").desc, col("tok")).limit(20)
+    },
+
+    // ── one PageRank iteration from the uniform vector, over the
+    //    customer→supplier bipartite graph (distinct trade edges from
+    //    lineitem ⋈ orders). Per-iteration shape at scale: one equi-join
+    //    (edges ⋈ out-degrees, both partitioned by source) + one groupBy —
+    //    the canonical iterate-on-Spark plan, no driver state. Exactness:
+    //    each edge's contribution rank/outdeg = 1/(N·outdeg) is carried as
+    //    the INTEGER 10^15 ∕ (N·outdeg) (floor division both engines), so
+    //    the per-target sum is an order-independent exact BIGINT (total
+    //    mass < 10^15 — never overflows); only the final, per-row
+    //    damping formula touches doubles, every operand of which is
+    //    bit-identical across engines. ────────────────────────────────────
+    Q("q_pagerank_step",
+      """WITH edges AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |nn AS (SELECT (SELECT count(DISTINCT c) FROM edges)
+        |             + (SELECT count(DISTINCT s) FROM edges) AS n),
+        |outd AS (SELECT c, count(*) AS od FROM edges GROUP BY c),
+        |contrib AS (SELECT e.s, 1000000000000000 // (nn.n * o.od) AS w
+        |  FROM edges e JOIN outd o ON e.c = o.c CROSS JOIN nn),
+        |agg AS (SELECT s, count(*) AS in_deg, SUM(w)::BIGINT AS rank_num
+        |        FROM contrib GROUP BY s)
+        |SELECT a.s AS suppkey, a.in_deg, a.rank_num,
+        |  round(0.15 / nn.n + 0.85 * (a.rank_num / 1000000000000000.0), 9)
+        |    AS rank
+        |FROM agg a CROSS JOIN nn ORDER BY suppkey""".stripMargin) {
+      (s, d) =>
+        val edges = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+          .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+          .distinct().cache()
+        val nn = edges.agg(
+          (count_distinct(col("c")) + count_distinct(col("s"))).as("n"))
+        val outd = edges.groupBy("c").agg(count(lit(1)).as("od"))
+        edges.join(outd, "c").crossJoin(broadcast(nn))
+          .select(col("s"), expr("1000000000000000 div (n * od)").as("w"),
+            col("n"))
+          .groupBy("s", "n")
+          .agg(count(lit(1)).as("in_deg"), sum(col("w")).as("rank_num"))
+          .select(col("s").as("suppkey"), col("in_deg"), col("rank_num"),
+            round(lit(0.15) / col("n") +
+              lit(0.85) * (col("rank_num") / lit(1000000000000000.0)), 9)
+              .as("rank"))
+          .orderBy("suppkey")
+    },
+
+    // ── bigram language-model scoring: add-one-smoothed P(w2|w1) from
+    //    corpus-wide bigram/unigram counts, average log-probability per
+    //    sampled document — the perplexity-style quality gate a curation
+    //    pipeline runs against a reference corpus. Counts are plain
+    //    groupBys; the scored side is a fixed hash sample (doc_id % 97, the
+    //    q_tfidf discipline) so the join fan-out is bounded. ln() rounds to
+    //    6 decimals per term, then accumulates in DECIMAL(18,6) —
+    //    order-independent, engine-exact. ─────────────────────────────────
+    Q("q_bigram_lm",
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+        |big AS (SELECT doc_id, unnest(list_transform(
+        |          generate_series(1, len(ts)-1),
+        |          i -> ts[i] || ' ' || ts[i+1])) AS bg
+        |        FROM t WHERE len(ts) >= 2),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM big GROUP BY bg),
+        |uni AS (SELECT unnest(ts) AS w FROM t),
+        |c1 AS (SELECT w, count(*) AS c1 FROM uni GROUP BY w),
+        |v AS (SELECT count(DISTINCT w) AS v FROM uni),
+        |scored AS (SELECT b.doc_id,
+        |    CAST(round(ln((c2.c2 + 1) / CAST(c1.c1 + v.v AS DOUBLE)), 6)
+        |         AS DECIMAL(18,6)) AS lp
+        |  FROM big b JOIN c2 ON b.bg = c2.bg
+        |  JOIN c1 ON string_split(b.bg, ' ')[1] = c1.w CROSS JOIN v
+        |  WHERE b.doc_id % 97 = 0)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(SUM(lp) AS DOUBLE) / count(*), 6) AS avg_logp
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val t = documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        val big = t.filter(size(col("ts")) >= 2)
+          .select(col("doc_id"), explode(transform(
+            sequence(lit(1), size(col("ts")) - 1),
+            i => concat(element_at(col("ts"), i), lit(" "),
+              element_at(col("ts"), i + 1)))).as("bg"))
+        val c2 = big.groupBy("bg").agg(count(lit(1)).as("c2"))
+        val uni = t.select(explode(col("ts")).as("w"))
+        val c1 = uni.groupBy("w").agg(count(lit(1)).as("c1"))
+        val v = uni.agg(count_distinct(col("w")).as("v"))
+        big.filter(col("doc_id") % 97 === 0)
+          .join(c2, "bg")
+          .join(c1, element_at(split(col("bg"), " "), 1) === col("w"))
+          .crossJoin(broadcast(v))
+          .select(col("doc_id"),
+            round(log((col("c2") + 1) /
+              (col("c1") + col("v")).cast("double")), 6)
+              .cast("decimal(18,6)").as("lp"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(sum(col("lp")).cast("double") / count(lit(1)), 6)
+              .as("avg_logp"))
+          .orderBy("doc_id")
+    },
+
+    // ── range-partition planning: the boundary computation behind every
+    //    distributed sort / sorted-lake write. A deterministic 5% hash
+    //    sample is ranked into 8 tiles (the ntile window runs over the
+    //    SAMPLE only — the same asymptotics as Spark's own RangePartitioner,
+    //    which sorts a bounded sample on the driver; the full table never
+    //    sees a global window), tile maxima become the 7 split points, and
+    //    every order is assigned by counting boundaries below its price —
+    //    a broadcast array membership, pure map stage. The declared result
+    //    is the per-partition row count + [lo, hi] — the balance check a
+    //    planner does before committing to a layout. ─────────────────────
+    Q("q_range_partition",
+      """WITH s AS (SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE ('0x' || substr(md5(o_orderkey::VARCHAR),1,15))::BIGINT
+        |        % 20 = 0),
+        |t AS (SELECT o_totalprice, o_orderkey,
+        |        ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS tile
+        |      FROM s),
+        |bl AS (SELECT list_sort(list(bnd)) AS bs FROM
+        |       (SELECT max(o_totalprice) AS bnd FROM t
+        |        WHERE tile < 8 GROUP BY tile)),
+        |asg AS (SELECT o.o_orderkey, o.o_totalprice,
+        |    CAST(len(list_filter(bl.bs, b -> b < o.o_totalprice)) AS BIGINT)
+        |      AS part
+        |  FROM orders o CROSS JOIN bl)
+        |SELECT part, count(*) AS n,
+        |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM asg GROUP BY part ORDER BY part""".stripMargin) {
+      (s, d) =>
+        val sample = orders(s, d)
+          .filter(md5Long(col("o_orderkey").cast("string")) % 20 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val tiled = sample.withColumn("tile",
+          ntile(8).over(Window.orderBy("o_totalprice", "o_orderkey")))
+        val bl = tiled.filter(col("tile") < 8)
+          .groupBy("tile").agg(max(col("o_totalprice")).as("bnd"))
+          .agg(array_sort(collect_list(col("bnd"))).as("bs"))
+        orders(s, d).crossJoin(broadcast(bl))
+          .select(col("o_totalprice"),
+            size(filter(col("bs"), b => b < col("o_totalprice")))
+              .cast("long").as("part"))
+          .groupBy("part")
+          .agg(count(lit(1)).as("n"),
+            min(col("o_totalprice")).as("lo"),
+            max(col("o_totalprice")).as("hi"))
+          .orderBy("part")
+    },
+
+    // ── time-series gap-fill: per-user daily resample of events with
+    //    forward-fill (last observation carried forward) — the telemetry
+    //    regularization step before any training on sensor/metric series.
+    //    The day spine is generated per key with sequence() (bounded by the
+    //    key's own [min,max] span — never a global calendar cross join);
+    //    the fill is the two-window idiom (cumulative non-null count forms
+    //    carry groups, max-per-group propagates the value) — both windows
+    //    partition by user, so at scale they shard per key with no global
+    //    sort. Daily values are exact DECIMAL sums; the filled value is a
+    //    bit-exact copy of them. ──────────────────────────────────────────
+    Q("q_gapfill",
+      """WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, value FROM events
+        |           WHERE user_id % 100 = 0),
+        |daily AS (SELECT user_id, date_trunc('day', ts) AS day,
+        |            SUM(CAST(value AS DECIMAL(18,6))) AS dv, count(*) AS n
+        |          FROM e GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |         FROM daily GROUP BY 1),
+        |spine AS (SELECT user_id,
+        |    unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        |  FROM span),
+        |j AS (SELECT sp.user_id, sp.day, d.dv, coalesce(d.n, 0) AS n
+        |      FROM spine sp LEFT JOIN daily d
+        |        ON sp.user_id = d.user_id AND sp.day = d.day),
+        |g AS (SELECT *, count(dv) OVER (PARTITION BY user_id ORDER BY day
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |      FROM j)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, n,
+        |  CAST(max(dv) OVER (PARTITION BY user_id, grp) AS DOUBLE) AS filled,
+        |  dv IS NULL AS is_gap
+        |FROM g ORDER BY user_id, day""".stripMargin) {
+      (s, d) =>
+        val e = events(s, d).filter(col("user_id") % 100 === 0)
+        val daily = e
+          .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+          .agg(sum(col("value").cast("decimal(18,6)")).as("dv"),
+            count(lit(1)).as("n"))
+        val spine = daily.groupBy("user_id")
+          .agg(min("day").as("d0"), max("day").as("d1"))
+          .select(col("user_id"), explode(
+            sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("day"))
+        val dailyR = daily.select(col("user_id").as("u2"),
+          col("day").as("day2"), col("dv"), col("n"))
+        val j = spine.join(dailyR,
+          col("user_id") === col("u2") && col("day") === col("day2"), "left")
+          .select(col("user_id"), col("day"), col("dv"),
+            coalesce(col("n"), lit(0L)).as("n"))
+        val cum = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        j.withColumn("grp", count(col("dv")).over(cum))
+          .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("n"),
+            max(col("dv")).over(Window.partitionBy(col("user_id"), col("grp")))
+              .cast("double").as("filled"),
+            col("dv").isNull.as("is_gap"))
+          .orderBy("user_id", "day")
+    }
+  )
+}

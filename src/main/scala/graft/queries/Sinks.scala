@@ -160,6 +160,42 @@ object Sinks {
     //    PushdownSpec), so at scale the query reads 1/3 of the lake, not
     //    1/3 of each file. The aggregate matches the unpartitioned oracle
     //    exactly: a layout change must never change results. ───────────────
+    // ── incremental materialized-view maintenance: the per-customer order
+    //    summary MV is REFRESHED, not recomputed — the base aggregate (all
+    //    orders before a data-derived 90-day cutoff) is persisted to parquet
+    //    once, and the refresh merges only the delta partition's partial
+    //    aggregate into the read-back base (union + re-aggregate of two
+    //    partial-agg frames, the algebraic-merge property of count/sum).
+    //    At 100 TB this is THE aggregation-serving shape: refresh cost is
+    //    O(delta + |MV|), never O(history). Sums ride DECIMAL(18,2) partials
+    //    so base+delta merge is exact and order-independent; the oracle is
+    //    the full recompute — a refresh must be indistinguishable from one. ──
+    Q("q_mv_refresh",
+      """WITH cut AS (SELECT max(o_orderdate) - INTERVAL 90 DAY AS c
+        |             FROM orders)
+        |SELECT o_custkey, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) {
+      (s, d) =>
+        val cut = orders(s, d).agg(max(col("o_orderdate")).as("m"))
+          .select((col("m") - expr("INTERVAL 90 DAYS")).as("cutoff"))
+        def partialAgg(pred: org.apache.spark.sql.Column) =
+          orders(s, d).crossJoin(broadcast(cut)).filter(pred)
+            .groupBy("o_custkey")
+            .agg(count(lit(1)).as("n"),
+              sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+        val dir = stagingDir("graft-mv-base", d)
+        partialAgg(col("o_orderdate") < col("cutoff"))
+          .write.mode("overwrite").parquet(dir)
+        val base = s.read.parquet(dir)
+        val delta = partialAgg(col("o_orderdate") >= col("cutoff"))
+        base.unionByName(delta)
+          .groupBy("o_custkey")
+          .agg(sum(col("n")).as("n"),
+            sum(col("total")).cast("double").as("total"))
+          .orderBy("o_custkey")
+    },
+
     Q("q_partition_prune",
       """SELECT o_orderpriority, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

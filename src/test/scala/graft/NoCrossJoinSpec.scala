@@ -30,6 +30,11 @@ class NoCrossJoinSpec extends SparkTestBase {
     // single-row aggregate frames joined back (global statistic → filter):
     "q_fresh_station", "q_fresh_keep_null", // data-derived max(ts)−7d cutoff
     "q_tfidf", // corpus document count N
+    "q_heavy_hitters", // corpus token count N (CMS error bound ε·N)
+    "q_pagerank_step", // node count N (uniform-rank denominator)
+    "q_bigram_lm", // vocabulary size V (add-one smoothing denominator)
+    "q_range_partition", // 7-element boundary array from the sample
+    "q_mv_refresh", // data-derived 90-day cutoff (base/delta split point)
     "q_length_outliers", // corpus-wide exact p95 threshold
     "q_minhash_recall", // n_cand/n_truth/n_hits one-row count frames
     "q_simhash_recall", // count frames + the PROBE-bounded truth kernel
