@@ -119,6 +119,37 @@ object StreamingExec {
           .orderBy("user_id", "purchase_id", "click_id")
     },
 
+    // LEFT-OUTER stream-stream join: purchases with no click in the
+    // preceding hour emit null-extended — which requires the engine to
+    // PROVE absence via watermark-driven state eviction, the semantics the
+    // inner join never exercises. Nullable columns are coalesced to
+    // sentinels on both engines so null sort order can't diverge.
+    Q("q_stream_outer",
+      """WITH e AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type
+        |           FROM events),
+        |c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+        |      FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+        |      FROM e WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.purchase_id,
+        |  coalesce(c.click_id, -1) AS click_id,
+        |  strftime(p.purchase_ts, '%Y-%m-%d %H:%M:%S.%f') AS pts,
+        |  coalesce(strftime(c.click_ts, '%Y-%m-%d %H:%M:%S.%f'), 'none') AS cts
+        |FROM p LEFT JOIN c ON c.user_id = p.user_id
+        |  AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+        |  AND c.click_ts <= p.purchase_ts
+        |ORDER BY p.user_id, purchase_id, click_id""".stripMargin) {
+      (s, d) =>
+        graft.streaming.Streams.streamOuterJoinFromSnapshot(s, d)
+          .filter(col("user_id") >= 0) // replay watermark sentinels, if ever emitted
+          .select(col("user_id"), col("purchase_id"),
+            coalesce(col("click_id"), lit(-1L)).as("click_id"),
+            date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("pts"),
+            coalesce(date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+              lit("none")).as("cts"))
+          .orderBy("user_id", "purchase_id", "click_id")
+    },
+
     // Stateful streaming dedup: watermark-bounded dropDuplicates state,
     // key-only projection so the surviving-row nondeterminism of "first
     // arrival wins" never reaches the output — the key SET is the batch

@@ -98,13 +98,52 @@ object Streams {
     * joined/transformed by `transform`, appended to a memory sink.
     */
   private def replayTwoStreams(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String, sinkPrefix: String)(
+      sfDir: String, sinkPrefix: String, watermarkSentinels: Boolean = false)(
       transform: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val staging = java.nio.file.Files.createTempDirectory(sinkPrefix)
     try {
       graft.model.Tables.events(spark, sfDir)
         .repartition(4)
         .write.mode("overwrite").parquet(staging.toString)
+      // Outer stream-stream joins emit their null-extended rows only when
+      // the watermark passes the point where a match can no longer arrive;
+      // with a finite replay the watermark (max event time − delay) never
+      // gets there on real data alone, so trailing unmatched rows would
+      // stay buffered forever. Appending two far-future sentinel files
+      // (max+31d, max+32d — past the 30-day delay) pushes the watermark
+      // beyond every real event; the SECOND sentinel batch carries the
+      // watermark advance from the first, so eviction happens in a DATA
+      // batch and never depends on a trailing no-data batch. The sentinels
+      // must carry the REAL event types ('click'/'purchase'): Catalyst
+      // pushes the per-side event-type filter below EventTimeWatermark
+      // (watermark is row-metadata to the optimizer), so a row of any
+      // other type is pruned AT THE SCAN and never advances event time —
+      // measured, not theory. Negative user ids keep them from ever
+      // joining (real user ids are non-negative, and the two sides use
+      // different ids so they can't match each other); consumers filter
+      // `user_id >= 0` from the sink. mtimes are forced +60 s/+120 s so
+      // the throttled (1-file-per-trigger) source replays them LAST —
+      // real rows are all processed before the watermark jumps, so
+      // nothing is ever late-dropped (the events span is under the
+      // 30-day delay).
+      if (watermarkSentinels) {
+        import spark.implicits._
+        val maxTs = spark.read.parquet(staging.toString)
+          .agg(max("ts")).head().getTimestamp(0)
+        Seq((31L, "click", -1L), (32L, "purchase", -2L)).zipWithIndex
+          .foreach { case ((days, typ, uid), i) =>
+            val before = Option(staging.toFile.listFiles())
+              .map(_.map(_.getName).toSet).getOrElse(Set.empty[String])
+            val ts = new java.sql.Timestamp(maxTs.getTime + days * 86400000L)
+            Seq((-(i + 1).toLong, ts, uid, typ, 0.0, null: String))
+              .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+              .coalesce(1).write.mode("append").parquet(staging.toString)
+            Option(staging.toFile.listFiles()).foreach(_.foreach { f =>
+              if (!before(f.getName) && f.getName.endsWith(".parquet"))
+                f.setLastModified(System.currentTimeMillis() + (i + 1) * 60000L)
+            })
+          }
+      }
       val schema = spark.read.parquet(staging.toString).schema
       val sa = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(staging.toString)
@@ -149,6 +188,45 @@ object Streams {
         col("user_id") === col("click_user") &&
           col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
           col("click_ts") <= col("purchase_ts"))
+        .select(col("user_id"), col("purchase_id"), col("click_id"),
+          col("purchase_ts"), col("click_ts"))
+    }
+
+  /** REAL streaming execution of a LEFT-OUTER stream-stream event-time join:
+    * every purchase emits, click-matched or null-extended. The outer side's
+    * unmatched rows can only be emitted once the watermark proves no match
+    * can still arrive, so state eviction — not just buffering — is on the
+    * executed path (the inner-join variant above never exercises it). The
+    * replay's watermark sentinels (see [[replayTwoStreams]]) ride the real
+    * event types with negative user ids, so they advance each side's event
+    * time but can never join; the final `user_id >= 0` drops them from the
+    * result. The emitted Append rows must equal the batch LEFT JOIN, which
+    * is what the DuckDB oracle checks.
+    */
+  def streamOuterJoinFromSnapshot(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame =
+    replayTwoStreams(spark, sfDir, "graft-stream-outer",
+      watermarkSentinels = true) { (sa, sb) =>
+      val clicks = sa.filter(col("event_type") === "click")
+        .select(col("user_id").as("click_user"),
+          col("event_id").as("click_id"), col("ts").as("click_ts"))
+        .withWatermark("click_ts", "30 days")
+      val purchases = sb.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "30 days")
+      purchases.join(clicks,
+        col("user_id") === col("click_user") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+          col("click_ts") <= col("purchase_ts"),
+        "left_outer")
+        // NO sentinel filter here: a `user_id >= 0` above the join would be
+        // pushed below the purchase-side watermark node (same optimizer
+        // move as the event-type filter, see replayTwoStreams) and stop
+        // the sentinel from advancing event time. The sentinels cannot
+        // reach the sink anyway — their own eviction point (ts+delay) is
+        // beyond any watermark this replay can reach — and the declared
+        // query filters the sink batch-side as a belt-and-braces guard.
         .select(col("user_id"), col("purchase_id"), col("click_id"),
           col("purchase_ts"), col("click_ts"))
     }
