@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants of the analytics surface (Analytics.scala + q_mv_refresh) that
+  * the oracle hash can't express — properties that must hold at every scale,
+  * not just equal a value at one: the CMS overcount guarantee over ALL
+  * tokens (the declared query only exposes the top 20), gap-fill spine
+  * completeness and carry-forward correctness, range-partition totality and
+  * value-disjointness, PageRank mass conservation, and MV-refresh ≡
+  * recompute on the Spark side (the oracle proves it against DuckDB; this
+  * proves it against Spark's own full recompute).
+  */
+class AnalyticsSpec extends SparkTestBase {
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  test("q_heavy_hitters: CMS never undercounts, for every reported token") {
+    val rows = run("q_heavy_hitters").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_est") >= r.getAs[Long]("n_exact"),
+        s"CMS undercounted '${r.getAs[String]("tok")}'")
+      assert(r.getAs[Boolean]("overcount_ok"))
+    }
+  }
+
+  test("q_gapfill: spine is complete per user and fill carries the last value") {
+    val rows = run("q_gapfill").collect()
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (uid, rs) =>
+      val days = rs.map(_.getAs[String]("day")).sorted.toSeq
+      // complete daily coverage: consecutive calendar days, no holes
+      val (d0, d1) = (java.time.LocalDate.parse(days.head),
+        java.time.LocalDate.parse(days.last))
+      assert(days.length == java.time.temporal.ChronoUnit.DAYS.between(d0, d1) + 1,
+        s"user $uid spine has holes")
+      assert(days.distinct.length == days.length, s"user $uid has duplicate days")
+      // forward fill: every gap row repeats the latest preceding non-gap value
+      var last = Double.NaN
+      rs.sortBy(_.getAs[String]("day")).foreach { r =>
+        if (!r.getAs[Boolean]("is_gap")) last = r.getAs[Double]("filled")
+        else assert(r.getAs[Double]("filled") == last,
+          s"user $uid ${r.getAs[String]("day")}: gap not filled with last value")
+        assert((r.getAs[Long]("n") == 0L) == r.getAs[Boolean]("is_gap"))
+      }
+    }
+  }
+
+  test("q_range_partition: partitions are total and value-disjoint") {
+    val rows = run("q_range_partition").collect().sortBy(_.getAs[Long]("part"))
+    val total = graft.model.Tables.orders(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total,
+      "every order must land in exactly one partition")
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"),
+          s"partitions ${a.getAs[Long]("part")}/${b.getAs[Long]("part")} overlap")
+      case _ =>
+    }
+  }
+
+  test("q_pagerank_step: mass is conserved up to the damping formula") {
+    val rows = run("q_pagerank_step").collect()
+    assert(rows.nonEmpty)
+    // Σ scaled contributions ≤ 10^15 · (#cust / N) < 10^15 (each customer
+    // distributes exactly rank 1/N, floored per edge) and every rank is
+    // positive and below 1.
+    val sumNum = rows.map(_.getAs[Long]("rank_num")).sum
+    assert(sumNum > 0L && sumNum < 1000000000000000L)
+    rows.foreach { r =>
+      val rank = r.getAs[Double]("rank")
+      assert(rank > 0.0 && rank < 1.0)
+      assert(r.getAs[Long]("in_deg") > 0L)
+    }
+  }
+
+  test("q_mv_refresh: incremental merge equals full recompute (Spark side)") {
+    val merged = run("q_mv_refresh")
+    val full = graft.model.Tables.orders(spark, sfDir)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy("o_custkey")
+    assert(merged.collect().toSeq == full.collect().toSeq,
+      "refresh result diverges from full recompute")
+  }
+}
