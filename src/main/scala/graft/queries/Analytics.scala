@@ -225,6 +225,122 @@ object Analytics {
           .orderBy("part")
     },
 
+    // ── conversion funnel: view → click → purchase with a 1-day window per
+    //    step, per-user earliest-qualifying-event semantics (first view,
+    //    first click after it, first purchase after that). Three stages =
+    //    two key-partitioned join+agg rounds on user_id — at scale each is
+    //    one shuffle on the same key, and AQE reuses the partitioning. The
+    //    declared result is the per-stage user count as stage rows (a UNION
+    //    of single-row aggregates — no single-row cross join needed). ──────
+    Q("q_funnel",
+      """WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, event_type
+        |           FROM events),
+        |v AS (SELECT user_id, min(ts) AS v_ts FROM e
+        |      WHERE event_type='view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type='click' AND e.ts > v.v_ts
+        |        AND e.ts <= v.v_ts + INTERVAL 1 DAY GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type='purchase' AND e.ts > c.c_ts
+        |        AND e.ts <= c.c_ts + INTERVAL 1 DAY GROUP BY 1)
+        |SELECT stage, n FROM (
+        |  SELECT '1_view' AS stage, count(*) AS n FROM v
+        |  UNION ALL SELECT '2_click', count(*) FROM c
+        |  UNION ALL SELECT '3_purchase', count(*) FROM p)
+        |ORDER BY stage""".stripMargin) {
+      (s, d) =>
+        val e = events(s, d).select(col("user_id"), col("ts"), col("event_type"))
+        val v = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("v_ts"))
+        val c = e.filter(col("event_type") === "click")
+          .join(v, "user_id")
+          .filter(col("ts") > col("v_ts") &&
+            col("ts") <= col("v_ts") + expr("INTERVAL 1 DAY"))
+          .groupBy("user_id").agg(min("ts").as("c_ts"))
+        val p = e.filter(col("event_type") === "purchase")
+          .join(c, "user_id")
+          .filter(col("ts") > col("c_ts") &&
+            col("ts") <= col("c_ts") + expr("INTERVAL 1 DAY"))
+          .groupBy("user_id").agg(min("ts").as("p_ts"))
+        v.agg(count(lit(1)).as("n")).select(lit("1_view").as("stage"), col("n"))
+          .unionByName(c.agg(count(lit(1)).as("n"))
+            .select(lit("2_click").as("stage"), col("n")))
+          .unionByName(p.agg(count(lit(1)).as("n"))
+            .select(lit("3_purchase").as("stage"), col("n")))
+          .orderBy("stage")
+    },
+
+    // ── cohort retention: users cohorted by first-purchase day, counted
+    //    per (cohort, day offset) they purchased again — the engagement
+    //    matrix every product warehouse computes. Two key-partitioned
+    //    aggregations + one join on user_id; day arithmetic is exact
+    //    integer (datediff), so the matrix hash-matches bit-for-bit. ──────
+    Q("q_retention",
+      """WITH e AS (SELECT user_id, date_trunc('day', ts::TIMESTAMP) AS d
+        |           FROM events WHERE event_type = 'purchase'),
+        |coh AS (SELECT user_id, min(d) AS cohort FROM e GROUP BY 1),
+        |act AS (SELECT DISTINCT e.user_id, coh.cohort, e.d FROM e
+        |        JOIN coh ON e.user_id = coh.user_id)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+        |  date_diff('day', cohort, d) AS day_offset,
+        |  count(*) AS n_users
+        |FROM act GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) {
+      (s, d) =>
+        val e = events(s, d).filter(col("event_type") === "purchase")
+          .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        val coh = e.groupBy("user_id").agg(min("d").as("cohort"))
+        e.join(coh, "user_id").select("user_id", "cohort", "d").distinct()
+          .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+            datediff(col("d").cast("date"), col("cohort").cast("date"))
+              .cast("long").as("day_offset"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("cohort_day", "day_offset")
+    },
+
+    // ── table profiling (the ANALYZE TABLE shape): per-column row count,
+    //    null count, distinct count, lexical min/max — computed in ONE scan
+    //    as a single wide aggregate (Catalyst plans the multi-distinct via
+    //    Expand), then reshaped to a row per column with stack(). The
+    //    DuckDB oracle spells it as a union of per-column aggregates —
+    //    same result, which is the point: profile output is
+    //    layout-independent. ────────────────────────────────────────────────
+    Q("q_profile",
+      """WITH s AS (SELECT * FROM orders)
+        |SELECT col, n, n_null, n_distinct, vmin, vmax FROM (
+        |  SELECT 'o_orderkey' AS col, count(*) AS n,
+        |    count(*) - count(o_orderkey) AS n_null,
+        |    count(DISTINCT o_orderkey) AS n_distinct,
+        |    CAST(min(o_orderkey) AS VARCHAR) AS vmin,
+        |    CAST(max(o_orderkey) AS VARCHAR) AS vmax FROM s
+        |  UNION ALL SELECT 'o_custkey', count(*),
+        |    count(*) - count(o_custkey), count(DISTINCT o_custkey),
+        |    CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+        |  FROM s
+        |  UNION ALL SELECT 'o_orderstatus', count(*),
+        |    count(*) - count(o_orderstatus), count(DISTINCT o_orderstatus),
+        |    min(o_orderstatus), max(o_orderstatus) FROM s
+        |  UNION ALL SELECT 'o_orderpriority', count(*),
+        |    count(*) - count(o_orderpriority), count(DISTINCT o_orderpriority),
+        |    min(o_orderpriority), max(o_orderpriority) FROM s
+        |) ORDER BY col""".stripMargin) {
+      (s, d) =>
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_orderpriority")
+        val aggs = count(lit(1)).as("n") +: cols.flatMap(c => Seq(
+          count(col(c)).as(s"cnt_$c"),
+          count_distinct(col(c)).as(s"dst_$c"),
+          min(col(c)).cast("string").as(s"min_$c"),
+          max(col(c)).cast("string").as(s"max_$c")))
+        val one = orders(s, d).agg(aggs.head, aggs.tail: _*)
+        val stackArgs = cols.map(c =>
+          s"'$c', n, n - cnt_$c, dst_$c, min_$c, max_$c").mkString(", ")
+        one.selectExpr(s"stack(${cols.length}, $stackArgs) AS " +
+          "(col, n, n_null, n_distinct, vmin, vmax)")
+          .orderBy("col")
+    },
+
     // ── time-series gap-fill: per-user daily resample of events with
     //    forward-fill (last observation carried forward) — the telemetry
     //    regularization step before any training on sensor/metric series.
