@@ -225,6 +225,90 @@ object Analytics {
           .orderBy("part")
     },
 
+    // ── time-based rolling window: per-user trailing-24 h event count and
+    //    exact decimal sum via a RANGE frame over epoch-µs ordering — the
+    //    monitoring/feature-engineering aggregate (complements the ROWS
+    //    frame of q_window_frame). The user filter is partition-local so it
+    //    applies BEFORE the window on both engines; at scale the window
+    //    shards per user with no global sort, and the frame is evaluated by
+    //    a sliding accumulator, not O(n²) re-scans. ─────────────────────────
+    Q("q_rolling_window",
+      """WITH e AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS tus,
+        |             event_id, value
+        |           FROM events WHERE user_id % 50 = 0)
+        |SELECT user_id, event_id, tus,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY tus
+        |    RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) AS n_24h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+        |    PARTITION BY user_id ORDER BY tus
+        |    RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS sum_24h
+        |FROM e ORDER BY user_id, tus, event_id""".stripMargin) {
+      (s, d) =>
+        val win = Window.partitionBy("user_id").orderBy("tus")
+          .rangeBetween(-86400000000L, Window.currentRow)
+        events(s, d).filter(col("user_id") % 50 === 0)
+          .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+            col("event_id"), col("value"))
+          .select(col("user_id"), col("event_id"), col("tus"),
+            count(lit(1)).over(win).as("n_24h"),
+            sum(col("value").cast("decimal(18,6)")).over(win)
+              .cast("double").as("sum_24h"))
+          .orderBy("user_id", "tus", "event_id")
+    },
+
+    // ── one BPE merge step — the tokenizer-training primitive: count all
+    //    adjacent token pairs across the corpus (one explode + groupBy —
+    //    the shuffle that dominates real BPE training), pick the most
+    //    frequent pair (TakeOrderedAndProject, no global sort), and report
+    //    the merge's effect: vocab grows by one, corpus token count shrinks
+    //    by the pair count. Restricted to non-identical pairs (w1 ≠ w2), so
+    //    occurrences cannot overlap and the plain bigram count IS the
+    //    greedy non-overlapping merge count — the declared numbers stay
+    //    exact integers without a per-doc fold. ────────────────────────────
+    Q("q_bpe_step",
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+        |big AS (SELECT doc_id, unnest(list_transform(
+        |          generate_series(1, len(ts)-1),
+        |          i -> struct_pack(w1 := ts[i], w2 := ts[i+1]))) AS pr
+        |        FROM t WHERE len(ts) >= 2),
+        |pairs AS (SELECT doc_id, pr.w1 AS w1, pr.w2 AS w2 FROM big
+        |          WHERE pr.w1 <> pr.w2),
+        |pc AS (SELECT w1, w2, count(*) AS cnt, count(DISTINCT doc_id) AS n_docs
+        |       FROM pairs GROUP BY 1, 2),
+        |top AS (SELECT w1, w2, cnt, n_docs FROM pc
+        |        ORDER BY cnt DESC, w1, w2 LIMIT 1),
+        |voc AS (SELECT count(DISTINCT w) AS v FROM
+        |        (SELECT unnest(ts) AS w FROM t)),
+        |tok AS (SELECT SUM(len(ts))::BIGINT AS n_tok FROM t)
+        |SELECT top.w1 || ' ' || top.w2 AS pair, top.cnt, top.n_docs,
+        |  voc.v AS vocab_before, voc.v + 1 AS vocab_after,
+        |  tok.n_tok AS tokens_before, tok.n_tok - top.cnt AS tokens_after
+        |FROM top CROSS JOIN voc CROSS JOIN tok""".stripMargin) {
+      (s, d) =>
+        val t = documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        val pairs = t.filter(size(col("ts")) >= 2)
+          .select(col("doc_id"), explode(transform(
+            sequence(lit(1), size(col("ts")) - 1),
+            i => struct(element_at(col("ts"), i).as("w1"),
+              element_at(col("ts"), i + 1).as("w2")))).as("pr"))
+          .select(col("doc_id"), col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+          .filter(col("w1") =!= col("w2"))
+        val top = pairs.groupBy("w1", "w2")
+          .agg(count(lit(1)).as("cnt"), count_distinct(col("doc_id")).as("n_docs"))
+          .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(1)
+        val voc = t.select(explode(col("ts")).as("w"))
+          .agg(count_distinct(col("w")).as("v"))
+        val tok = t.agg(sum(size(col("ts")).cast("long")).as("n_tok"))
+        top.crossJoin(broadcast(voc)).crossJoin(broadcast(tok))
+          .select(concat(col("w1"), lit(" "), col("w2")).as("pair"),
+            col("cnt"), col("n_docs"),
+            col("v").as("vocab_before"), (col("v") + 1).as("vocab_after"),
+            col("n_tok").as("tokens_before"),
+            (col("n_tok") - col("cnt")).as("tokens_after"))
+    },
+
     // ── conversion funnel: view → click → purchase with a 1-day window per
     //    step, per-user earliest-qualifying-event semantics (first view,
     //    first click after it, first purchase after that). Three stages =
