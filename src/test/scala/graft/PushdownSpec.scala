@@ -97,6 +97,27 @@ class PushdownSpec extends SparkTestBase {
       s"o_orderstatus not in PartitionFilters: $plan")
   }
 
+  test("q_retention/q_funnel: event-type equality pushes to the events scan") {
+    Seq("q_retention", "q_funnel").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      val pushed = pushedFilters(df)
+      assert(pushed.exists(_.contains("event_type")),
+        s"$q: event_type filter not pushed to scan: $pushed")
+      val schemas = readSchemas(df)
+      assert(schemas.nonEmpty && schemas.forall(s =>
+        !s.contains("props") && !s.contains("value")),
+        s"$q: events scan reads unreferenced columns: $schemas")
+    }
+  }
+
+  test("q_mv_refresh: delta scan reads only the three referenced columns") {
+    val df = SparkEntry.queries("q_mv_refresh")(spark, sfDir)
+    val schemas = readSchemas(df)
+    assert(schemas.nonEmpty && schemas.forall(s =>
+      !s.contains("o_orderstatus") && !s.contains("o_orderpriority")),
+      s"orders scan reads unreferenced columns: $schemas")
+  }
+
   test("q_sample_stratified: documents scan reads only id and lang") {
     val df = SparkEntry.queries("q_sample_stratified")(spark, sfDir)
     val schemas = readSchemas(df)
