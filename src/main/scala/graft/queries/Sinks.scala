@@ -246,7 +246,7 @@ object Sinks {
   }
   private val generation =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]
-  private[queries] def stagingDir(prefix: String, sfDir: String): String = {
+  private[graft] def stagingDir(prefix: String, sfDir: String): String = {
     val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     val purpose = stagingRoot.resolve(s"$prefix-$tag")

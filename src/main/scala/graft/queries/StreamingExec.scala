@@ -150,6 +150,26 @@ object StreamingExec {
           .orderBy("user_id", "purchase_id", "click_id")
     },
 
+    // Streaming MERGE ingest via foreachBatch: micro-batches fold into a
+    // generation-versioned parquet table, latest event per user winning by
+    // (ts, event_id). The final TABLE — not a memory sink — is the declared
+    // result, so the upsert write path itself is under the hash gate.
+    Q("q_stream_upsert",
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+        |             ts::TIMESTAMP AS ts FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM e)
+        |SELECT user_id, event_id, event_type, value,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin) {
+      (s, d) =>
+        graft.streaming.Streams.upsertFromSnapshot(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("value"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"))
+          .orderBy("user_id")
+    },
+
     // Stateful streaming dedup: watermark-bounded dropDuplicates state,
     // key-only projection so the surviving-row nondeterminism of "first
     // arrival wins" never reaches the output — the key SET is the batch

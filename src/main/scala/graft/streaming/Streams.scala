@@ -231,6 +231,66 @@ object Streams {
           col("purchase_ts"), col("click_ts"))
     }
 
+  /** REAL streaming MERGE (upsert) ingest — the lakehouse pattern Spark has
+    * no native streaming sink for: each micro-batch is folded into a
+    * parquet table via `foreachBatch`, keeping the latest event per user
+    * (latest-wins by the total order (ts, event_id), carried as a packed
+    * struct so `max` is one lexicographic comparison). Latest-wins merging
+    * is associative and commutative under a total order, so the final
+    * table is independent of how the replay was micro-batched — which is
+    * exactly what the batch oracle (window row_number = 1) checks. Each
+    * batch writes a NEW table generation ([[graft.queries.Sinks.stagingDir]]:
+    * process-owned root, ≤2 generations kept, shutdown-cleaned), so a
+    * reader of the previous generation is never invalidated mid-read —
+    * at scale this is the snapshot-isolation discipline of a real table
+    * format. State lives in the table, not the engine: the merge itself
+    * is O(batch + |table|) per batch with no streaming state operator.
+    */
+  def upsertFromSnapshot(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    val staging = java.nio.file.Files.createTempDirectory("graft-stream-upsert")
+    try {
+      graft.model.Tables.events(spark, sfDir)
+        .repartition(4).write.mode("overwrite").parquet(staging.toString)
+      val schema = spark.read.parquet(staging.toString).schema
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(staging.toString)
+      // latest row per user as (user_id, pk) where pk's leading fields are
+      // the ordering key — max(pk) IS latest-wins
+      def reduceLatest(df: DataFrame): DataFrame =
+        df.select(col("user_id"), struct(col("ts"), col("event_id"),
+            col("event_type"), col("value")).as("pk"))
+          .groupBy("user_id").agg(max(col("pk")).as("pk"))
+      val current = new java.util.concurrent.atomic.AtomicReference[String](null)
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val batchLatest = reduceLatest(batch)
+          val merged = Option(current.get()) match {
+            case Some(prev) => spark.read.parquet(prev)
+              .unionByName(batchLatest)
+              .groupBy("user_id").agg(max(col("pk")).as("pk"))
+            case None => batchLatest
+          }
+          val gen = graft.queries.Sinks.stagingDir("graft-upsert-table", sfDir)
+          merged.write.mode("overwrite").parquet(gen)
+          current.set(gen)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(current.get())
+        .select(col("user_id"), col("pk.event_id").as("event_id"),
+          col("pk.event_type").as("event_type"), col("pk.value").as("value"),
+          col("pk.ts").as("ts"))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(staging).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   /** REAL streaming execution of the tumbling-window aggregation over the
     * events snapshot — the declared-query form of the streaming surface:
     * the same rows as the batch `groupBy(window(...))`, produced by the
