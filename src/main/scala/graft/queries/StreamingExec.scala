@@ -150,6 +150,20 @@ object StreamingExec {
           .orderBy("user_id", "purchase_id", "click_id")
     },
 
+    // Spark 4 transformWithState (the arbitrary-state API superseding
+    // flatMapGroupsWithState): per-user running totals in RocksDB-backed
+    // ValueState; same oracle as q_stream_running, so the legacy and new
+    // state APIs are proven to agree bit-for-bit.
+    Q("q_stream_tws",
+      """SELECT user_id, count(*) AS n,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |       AS VARCHAR) AS total
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) {
+      (s, d) =>
+        graft.streaming.Streams.transformWithStateFromSnapshot(s, d)
+          .orderBy("user_id")
+    },
+
     // Streaming MERGE ingest via foreachBatch: micro-batches fold into a
     // generation-versioned parquet table, latest event per user winning by
     // (ts, event_id). The final TABLE — not a memory sink — is the declared

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured-Streaming surface (SURVEY.md §2.9): the reference's whole job
   * is an externally-scheduled batch micro-run (Cloud Scheduler cron,
@@ -372,6 +373,68 @@ object Streams {
   def dedupStream(stream: DataFrame, tolerance: String = "30 days"): DataFrame =
     stream.withWatermark("ts", tolerance)
       .dropDuplicates("event_id")
+
+  /** Spark 4 `transformWithState` processor: per-user running (count,
+    * exact decimal total) in a RocksDB-backed `ValueState`. The decimal
+    * rides as a plain-string so the state encoder stays a simple
+    * (Long, String) product — exactness lives in BigDecimal arithmetic,
+    * not in encoder scale negotiation. Top-level class (not a closure)
+    * so task serialization captures no enclosing state.
+    */
+  final class RunningTotalsProcessor
+      extends StatefulProcessor[Long, (Long, String), (Long, Long, String)] {
+    @transient private var st: ValueState[(Long, String)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState("running",
+        Encoders.tuple(Encoders.scalaLong, Encoders.STRING), TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+        tv: TimerValues): Iterator[(Long, Long, String)] = {
+      val (n0, tot0) = if (st.exists()) st.get() else (0L, "0.00")
+      var n = n0
+      var dec = new java.math.BigDecimal(tot0)
+      rows.foreach { r => n += 1; dec = dec.add(new java.math.BigDecimal(r._2)) }
+      val out = dec.setScale(2).toPlainString
+      st.update((n, out))
+      Iterator((key, n, out))
+    }
+  }
+
+  /** REAL streaming execution of the Spark 4 `transformWithState` surface —
+    * the arbitrary-state API that supersedes flatMapGroupsWithState: typed
+    * `ValueState` in the RocksDB state store, Update-mode emissions per
+    * micro-batch, final per-key state equal to the batch GROUP BY (the
+    * same contract q_stream_running pins for the legacy API, so the two
+    * declared queries prove old and new state APIs agree bit-for-bit).
+    * The provider conf is set for the duration of the run and restored —
+    * transformWithState requires the RocksDB provider.
+    */
+  def transformWithStateFromSnapshot(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      replaySnapshot(spark, sfDir, "graft-stream-tws", OutputMode.Update()) {
+        st =>
+          import st.sparkSession.implicits._
+          st.select(col("user_id").cast("long"),
+            col("value").cast("decimal(18,2)").cast("string"))
+            .as[(Long, String)]
+            .groupByKey(_._1)
+            .transformWithState(new RunningTotalsProcessor,
+              TimeMode.None(), OutputMode.Update())
+            .toDF("user_id", "n", "total")
+      }
+        .groupBy("user_id")
+        .agg(max("n").as("n"), max_by(col("total"), col("n")).as("total"))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 
   /** Per-key running state carried across micro-batches. Sums are exact
     * decimals so the running total is order-insensitive (batch↔stream
