@@ -425,6 +425,47 @@ object Analytics {
           .orderBy("col")
     },
 
+    // ── distribution-drift gate: KL divergence of each source's token
+    //    distribution from the corpus distribution — the domain-shift
+    //    monitor a curation pipeline runs per ingest batch. Two
+    //    key-partitioned groupBys + one join on token; per-term
+    //    contributions round to 9 decimals and accumulate in DECIMAL (the
+    //    q_tfidf ln-ulp discipline), so the per-source divergence
+    //    hash-matches. ─────────────────────────────────────────────────────
+    Q("q_drift",
+      """WITH tok AS (SELECT source, unnest(string_split(text,' ')) AS w
+        |             FROM documents),
+        |src AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        |stot AS (SELECT source, SUM(c)::BIGINT AS n FROM src GROUP BY 1),
+        |gw AS (SELECT w, count(*) AS g FROM tok GROUP BY 1),
+        |gtot AS (SELECT count(*) AS m FROM tok),
+        |terms AS (SELECT s.source,
+        |    CAST(round((s.c / CAST(st.n AS DOUBLE)) *
+        |      ln((s.c / CAST(st.n AS DOUBLE)) / (g.g / CAST(gt.m AS DOUBLE))),
+        |      9) AS DECIMAL(18,9)) AS t
+        |  FROM src s JOIN stot st ON s.source = st.source
+        |  JOIN gw g ON s.w = g.w CROSS JOIN gtot gt)
+        |SELECT source, count(*) AS n_terms,
+        |  round(CAST(SUM(t) AS DOUBLE), 6) AS kl
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin) {
+      (s, d) =>
+        val tok = documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        val src = tok.groupBy("source", "w").agg(count(lit(1)).as("c"))
+        val stot = src.groupBy("source").agg(sum(col("c")).as("n"))
+        val gw = tok.groupBy("w").agg(count(lit(1)).as("g"))
+        val gtot = tok.agg(count(lit(1)).as("m"))
+        val pS = col("c") / col("n").cast("double")
+        val pG = col("g") / col("m").cast("double")
+        src.join(stot, "source").join(gw, "w").crossJoin(broadcast(gtot))
+          .select(col("source"),
+            round(pS * log(pS / pG), 9).cast("decimal(18,9)").as("t"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_terms"),
+            round(sum(col("t")).cast("double"), 6).as("kl"))
+          .orderBy("source")
+    },
+
     // ── time-series gap-fill: per-user daily resample of events with
     //    forward-fill (last observation carried forward) — the telemetry
     //    regularization step before any training on sensor/metric series.

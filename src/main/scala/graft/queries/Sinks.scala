@@ -160,6 +160,35 @@ object Sinks {
     //    PushdownSpec), so at scale the query reads 1/3 of the lake, not
     //    1/3 of each file. The aggregate matches the unpartitioned oracle
     //    exactly: a layout change must never change results. ───────────────
+    // ── JSON-lines round-trip: same sink+source discipline as
+    //    q_csv_roundtrip over the line-delimited JSON format — completes
+    //    the bundled format matrix (parquet everywhere, JSON source via
+    //    Snapshots, CSV/ORC/JSON sinks here). Doubles print as
+    //    shortest-exact repr and re-parse to identical bits; the date goes
+    //    through its canonical string form; the aggregate stays
+    //    order-insensitive (counts + DECIMAL sums). ─────────────────────────
+    Q("q_json_roundtrip",
+      """SELECT l_linestatus, count(*) AS n,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc,
+        |  CAST(max(CAST(l_shipdate AS DATE)) AS VARCHAR) AS max_ship
+        |FROM lineitem WHERE l_orderkey % 13 = 0
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) {
+      (s, d) =>
+        val src = lineitem(s, d)
+          .filter(col("l_orderkey") % 13 === 0)
+          .select(col("l_orderkey"), col("l_linestatus"), col("l_discount"),
+            col("l_shipdate").cast("date").as("l_shipdate"))
+        val dir = stagingDir("graft-json-roundtrip", d)
+        src.write.mode("overwrite").json(dir)
+        s.read.schema(src.schema).json(dir)
+          .groupBy("l_linestatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_discount").cast("decimal(18,2)")).cast("double")
+              .as("sum_disc"),
+            max(col("l_shipdate")).cast("string").as("max_ship"))
+          .orderBy("l_linestatus")
+    },
+
     // ── incremental materialized-view maintenance: the per-customer order
     //    summary MV is REFRESHED, not recomputed — the base aggregate (all
     //    orders before a data-derived 90-day cutoff) is persisted to parquet
