@@ -29,6 +29,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"haversine_distance takes 4 arguments, got ${args.length}")
         HaversineDistance(args(0), args(1), args(2), args(3))
       }))
+    // vector similarity as SQL functions over the codegen DotProduct
+    // expression — the custom-Expression hot path (VectorExprs) becomes
+    // SQL-visible; cosine is a pure expression-tree composition with the
+    // IDENTICAL operation shape as Exprs.cosineSim, so SQL and DataFrame
+    // callers get bit-equal results
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[graft.functions.DotProduct].getName,
+        "dot_product"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 2,
+          s"dot_product takes 2 arguments, got ${args.length}")
+        graft.functions.DotProduct(args(0), args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[graft.functions.DotProduct].getName,
+        "cosine_similarity"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 2,
+          s"cosine_similarity takes 2 arguments, got ${args.length}")
+        import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+        val (a, b) = (args(0), args(1))
+        Divide(graft.functions.DotProduct(a, b),
+          Sqrt(Multiply(graft.functions.DotProduct(a, a),
+            graft.functions.DotProduct(b, b))))
+      }))
     ext.injectPostHocResolutionRule(_ => HaversineBoundingBox)
   }
 }

@@ -102,6 +102,34 @@ class SessionExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("dot_product / cosine_similarity SQL functions are bit-equal to the Column API") {
+    withExtendedSession { s =>
+      import s.implicits._
+      val df = graft.model.Tables.embeddings(s, sfDir).limit(50)
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+      df.createOrReplaceTempView("emb_ext")
+      val sqlRows = s.sql(
+        """SELECT a.vec_id AS ia, b.vec_id AS ib,
+          |  dot_product(a.v, b.v) AS dp,
+          |  cosine_similarity(a.v, b.v) AS cs
+          |FROM emb_ext a JOIN emb_ext b ON a.vec_id < b.vec_id
+          |ORDER BY ia, ib""".stripMargin).collect()
+      val colRows = df.as("a").join(df.as("b"), $"a.vec_id" < $"b.vec_id")
+        .select($"a.vec_id".as("ia"), $"b.vec_id".as("ib"),
+          graft.ops.Exprs.dotProduct($"a.v", $"b.v").as("dp"),
+          graft.ops.Exprs.cosineSim($"a.v", $"b.v").as("cs"))
+        .orderBy("ia", "ib").collect()
+      assert(sqlRows.length == colRows.length && sqlRows.nonEmpty)
+      sqlRows.zip(colRows).foreach { case (x, y) =>
+        assert(java.lang.Double.doubleToLongBits(x.getDouble(2)) ==
+          java.lang.Double.doubleToLongBits(y.getDouble(2)), "dot mismatch")
+        assert(java.lang.Double.doubleToLongBits(x.getDouble(3)) ==
+          java.lang.Double.doubleToLongBits(y.getDouble(3)), "cosine mismatch")
+      }
+    }
+  }
+
   test("haversine_distance is callable from SQL in the extended session") {
     withExtendedSession { s =>
       val d = s.sql(
