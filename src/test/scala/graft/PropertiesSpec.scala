@@ -113,6 +113,57 @@ class PropertiesSpec extends SparkTestBase {
     val shuffled = b.select(shuffledCols.map(col): _*)
     assert(a.unionByName(shuffled).count() == o.count())
   }
+  test("q_bpe_step premise: for w1 != w2, bigram count == greedy merge count") {
+    // the query's exactness rests on this: occurrences of a non-identical
+    // pair can never share a token, so the plain bigram count IS the greedy
+    // left-to-right non-overlapping merge count. Simulate the greedy merge
+    // on random sequences over a small alphabet and compare.
+    val alpha = Vector("a", "b", "c")
+    val seqGen = Gen.chooseNum(2, 30)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(alpha)))
+    val cases = sample(seqGen, 400)
+    cases.foreach { toks =>
+      for (w1 <- alpha; w2 <- alpha if w1 != w2) {
+        val bigramCount = toks.sliding(2)
+          .count { case Seq(x, y) => x == w1 && y == w2; case _ => false }
+        // greedy left-to-right merge
+        var i = 0; var merges = 0
+        while (i < toks.length - 1) {
+          if (toks(i) == w1 && toks(i + 1) == w2) { merges += 1; i += 2 }
+          else i += 1
+        }
+        assert(bigramCount == merges,
+          s"pair ($w1,$w2) over $toks: bigrams=$bigramCount greedy=$merges")
+      }
+    }
+  }
+
+  test("q_rolling_window: RANGE frame == brute-force trailing-window scan") {
+    val rowGen = for {
+      u <- Gen.chooseNum(0L, 3L)
+      t <- Gen.chooseNum(0L, 500L)
+      v <- Gen.chooseNum(-100L, 100L)
+    } yield (u, t, v)
+    val rows = sample(rowGen, 300).zipWithIndex
+      .map { case ((u, t, v), i) => (u, t, v, i.toLong) }
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy("t").rangeBetween(-50L, 0L)
+    val got = rows.toDF("u", "t", "v", "id")
+      .select(col("u"), col("t"), col("id"),
+        count(lit(1)).over(win).as("n"),
+        sum(col("v")).over(win).as("s"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    rows.foreach { case (u, t, v, id) =>
+      val inWin = rows.filter { case (u2, t2, _, _) =>
+        u2 == u && t2 >= t - 50 && t2 <= t } // RANGE: peers by value, all ids
+      val want = (inWin.length.toLong, inWin.map(_._3).sum)
+      assert(got((u, t, id)) == want,
+        s"row ($u,$t,$id): got ${got((u, t, id))}, want $want")
+    }
+  }
+
   test("HammingJoin: blocked join == all-pairs for random signatures and distances") {
     val sigGen = Gen.chooseNum(Long.MinValue, Long.MaxValue)
       .map(_ & ((1L << 60) - 1))
