@@ -179,19 +179,23 @@ object Analytics {
     },
 
     // ── range-partition planning: the boundary computation behind every
-    //    distributed sort / sorted-lake write. A deterministic 5% hash
-    //    sample is ranked into 8 tiles (the ntile window runs over the
-    //    SAMPLE only — the same asymptotics as Spark's own RangePartitioner,
-    //    which sorts a bounded sample on the driver; the full table never
-    //    sees a global window), tile maxima become the 7 split points, and
-    //    every order is assigned by counting boundaries below its price —
-    //    a broadcast array membership, pure map stage. The declared result
-    //    is the per-partition row count + [lo, hi] — the balance check a
-    //    planner does before committing to a layout. ─────────────────────
+    //    distributed sort / sorted-lake write. A deterministic hash sample
+    //    BOUNDED to ≤1000 rows at any scale — 5% hash-gate, then the 1000
+    //    hash-smallest rows via TakeOrderedAndProject (per-partition
+    //    truncation before the shuffle), the same bounded-sample discipline
+    //    as Spark's own RangePartitioner — is ranked into 8 tiles (the
+    //    ntile window runs over the bounded sample only; the full table
+    //    never sees a global window), tile maxima become the 7 split
+    //    points, and every order is assigned by counting boundaries below
+    //    its price — a broadcast array membership, pure map stage. The
+    //    declared result is the per-partition row count + [lo, hi] — the
+    //    balance check a planner does before committing to a layout. ──────
     Q("q_range_partition",
       """WITH s AS (SELECT o_orderkey, o_totalprice FROM orders
         |  WHERE ('0x' || substr(md5(o_orderkey::VARCHAR),1,15))::BIGINT
-        |        % 20 = 0),
+        |        % 20 = 0
+        |  ORDER BY ('0x' || substr(md5(o_orderkey::VARCHAR),1,15))::BIGINT,
+        |    o_orderkey LIMIT 1000),
         |t AS (SELECT o_totalprice, o_orderkey,
         |        ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS tile
         |      FROM s),
@@ -208,6 +212,8 @@ object Analytics {
       (s, d) =>
         val sample = orders(s, d)
           .filter(md5Long(col("o_orderkey").cast("string")) % 20 === 0)
+          .orderBy(md5Long(col("o_orderkey").cast("string")), col("o_orderkey"))
+          .limit(1000)
           .select(col("o_orderkey"), col("o_totalprice"))
         val tiled = sample.withColumn("tile",
           ntile(8).over(Window.orderBy("o_totalprice", "o_orderkey")))
