@@ -431,6 +431,49 @@ object Analytics {
           .orderBy("col")
     },
 
+    // ── join-key skew diagnostic: per-candidate-key group-size statistics
+    //    (key count, max/median/p99 group size, skew ratio) — the profile a
+    //    planner reads BEFORE choosing between a plain shuffle join,
+    //    salting (q_salted_join), or AQE skew splitting. One scan: the
+    //    three key columns explode to (key_col, k) rows (the oracle spells
+    //    it as UNION ALL — result-identical), then two key-partitioned
+    //    aggregations. skew_ratio = max/median group size; l_suppkey's
+    //    ~1.1 says uniform, a hot key would spike it. ──────────────────────
+    Q("q_skew_metrics",
+      """WITH lk AS (SELECT 'l_orderkey' AS key_col, l_orderkey AS k
+        |            FROM lineitem
+        |  UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+        |  UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem),
+        |g AS (SELECT key_col, k, count(*) AS c FROM lk GROUP BY 1, 2),
+        |st AS (SELECT key_col, count(*) AS n_keys, SUM(c)::BIGINT AS n_rows,
+        |         max(c) AS max_group, quantile_cont(c, 0.5) AS p50_group,
+        |         quantile_cont(c, 0.99) AS p99_group
+        |       FROM g GROUP BY 1)
+        |SELECT key_col, n_keys, n_rows, max_group,
+        |  round(p50_group, 6) AS p50_group, round(p99_group, 6) AS p99_group,
+        |  round(max_group / p50_group, 6) AS skew_ratio
+        |FROM st ORDER BY key_col""".stripMargin) {
+      (s, d) =>
+        val lk = lineitem(s, d).select(explode(array(
+          struct(lit("l_orderkey").as("key_col"), col("l_orderkey").as("k")),
+          struct(lit("l_partkey").as("key_col"), col("l_partkey").as("k")),
+          struct(lit("l_suppkey").as("key_col"), col("l_suppkey").as("k"))))
+          .as("e"))
+          .select(col("e.key_col").as("key_col"), col("e.k").as("k"))
+        lk.groupBy("key_col", "k").agg(count(lit(1)).as("c"))
+          .groupBy("key_col")
+          .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+            max(col("c")).as("max_group"),
+            expr("percentile(c, 0.5)").as("p50"),
+            expr("percentile(c, 0.99)").as("p99"))
+          .select(col("key_col"), col("n_keys"), col("n_rows"),
+            col("max_group"),
+            round(col("p50"), 6).as("p50_group"),
+            round(col("p99"), 6).as("p99_group"),
+            round(col("max_group") / col("p50"), 6).as("skew_ratio"))
+          .orderBy("key_col")
+    },
+
     // ── distribution-drift gate: KL divergence of each source's token
     //    distribution from the corpus distribution — the domain-shift
     //    monitor a curation pipeline runs per ingest batch. Two
