@@ -152,6 +152,113 @@ object Sinks {
         .crossJoin(touched("file_y", "files_y"))
     },
 
+    // ── Hilbert-curve layout planning (q_zorder's stronger sibling — the
+    //    curve behind liquid-style clustering): the same md5-derived
+    //    1024×1024 key space, keyed by the Hilbert index computed as TEN
+    //    UNROLLED rotation steps of pure integer CASE arithmetic — the
+    //    (3·rx)^ry term is spelled rx·(3−ry)+(1−rx)·ry so both engines run
+    //    the identical xor-free formula (validated against the classical
+    //    xy2d algorithm). The declared result is what a reader measures on
+    //    the occupied cells of a 100×100 query box: files touched per
+    //    layout (64 equal key-range files each) AND the number of
+    //    contiguous key RUNS to fetch — the seek count, where Hilbert's
+    //    locality beats Morton's diagonal jumps. The runs windows order
+    //    ≤10⁴ box cells (bounded by the box, not the table). ───────────────
+    Q("q_hilbert", {
+      def step(i: Int): String = {
+        val s = 1024 >> (i + 1)
+        val rx = s"(CASE WHEN (x$i & $s) > 0 THEN 1 ELSE 0 END)"
+        val ry = s"(CASE WHEN (y$i & $s) > 0 THEN 1 ELSE 0 END)"
+        s"""h${i + 1} AS (SELECT
+           |  d$i + ${s.toLong * s} * ($rx*(3-$ry) + (1-$rx)*$ry) AS d${i + 1},
+           |  CASE WHEN $ry=1 THEN x$i WHEN $rx=1 THEN ${s - 1}-y$i ELSE y$i END AS x${i + 1},
+           |  CASE WHEN $ry=1 THEN y$i WHEN $rx=1 THEN ${s - 1}-x$i ELSE x$i END AS y${i + 1},
+           |  x0, y0 FROM h$i)""".stripMargin
+      }
+      val zDuck = (0 until 10).map(b =>
+        s"(((x0 >> $b) & 1) << ${2 * b}) + (((y0 >> $b) & 1) << ${2 * b + 1})")
+        .mkString(" + ")
+      def runs(keyed: String, k: String, as: String): String =
+        s"""(SELECT count(*) AS $as FROM
+           |  (SELECT $k, lag($k) OVER (ORDER BY $k) AS prev FROM $keyed)
+           |  WHERE prev IS NULL OR $k - prev > 1)""".stripMargin
+      s"""WITH pts AS (SELECT
+         |    ('0x' || substr(md5('z:' || l_orderkey::VARCHAR || ':' ||
+         |       l_linenumber::VARCHAR), 1, 15))::BIGINT AS hv
+         |  FROM lineitem),
+         |cells AS (SELECT DISTINCT hv % 1024 AS x, (hv // 1024) % 1024 AS y
+         |          FROM pts
+         |          WHERE hv % 1024 BETWEEN 100 AND 199
+         |            AND (hv // 1024) % 1024 BETWEEN 300 AND 399),
+         |h0 AS (SELECT x AS x0, y AS y0, 0::BIGINT AS d0 FROM cells),
+         |${(0 until 10).map(step).mkString(",\n")},
+         |keyed AS (SELECT d10 AS hk, ($zDuck) AS zk, x0 * 1024 + y0 AS xk
+         |          FROM h10),
+         |nc AS (SELECT count(*) AS n_cells FROM keyed),
+         |fh AS (SELECT count(DISTINCT hk // 16384) AS files_hilbert FROM keyed),
+         |fz AS (SELECT count(DISTINCT zk // 16384) AS files_z FROM keyed),
+         |rh AS ${runs("keyed", "hk", "runs_hilbert")},
+         |rz AS ${runs("keyed", "zk", "runs_z")},
+         |rx AS ${runs("keyed", "xk", "runs_x")}
+         |SELECT n_cells, files_hilbert, files_z,
+         |  runs_hilbert, runs_z, runs_x
+         |FROM nc CROSS JOIN fh CROSS JOIN fz
+         |CROSS JOIN rh CROSS JOIN rz CROSS JOIN rx""".stripMargin
+    }) { (s, d) =>
+      import graft.ops.Exprs.md5Long
+      import org.apache.spark.sql.Column
+      import org.apache.spark.sql.expressions.Window
+      val hv = md5Long(concat(lit("z:"),
+        col("l_orderkey").cast("string"), lit(":"),
+        col("l_linenumber").cast("string")))
+      val cells = lineitem(s, d)
+        .select(hv.as("hv"))
+        .select((col("hv") % 1024).as("x"),
+          expr("(hv div 1024) % 1024").as("y"))
+        .filter(col("x").between(100, 199) && col("y").between(300, 399))
+        .distinct()
+      // ten unrolled Hilbert steps; each select references only attributes
+      // of the previous projection, so the plan stays a linear chain
+      var df = cells.select(col("x").as("x0"), col("y").as("y0"),
+        lit(0L).as("d0"))
+      for (i <- 0 until 10) {
+        val sh = 1024 >> (i + 1)
+        val rx = when(col(s"x$i").bitwiseAND(lit(sh.toLong)) > 0, 1L)
+          .otherwise(0L)
+        val ry = when(col(s"y$i").bitwiseAND(lit(sh.toLong)) > 0, 1L)
+          .otherwise(0L)
+        df = df.select(col("x0"), col("y0"),
+          (col(s"d$i") + lit(sh.toLong * sh) *
+            (rx * (lit(3L) - ry) + (lit(1L) - rx) * ry)).as(s"d${i + 1}"),
+          when(ry === 1, col(s"x$i"))
+            .when(rx === 1, lit((sh - 1).toLong) - col(s"y$i"))
+            .otherwise(col(s"y$i")).as(s"x${i + 1}"),
+          when(ry === 1, col(s"y$i"))
+            .when(rx === 1, lit((sh - 1).toLong) - col(s"x$i"))
+            .otherwise(col(s"x$i")).as(s"y${i + 1}"))
+      }
+      val zCol = (0 until 10).map(b =>
+        (shiftright(col("x0"), b) % 2) * lit(1L << (2 * b)) +
+          (shiftright(col("y0"), b) % 2) * lit(1L << (2 * b + 1)))
+        .reduce(_ + _)
+      val keyed = df.select(col("d10").as("hk"), zCol.as("zk"),
+        (col("x0") * 1024 + col("y0")).as("xk")).cache()
+      def runsOf(k: String, as: String) = {
+        val w = Window.orderBy(k)
+        keyed.select(col(k), lag(col(k), 1).over(w).as("prev"))
+          .filter(col("prev").isNull || col(k) - col("prev") > 1)
+          .agg(count(lit(1)).as(as))
+      }
+      keyed.agg(count(lit(1)).as("n_cells"))
+        .crossJoin(keyed.agg(count_distinct(expr("hk div 16384"))
+          .as("files_hilbert")))
+        .crossJoin(keyed.agg(count_distinct(expr("zk div 16384"))
+          .as("files_z")))
+        .crossJoin(runsOf("hk", "runs_hilbert"))
+        .crossJoin(runsOf("zk", "runs_z"))
+        .crossJoin(runsOf("xk", "runs_x"))
+    },
+
     // ── partition-pruned lake layout: write orders partitioned by
     //    o_orderstatus (the date/tenant-partitioned layout every 100 TB
     //    lake uses), read it back with a partition-key filter, aggregate.
