@@ -27,6 +27,25 @@ object StreamingExec {
           .orderBy("ws", "event_type")
     },
 
+    // Overlapping-window state under the streaming engine — every event
+    // feeds TWO window rows (1 h window, 30 m slide); same oracle as the
+    // batch q_window_sliding.
+    Q("q_stream_sliding",
+      """WITH b AS (SELECT event_type, value,
+        |    time_bucket(INTERVAL '30 minutes', ts) AS tb FROM events),
+        |w AS (SELECT event_type, value,
+        |    unnest([tb, tb - INTERVAL 30 MINUTE]) AS ws FROM b)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS ws, event_type,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM w GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin) {
+      (s, d) =>
+        graft.streaming.Streams.slidingFromSnapshot(s, d)
+          .select(date_format(col("ws"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+            col("event_type"), col("n"), col("sum_v"))
+          .orderBy("ws", "event_type")
+    },
+
     // Gap-merged session state under the streaming engine — sessions
     // grow and merge across micro-batches; the final state must equal the
     // batch session_window result (same oracle as q_session_window).

@@ -303,6 +303,17 @@ object Streams {
     replaySnapshot(spark, sfDir, "graft-stream-tumbling",
       OutputMode.Complete())(tumblingCounts(_))
 
+  /** REAL streaming execution of the sliding-window aggregation — each
+    * event lands in TWO overlapping one-hour windows (30-minute slide), so
+    * the windowed state layer maintains multiple window rows per event
+    * across micro-batches; the final Complete-mode result must equal the
+    * batch `groupBy(window(1h, 30m))`.
+    */
+  def slidingFromSnapshot(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame =
+    replaySnapshot(spark, sfDir, "graft-stream-sliding",
+      OutputMode.Complete())(slidingCounts(_))
+
   /** REAL streaming execution of session-window aggregation — gap-merged
     * session state, the most complex streaming state surface: sessions
     * grow/merge as events arrive across micro-batches.
