@@ -242,21 +242,23 @@ object Sinks {
           (shiftright(col("y0"), b) % 2) * lit(1L << (2 * b + 1)))
         .reduce(_ + _)
       val keyed = df.select(col("d10").as("hk"), zCol.as("zk"),
-        (col("x0") * 1024 + col("y0")).as("xk")).cache()
-      def runsOf(k: String, as: String) = {
-        val w = Window.orderBy(k)
-        keyed.select(col(k), lag(col(k), 1).over(w).as("prev"))
-          .filter(col("prev").isNull || col(k) - col("prev") > 1)
-          .agg(count(lit(1)).as(as))
-      }
-      keyed.agg(count(lit(1)).as("n_cells"))
-        .crossJoin(keyed.agg(count_distinct(expr("hk div 16384"))
-          .as("files_hilbert")))
-        .crossJoin(keyed.agg(count_distinct(expr("zk div 16384"))
-          .as("files_z")))
-        .crossJoin(runsOf("hk", "runs_hilbert"))
-        .crossJoin(runsOf("zk", "runs_z"))
-        .crossJoin(runsOf("xk", "runs_x"))
+        (col("x0") * 1024 + col("y0")).as("xk"))
+      // one pass: three stacked lag windows (≤10⁴ box cells each) feed a
+      // SINGLE aggregation — run starts counted conditionally, file counts
+      // as count_distinct — so the whole readout is one linear plan with
+      // no single-row cross joins
+      def runStart(k: String, prev: String): Column =
+        when(col(prev).isNull || col(k) - col(prev) > 1, 1L).otherwise(0L)
+      keyed
+        .withColumn("ph", lag(col("hk"), 1).over(Window.orderBy("hk")))
+        .withColumn("pz", lag(col("zk"), 1).over(Window.orderBy("zk")))
+        .withColumn("px", lag(col("xk"), 1).over(Window.orderBy("xk")))
+        .agg(count(lit(1)).as("n_cells"),
+          count_distinct(expr("hk div 16384")).as("files_hilbert"),
+          count_distinct(expr("zk div 16384")).as("files_z"),
+          sum(runStart("hk", "ph")).as("runs_hilbert"),
+          sum(runStart("zk", "pz")).as("runs_z"),
+          sum(runStart("xk", "px")).as("runs_x"))
     },
 
     // ── partition-pruned lake layout: write orders partitioned by

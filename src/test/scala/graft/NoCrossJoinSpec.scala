@@ -51,7 +51,6 @@ class NoCrossJoinSpec extends SparkTestBase {
     "q_ann_incremental", // broadcast-centroid assignment of the increment
     "q_kmeans_step", // same broadcast-centroid assignment (Lloyd refine)
     "q_zorder", // one-row skipping-count frames cross-joined at the end
-    "q_hilbert", // one-row file/run-count frames cross-joined at the end
     "q_triangles", // two one-row count frames cross-joined at the end
     // the documented exact all-pairs verification kernel over fixed-width
     // bit signatures (SetSimilarity fp stage) — quadratic in ids by
