@@ -431,6 +431,81 @@ object Analytics {
           .orderBy("col")
     },
 
+    // ── entity resolution with deletion-neighborhood blocking (the
+    //    SymSpell idea): a deterministically-corrupted registry (one
+    //    hash-chosen digit of each lowercased customer name replaced by
+    //    'x') is matched back to the canonical table. Each side emits FOUR
+    //    masked variants (one tail digit wildcarded); candidates come from
+    //    an equi-join on (mask position, masked form, nation) — block
+    //    sizes are bounded by names-differing-in-one-digit at ANY corpus
+    //    size, never a fraction of N — then exact Levenshtein ≤ 1
+    //    adjudicates and (distance, key)-packed min resolves ties. The
+    //    declared rows keep the honest failures: ~7% of corruptions are
+    //    genuinely ambiguous (the destroyed digit was the only
+    //    discriminator) and resolve to the wrong smaller key. ──────────────
+    Q("q_entity_match",
+      """WITH canon AS (SELECT c_custkey AS ck, lower(c_name) AS nm,
+        |                 c_nationkey AS nk FROM customer),
+        |dirty AS (SELECT ck AS dk, nk,
+        |    substr(nm, 1, p - 1) || 'x' || substr(nm, p + 1) AS dn
+        |  FROM (SELECT ck, nm, nk,
+        |          15 + ('0x' || substr(md5('er:' || ck::VARCHAR),1,15))::BIGINT
+        |            % 4 AS p
+        |        FROM canon)),
+        |cm AS (SELECT ck, nm, nk, i,
+        |    substr(nm, 1, 14 + i) || '_' || substr(nm, 16 + i) AS msk
+        |  FROM canon, (SELECT unnest([0,1,2,3]) AS i)),
+        |dm AS (SELECT dk, dn, nk, i,
+        |    substr(dn, 1, 14 + i) || '_' || substr(dn, 16 + i) AS msk
+        |  FROM dirty, (SELECT unnest([0,1,2,3]) AS i)),
+        |cand AS (SELECT DISTINCT d.dk, d.dn, c.ck, c.nm
+        |  FROM dm d JOIN cm c ON d.i = c.i AND d.msk = c.msk AND d.nk = c.nk),
+        |scored AS (SELECT dk, ck, levenshtein(dn, nm) AS dist FROM cand),
+        |res AS (SELECT dk, count(*) AS n_cand,
+        |    count(*) FILTER (dist <= 1) AS n_match,
+        |    min(CASE WHEN dist <= 1 THEN dist * 100000000 + ck END)
+        |      AS best_pack
+        |  FROM scored GROUP BY dk)
+        |SELECT dk, n_cand, n_match,
+        |  coalesce(best_pack % 100000000, -1) AS best_key,
+        |  coalesce(best_pack % 100000000, -1) = dk AS correct
+        |FROM res WHERE dk % 10 = 0 ORDER BY dk""".stripMargin) {
+      (s, d) =>
+        val canon = customer(s, d).select(col("c_custkey").as("ck"),
+          lower(col("c_name")).as("nm"), col("c_nationkey").as("nk"))
+        val dirty = canon
+          .withColumn("p",
+            lit(15) + md5Long(concat(lit("er:"), col("ck").cast("string"))) % 4)
+          .select(col("ck").as("dk"), col("nk"),
+            expr("substr(nm, 1, CAST(p - 1 AS INT)) || 'x' || " +
+              "substr(nm, CAST(p + 1 AS INT))").as("dn"))
+        def masked(df: org.apache.spark.sql.DataFrame, nameCol: String) =
+          df.select(col("*"), explode(array((0 until 4).map { i =>
+            struct(lit(i).as("i"),
+              concat(substring(col(nameCol), 1, 14 + i), lit("_"),
+                expr(s"substr($nameCol, ${16 + i})")).as("msk"))
+          }: _*)).as("e"))
+            .select(df.columns.map(col) :+ col("e.i").as("i") :+
+              col("e.msk").as("msk"): _*)
+        val cm = masked(canon, "nm")
+        val dm = masked(dirty, "dn")
+        val cand = dm.join(cm, Seq("i", "msk", "nk"))
+          .select(col("dk"), col("dn"), col("ck"), col("nm")).distinct()
+        cand.select(col("dk"), col("ck"),
+          levenshtein(col("dn"), col("nm")).as("dist"))
+          .groupBy("dk")
+          .agg(count(lit(1)).as("n_cand"),
+            count(when(col("dist") <= 1, 1)).as("n_match"),
+            min(when(col("dist") <= 1,
+              col("dist") * 100000000L + col("ck"))).as("best_pack"))
+          .filter(col("dk") % 10 === 0)
+          .select(col("dk"), col("n_cand"), col("n_match"),
+            coalesce(col("best_pack") % 100000000L, lit(-1L)).as("best_key"),
+            (coalesce(col("best_pack") % 100000000L, lit(-1L)) === col("dk"))
+              .as("correct"))
+          .orderBy("dk")
+    },
+
     // ── join-key skew diagnostic: per-candidate-key group-size statistics
     //    (key count, max/median/p99 group size, skew ratio) — the profile a
     //    planner reads BEFORE choosing between a plain shuffle join,
