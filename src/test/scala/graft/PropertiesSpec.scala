@@ -113,6 +113,54 @@ class PropertiesSpec extends SparkTestBase {
     val shuffled = b.select(shuffledCols.map(col): _*)
     assert(a.unionByName(shuffled).count() == o.count())
   }
+  test("Hilbert chain (q_hilbert): matches classical xy2d and is injective") {
+    // Scala reference: the classical iterative xy2d (rotate + reflect)
+    def xy2d(x0: Long, y0: Long): Long = {
+      var (x, y, d) = (x0, y0, 0L)
+      var s = 512L
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      d
+    }
+    val pts = sample(for {
+      x <- Gen.chooseNum(0L, 1023L); y <- Gen.chooseNum(0L, 1023L)
+    } yield (x, y), 2000).distinct
+    // the query's unrolled xor-free column chain, same construction
+    var df = pts.toDF("x", "y")
+      .select(col("x").as("xin"), col("y").as("yin"),
+        col("x").as("x0"), col("y").as("y0"), lit(0L).as("d0"))
+    for (i <- 0 until 10) {
+      val sh = 1024 >> (i + 1)
+      val rx = when(col(s"x$i").bitwiseAND(lit(sh.toLong)) > 0, 1L).otherwise(0L)
+      val ry = when(col(s"y$i").bitwiseAND(lit(sh.toLong)) > 0, 1L).otherwise(0L)
+      df = df.select(col("xin"), col("yin"),
+        (col(s"d$i") + lit(sh.toLong * sh) *
+          (rx * (lit(3L) - ry) + (lit(1L) - rx) * ry)).as(s"d${i + 1}"),
+        when(ry === 1, col(s"x$i"))
+          .when(rx === 1, lit((sh - 1).toLong) - col(s"y$i"))
+          .otherwise(col(s"y$i")).as(s"x${i + 1}"),
+        when(ry === 1, col(s"y$i"))
+          .when(rx === 1, lit((sh - 1).toLong) - col(s"x$i"))
+          .otherwise(col(s"x$i")).as(s"y${i + 1}"))
+    }
+    val rows = df.select(col("xin"), col("yin"), col("d10")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    rows.foreach { case ((x, y), dv) =>
+      assert(dv == xy2d(x, y), s"chain != xy2d at ($x,$y)")
+      assert(dv >= 0L && dv < (1L << 20))
+    }
+    assert(rows.map(_._2).distinct.length == rows.length,
+      "Hilbert key collided — curve not injective on sample")
+  }
+
   test("q_bpe_step premise: for w1 != w2, bigram count == greedy merge count") {
     // the query's exactness rests on this: occurrences of a non-identical
     // pair can never share a token, so the plain bigram count IS the greedy
