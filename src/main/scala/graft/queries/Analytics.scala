@@ -431,6 +431,75 @@ object Analytics {
           .orderBy("col")
     },
 
+    // ── feature hashing (the hashing-trick encoder): tokens hash into a
+    //    FIXED 64-bucket feature space — the scale replacement for one-hot
+    //    encoding, whose vocabulary (and therefore shuffle width) grows
+    //    with the corpus while this stays 64 columns at any size. One
+    //    explode + one groupBy; declared columns are the first 8 buckets
+    //    plus totals for a hash-sampled doc set. ───────────────────────────
+    Q("q_feature_hash",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
+        |             FROM documents),
+        |b AS (SELECT doc_id,
+        |        ('0x' || substr(md5('fh:' || w),1,15))::BIGINT % 64 AS bkt
+        |      FROM tok),
+        |agg AS (SELECT doc_id,
+        |    count(*) AS n_tok, count(DISTINCT bkt) AS n_buckets,
+        |    count(*) FILTER (bkt = 0) AS f0, count(*) FILTER (bkt = 1) AS f1,
+        |    count(*) FILTER (bkt = 2) AS f2, count(*) FILTER (bkt = 3) AS f3,
+        |    count(*) FILTER (bkt = 4) AS f4, count(*) FILTER (bkt = 5) AS f5,
+        |    count(*) FILTER (bkt = 6) AS f6, count(*) FILTER (bkt = 7) AS f7
+        |  FROM b GROUP BY doc_id)
+        |SELECT * FROM agg WHERE doc_id % 25 = 0 ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val b = documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .select(col("doc_id"),
+            (md5Long(concat(lit("fh:"), col("w"))) % 64).as("bkt"))
+        val aggCols = count(lit(1)).as("n_tok") +:
+          count_distinct(col("bkt")).as("n_buckets") +:
+          (0 to 7).map(i => count(when(col("bkt") === i, 1)).as(s"f$i"))
+        b.groupBy("doc_id")
+          .agg(aggCols.head, aggCols.tail: _*)
+          .filter(col("doc_id") % 25 === 0)
+          .orderBy("doc_id")
+    },
+
+    // ── A/B experiment readout: deterministic hash assignment into two
+    //    arms (an independent md5 channel, the q_split discipline), then
+    //    per-arm count / mean / variance from exact DECIMAL power sums —
+    //    order-insensitive, so the statistics hash-match under any
+    //    partitioning. One scan, one 2-group aggregate. ────────────────────
+    Q("q_ab_test",
+      """WITH e AS (SELECT
+        |    ('0x' || substr(md5('ab:' || event_id::VARCHAR),1,15))::BIGINT
+        |      % 2 AS grp,
+        |    CAST(value AS DECIMAL(18,6)) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |g AS (SELECT grp, count(*) AS n,
+        |        CAST(SUM(v) AS DOUBLE) AS sv,
+        |        CAST(SUM(v * v) AS DOUBLE) AS svv
+        |      FROM e GROUP BY grp)
+        |SELECT grp, n, round(sv / n, 6) AS mean,
+        |  round((svv - sv * sv / n) / (n - 1), 6) AS variance
+        |FROM g ORDER BY grp""".stripMargin) {
+      (s, d) =>
+        events(s, d).filter(col("event_type") === "purchase")
+          .select(
+            (md5Long(concat(lit("ab:"), col("event_id").cast("string"))) % 2)
+              .as("grp"),
+            col("value").cast("decimal(18,6)").as("v"))
+          .groupBy("grp")
+          .agg(count(lit(1)).as("n"),
+            sum(col("v")).cast("double").as("sv"),
+            sum(col("v") * col("v")).cast("double").as("svv"))
+          .select(col("grp"), col("n"),
+            round(col("sv") / col("n"), 6).as("mean"),
+            round((col("svv") - col("sv") * col("sv") / col("n")) /
+              (col("n") - 1), 6).as("variance"))
+          .orderBy("grp")
+    },
+
     // ── entity resolution with deletion-neighborhood blocking (the
     //    SymSpell idea): a deterministically-corrupted registry (one
     //    hash-chosen digit of each lowercased customer name replaced by
