@@ -431,6 +431,94 @@ object Analytics {
           .orderBy("col")
     },
 
+    // ── event-transition (Markov) matrix: per-user event sequences via a
+    //    lead window (partitioned by user — shards at scale, no global
+    //    sort), pair counts, and row-normalized transition probabilities —
+    //    the user-journey model every product warehouse fits. Counts are
+    //    exact; each probability is one correctly-rounded division. ────────
+    Q("q_markov",
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |             ts::TIMESTAMP AS ts FROM events),
+        |s AS (SELECT user_id, event_type AS cur,
+        |        lead(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) AS nxt
+        |      FROM e),
+        |c AS (SELECT cur, nxt, count(*) AS n FROM s WHERE nxt IS NOT NULL
+        |      GROUP BY 1, 2),
+        |t AS (SELECT cur, SUM(n)::BIGINT AS tot FROM c GROUP BY cur)
+        |SELECT c.cur, c.nxt, c.n, round(c.n / CAST(t.tot AS DOUBLE), 6) AS p
+        |FROM c JOIN t ON c.cur = t.cur ORDER BY c.cur, c.nxt""".stripMargin) {
+      (s, d) =>
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val seq = events(s, d)
+          .select(col("user_id"), col("event_type").as("cur"),
+            lead(col("event_type"), 1).over(w).as("nxt"))
+        val c = seq.filter(col("nxt").isNotNull)
+          .groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
+        val t = c.groupBy("cur").agg(sum(col("n")).as("tot"))
+        c.join(t, "cur")
+          .select(col("cur"), col("nxt"), col("n"),
+            round(col("n") / col("tot").cast("double"), 6).as("p"))
+          .orderBy("cur", "nxt")
+    },
+
+    // ── RFM segmentation: per-user recency/frequency/monetary metrics
+    //    from purchases, median-split into 8 segments. The split bounds
+    //    are ONE single-row aggregate (exact percentiles + the global max
+    //    day) broadcast back — never a global ntile window over all users.
+    //    Monetary rides exact DECIMAL sums; segment assignment is integer
+    //    and threshold comparisons only. ──────────────────────────────────
+    Q("q_rfm",
+      """WITH p AS (SELECT user_id, date_trunc('day', ts::TIMESTAMP) AS d,
+        |             CAST(value AS DECIMAL(18,2)) AS v
+        |           FROM events WHERE event_type = 'purchase'),
+        |u AS (SELECT user_id, max(d) AS last_d, count(*) AS f,
+        |        CAST(SUM(v) AS DOUBLE) AS m, SUM(v) AS mdec
+        |      FROM p GROUP BY user_id),
+        |b AS (SELECT max(last_d) AS gmax,
+        |        quantile_cont(f, 0.5) AS f_med,
+        |        quantile_cont(m, 0.5) AS m_med
+        |      FROM u),
+        |r AS (SELECT user_id, date_diff('day', last_d, b.gmax) AS r_days,
+        |        f, m, mdec, b.f_med, b.m_med FROM u CROSS JOIN b),
+        |rb AS (SELECT *, (SELECT quantile_cont(r_days, 0.5) FROM r) AS r_med
+        |       FROM r),
+        |seg AS (SELECT user_id,
+        |    'R' || (CASE WHEN r_days <= r_med THEN 1 ELSE 0 END)
+        |    || 'F' || (CASE WHEN f > f_med THEN 1 ELSE 0 END)
+        |    || 'M' || (CASE WHEN m > m_med THEN 1 ELSE 0 END) AS segment,
+        |    mdec FROM rb)
+        |SELECT segment, count(*) AS n_users,
+        |  CAST(SUM(mdec) AS DOUBLE) AS total_m
+        |FROM seg GROUP BY segment ORDER BY segment""".stripMargin) {
+      (s, d) =>
+        val p = events(s, d).filter(col("event_type") === "purchase")
+          .select(col("user_id"), date_trunc("day", col("ts")).as("d"),
+            col("value").cast("decimal(18,2)").as("v"))
+        val u = p.groupBy("user_id")
+          .agg(max("d").as("last_d"), count(lit(1)).as("f"),
+            sum(col("v")).cast("double").as("m"), sum(col("v")).as("mdec"))
+        val b = u.agg(max("last_d").as("gmax"),
+          expr("percentile(f, 0.5)").as("f_med"),
+          expr("percentile(m, 0.5)").as("m_med"))
+        val r = u.crossJoin(broadcast(b))
+          .select(col("user_id"),
+            datediff(col("gmax").cast("date"), col("last_d").cast("date"))
+              .cast("long").as("r_days"),
+            col("f"), col("m"), col("mdec"), col("f_med"), col("m_med"))
+        val rMed = r.agg(expr("percentile(r_days, 0.5)").as("r_med"))
+        r.crossJoin(broadcast(rMed))
+          .select(col("user_id"), col("mdec"),
+            concat(lit("R"), when(col("r_days") <= col("r_med"), 1).otherwise(0),
+              lit("F"), when(col("f") > col("f_med"), 1).otherwise(0),
+              lit("M"), when(col("m") > col("m_med"), 1).otherwise(0))
+              .as("segment"))
+          .groupBy("segment")
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("mdec")).cast("double").as("total_m"))
+          .orderBy("segment")
+    },
+
     // ── feature hashing (the hashing-trick encoder): tokens hash into a
     //    FIXED 64-bucket feature space — the scale replacement for one-hot
     //    encoding, whose vocabulary (and therefore shuffle width) grows

@@ -37,6 +37,7 @@ class NoCrossJoinSpec extends SparkTestBase {
     "q_mv_refresh", // data-derived 90-day cutoff (base/delta split point)
     "q_bpe_step", // one-row top-pair × vocab × token-count frames
     "q_drift", // corpus token count M (global-distribution denominator)
+    "q_rfm", // one-row percentile-bounds frames (median split points)
     "q_length_outliers", // corpus-wide exact p95 threshold
     "q_minhash_recall", // n_cand/n_truth/n_hits one-row count frames
     "q_simhash_recall", // count frames + the PROBE-bounded truth kernel
