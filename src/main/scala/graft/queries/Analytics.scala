@@ -431,6 +431,47 @@ object Analytics {
           .orderBy("col")
     },
 
+    // ── co-purchase affinity (the collaborative-filtering primitive):
+    //    item pairs sharing an order, with Jaccard affinity over each
+    //    item's order sets. The self-join is keyed on l_orderkey, so pair
+    //    fan-out is bounded by items-per-order (~7 → ≤21 pairs/order) at
+    //    ANY corpus size — the market-basket join shape, never item×item.
+    //    Counts are exact; affinity is one correctly-rounded division;
+    //    top-30 by (support, affinity) plans as TakeOrderedAndProject. ─────
+    Q("q_copurchase",
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |pairs AS (SELECT a.pk AS pa, b.pk AS pb, count(*) AS n_co
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+        |deg AS (SELECT pk, count(*) AS n_ord FROM li GROUP BY pk),
+        |scored AS (SELECT p.pa, p.pb, p.n_co, da.n_ord AS na, db.n_ord AS nb,
+        |    round(p.n_co / CAST(da.n_ord + db.n_ord - p.n_co AS DOUBLE), 6)
+        |      AS jacc
+        |  FROM pairs p JOIN deg da ON p.pa = da.pk JOIN deg db ON p.pb = db.pk)
+        |SELECT * FROM scored WHERE n_co >= 3
+        |ORDER BY n_co DESC, jacc DESC, pa, pb LIMIT 30""".stripMargin) {
+      (s, d) =>
+        val li = lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val pairs = li.as("a")
+          .join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+          .agg(count(lit(1)).as("n_co"))
+        val deg = li.groupBy("pk").agg(count(lit(1)).as("n_ord"))
+        pairs
+          .join(deg.select(col("pk").as("pa"), col("n_ord").as("na")), "pa")
+          .join(deg.select(col("pk").as("pb"), col("n_ord").as("nb")), "pb")
+          .filter(col("n_co") >= 3)
+          .select(col("pa"), col("pb"), col("n_co"), col("na"), col("nb"),
+            round(col("n_co") /
+              (col("na") + col("nb") - col("n_co")).cast("double"), 6)
+              .as("jacc"))
+          .orderBy(col("n_co").desc, col("jacc").desc, col("pa"), col("pb"))
+          .limit(30)
+    },
+
     // ── event-transition (Markov) matrix: per-user event sequences via a
     //    lead window (partitioned by user — shards at scale, no global
     //    sort), pair counts, and row-normalized transition probabilities —

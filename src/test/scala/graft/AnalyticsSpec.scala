@@ -75,6 +75,60 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("q_funnel: stage counts are monotonically non-increasing") {
+    val n = run("q_funnel").collect().sortBy(_.getAs[String]("stage"))
+      .map(_.getAs[Long]("n"))
+    assert(n.length == 3 && n(0) >= n(1) && n(1) >= n(2),
+      s"funnel widened downstream: ${n.toSeq}")
+  }
+
+  test("q_markov: each row's transition probabilities sum to ~1") {
+    val rows = run("q_markov").collect()
+    rows.groupBy(_.getAs[String]("cur")).foreach { case (cur, rs) =>
+      val p = rs.map(_.getAs[Double]("p")).sum
+      assert(math.abs(p - 1.0) < 1e-4, s"P(next|$cur) sums to $p")
+    }
+  }
+
+  test("q_ab_test: arms partition the purchases") {
+    val total = graft.model.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase").count()
+    val arms = run("q_ab_test").collect()
+    assert(arms.length == 2)
+    assert(arms.map(_.getAs[Long]("n")).sum == total)
+    arms.foreach(r => assert(r.getAs[Double]("variance") > 0.0))
+  }
+
+  test("q_entity_match: candidate sets stay bounded, matches within candidates") {
+    run("q_entity_match").collect().foreach { r =>
+      val (nc, nm) = (r.getAs[Long]("n_cand"), r.getAs[Long]("n_match"))
+      assert(nc <= 40, s"unbounded candidate set: $nc") // ≤10 per mask × 4
+      assert(nm <= nc && nm >= 0)
+      if (nm > 0) assert(r.getAs[Long]("best_key") >= 0)
+      else assert(r.getAs[Long]("best_key") == -1L)
+    }
+  }
+
+  test("q_rfm: segments partition the purchasing users") {
+    val users = graft.model.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select("user_id").distinct().count()
+    val segs = run("q_rfm").collect()
+    assert(segs.map(_.getAs[Long]("n_users")).sum == users)
+    segs.foreach(r => assert(r.getAs[String]("segment").matches("R[01]F[01]M[01]")))
+  }
+
+  test("q_copurchase: affinity is a valid Jaccard over the support counts") {
+    run("q_copurchase").collect().foreach { r =>
+      val (co, na, nb) = (r.getAs[Long]("n_co"), r.getAs[Long]("na"),
+        r.getAs[Long]("nb"))
+      assert(co >= 3 && co <= math.min(na, nb),
+        s"support exceeds either item's order count: $co vs ($na, $nb)")
+      val j = r.getAs[Double]("jacc")
+      assert(j > 0.0 && j <= 1.0)
+    }
+  }
+
   test("q_mv_refresh: incremental merge equals full recompute (Spark side)") {
     val merged = run("q_mv_refresh")
     val full = graft.model.Tables.orders(spark, sfDir)
