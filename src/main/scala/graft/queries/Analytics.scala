@@ -431,6 +431,109 @@ object Analytics {
           .orderBy("col")
     },
 
+    // ── join-cardinality estimation (the CBO primitive): per-bucket key
+    //    histograms (count + distinct over 32 hash buckets — a fixed-size
+    //    statistic at any table size) estimate the join output as
+    //    Σ⌊ca·cb/max(da,db)⌋, compared against the exact join count. The
+    //    declared ratio (1.009 at sf0.01) is the measurement a cost-based
+    //    planner lives on; both sides are exact integer arithmetic. ─────────
+    Q("q_join_cardinality",
+      """WITH ha AS (SELECT
+        |    ('0x' || substr(md5('jc:' || l_orderkey::VARCHAR),1,15))::BIGINT
+        |      % 32 AS b,
+        |    count(*) AS ca, count(DISTINCT l_orderkey) AS da
+        |  FROM lineitem GROUP BY 1),
+        |hb AS (SELECT
+        |    ('0x' || substr(md5('jc:' || o_orderkey::VARCHAR),1,15))::BIGINT
+        |      % 32 AS b,
+        |    count(*) AS cb, count(DISTINCT o_orderkey) AS db
+        |  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1),
+        |est AS (SELECT
+        |    SUM((ha.ca * hb.cb) // greatest(ha.da, hb.db))::BIGINT AS est,
+        |    count(*) AS n_buckets FROM ha JOIN hb ON ha.b = hb.b),
+        |ex AS (SELECT count(*) AS exact FROM lineitem l
+        |       JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |       WHERE o.o_orderstatus = 'F')
+        |SELECT exact, est, n_buckets,
+        |  round(est / CAST(exact AS DOUBLE), 6) AS est_ratio
+        |FROM ex CROSS JOIN est""".stripMargin) {
+      (s, d) =>
+        def hist(df: org.apache.spark.sql.DataFrame, key: String,
+            c: String, dd: String) =
+          df.groupBy((md5Long(concat(lit("jc:"), col(key).cast("string")))
+            % 32).as("b"))
+            .agg(count(lit(1)).as(c), count_distinct(col(key)).as(dd))
+        val ha = hist(lineitem(s, d), "l_orderkey", "ca", "da")
+        val hb = hist(orders(s, d).filter(col("o_orderstatus") === "F"),
+          "o_orderkey", "cb", "db")
+        val est = ha.join(hb, "b")
+          .agg(sum(expr("(ca * cb) div greatest(da, db)")).as("est"),
+            count(lit(1)).as("n_buckets"))
+        val exact = lineitem(s, d)
+          .join(orders(s, d).filter(col("o_orderstatus") === "F"),
+            col("l_orderkey") === col("o_orderkey"))
+          .agg(count(lit(1)).as("exact"))
+        exact.crossJoin(broadcast(est))
+          .select(col("exact"), col("est"), col("n_buckets"),
+            round(col("est") / col("exact").cast("double"), 6).as("est_ratio"))
+    },
+
+    // ── Bloom-filter membership sketch (closing the sketch quartet:
+    //    frequency=CMS, cardinality=HLL, quantiles, membership=Bloom): a
+    //    16384-bit filter over a key subset, built as the distinct set of
+    //    3 hash positions per key (a bounded single-row array, broadcast to
+    //    the probe side), probed by every lineitem key. The declared counts
+    //    carry Bloom's contract as data: n_fn is ZERO by construction (no
+    //    false negatives — the property the asserting spec pins), and
+    //    fp_rate is the measured cost of the shortcut. ─────────────────────
+    Q("q_bloom_filter",
+      """WITH keys AS (SELECT DISTINCT o_orderkey AS k FROM orders
+        |              WHERE o_orderkey % 100 = 0),
+        |bits AS (SELECT list(DISTINCT
+        |    ('0x' || substr(md5('b' || h || ':' || k::VARCHAR),1,15))::BIGINT
+        |      % 16384) AS bs
+        |  FROM keys, (SELECT unnest([0,1,2]) AS h)),
+        |probe AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+        |t AS (SELECT p.k, p.k % 100 = 0 AS is_member,
+        |    list_contains(bits.bs,
+        |      ('0x' || substr(md5('b0:' || p.k::VARCHAR),1,15))::BIGINT % 16384)
+        |    AND list_contains(bits.bs,
+        |      ('0x' || substr(md5('b1:' || p.k::VARCHAR),1,15))::BIGINT % 16384)
+        |    AND list_contains(bits.bs,
+        |      ('0x' || substr(md5('b2:' || p.k::VARCHAR),1,15))::BIGINT % 16384)
+        |      AS bloom_pass
+        |  FROM probe p CROSS JOIN bits)
+        |SELECT count(*) AS n_probe,
+        |  count(*) FILTER (is_member) AS n_member,
+        |  count(*) FILTER (bloom_pass) AS n_pass,
+        |  count(*) FILTER (bloom_pass AND NOT is_member) AS n_fp,
+        |  count(*) FILTER (is_member AND NOT bloom_pass) AS n_fn,
+        |  round(count(*) FILTER (bloom_pass AND NOT is_member) /
+        |    CAST(count(*) FILTER (NOT is_member) AS DOUBLE), 6) AS fp_rate
+        |FROM t""".stripMargin) {
+      (s, d) =>
+        def bucket(h: Int, k: org.apache.spark.sql.Column) =
+          md5Long(concat(lit(s"b$h:"), k.cast("string"))) % 16384
+        val bits = orders(s, d).filter(col("o_orderkey") % 100 === 0)
+          .select(col("o_orderkey").as("k")).distinct()
+          .select(explode(array((0 to 2).map(h => bucket(h, col("k"))): _*))
+            .as("bit"))
+          .agg(collect_set(col("bit")).as("bs"))
+        val probed = lineitem(s, d).select(col("l_orderkey").as("k")).distinct()
+          .crossJoin(broadcast(bits))
+          .select((col("k") % 100 === 0).as("is_member"),
+            (array_contains(col("bs"), bucket(0, col("k"))) &&
+              array_contains(col("bs"), bucket(1, col("k"))) &&
+              array_contains(col("bs"), bucket(2, col("k")))).as("bloom_pass"))
+        probed.agg(count(lit(1)).as("n_probe"),
+          count(when(col("is_member"), 1)).as("n_member"),
+          count(when(col("bloom_pass"), 1)).as("n_pass"),
+          count(when(col("bloom_pass") && !col("is_member"), 1)).as("n_fp"),
+          count(when(col("is_member") && !col("bloom_pass"), 1)).as("n_fn"),
+          round(count(when(col("bloom_pass") && !col("is_member"), 1)) /
+            count(when(!col("is_member"), 1)).cast("double"), 6).as("fp_rate"))
+    },
+
     // ── co-purchase affinity (the collaborative-filtering primitive):
     //    item pairs sharing an order, with Jaccard affinity over each
     //    item's order sets. The self-join is keyed on l_orderkey, so pair

@@ -129,6 +129,22 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("q_bloom_filter: no false negatives, passes bounded by members + fps") {
+    val r = run("q_bloom_filter").head()
+    assert(r.getAs[Long]("n_fn") == 0L, "Bloom filter produced a false negative")
+    assert(r.getAs[Long]("n_pass") ==
+      r.getAs[Long]("n_member") + r.getAs[Long]("n_fp"))
+    val fp = r.getAs[Double]("fp_rate")
+    assert(fp >= 0.0 && fp < 0.05, s"fp rate $fp out of the designed range")
+  }
+
+  test("q_join_cardinality: histogram estimate lands within 10% of exact") {
+    val r = run("q_join_cardinality").head()
+    val ratio = r.getAs[Double]("est_ratio")
+    assert(ratio > 0.9 && ratio < 1.1,
+      s"estimate ratio $ratio — histogram statistics degraded")
+  }
+
   test("q_mv_refresh: incremental merge equals full recompute (Spark side)") {
     val merged = run("q_mv_refresh")
     val full = graft.model.Tables.orders(spark, sfDir)

@@ -38,6 +38,8 @@ class NoCrossJoinSpec extends SparkTestBase {
     "q_bpe_step", // one-row top-pair × vocab × token-count frames
     "q_drift", // corpus token count M (global-distribution denominator)
     "q_rfm", // one-row percentile-bounds frames (median split points)
+    "q_join_cardinality", // one-row exact-count × estimate frames
+    "q_bloom_filter", // one-row broadcast bit-set frame probed per key
     "q_length_outliers", // corpus-wide exact p95 threshold
     "q_minhash_recall", // n_cand/n_truth/n_hits one-row count frames
     "q_simhash_recall", // count frames + the PROBE-bounded truth kernel
