@@ -45,8 +45,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     ext.injectFunction((
       FunctionIdentifier("cosine_similarity"),
-      new ExpressionInfo(classOf[graft.functions.DotProduct].getName,
-        "cosine_similarity"),
+      // no single implementing Expression class — the builder composes
+      // DotProduct/Sqrt/Divide — so DESCRIBE FUNCTION points here (the
+      // registration site) and the usage string states the composition
+      new ExpressionInfo(classOf[GraftExtensions].getName, null,
+        "cosine_similarity",
+        "cosine_similarity(a, b) - Cosine similarity of two float arrays, " +
+          "composed as dot_product(a, b) / sqrt(dot_product(a, a) * " +
+          "dot_product(b, b)).", ""),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(args.length == 2,
           s"cosine_similarity takes 2 arguments, got ${args.length}")

@@ -480,29 +480,41 @@ object Analytics {
 
     // ── Bloom-filter membership sketch (closing the sketch quartet:
     //    frequency=CMS, cardinality=HLL, quantiles, membership=Bloom): a
-    //    16384-bit filter over a key subset, built as the distinct set of
-    //    3 hash positions per key (a bounded single-row array, broadcast to
-    //    the probe side), probed by every lineitem key. The declared counts
-    //    carry Bloom's contract as data: n_fn is ZERO by construction (no
-    //    false negatives — the property the asserting spec pins), and
-    //    fp_rate is the measured cost of the shortcut. ─────────────────────
+    //    16384-bit filter over a key subset, PACKED into 274 60-bit int64
+    //    words (60 not 64: DuckDB raises on `1::BIGINT << 63`, and the
+    //    probe math must be engine-identical). Build = per-word bit_or of
+    //    3 hash positions per key, densified to a fixed 274-slot array on
+    //    ONE row, broadcast to the probe side; probe = element_at(word) +
+    //    shift + mask — O(1) per row, not an array scan. The empty-filter
+    //    edge is engine-identical by construction (both sides densify via
+    //    coalesce-to-zero words, so no NULL-vs-empty divergence). The
+    //    declared counts carry Bloom's contract as data: n_fn is ZERO by
+    //    construction (no false negatives — the property the asserting
+    //    spec pins), and fp_rate is the measured cost of the shortcut. ─────
     Q("q_bloom_filter",
       """WITH keys AS (SELECT DISTINCT o_orderkey AS k FROM orders
         |              WHERE o_orderkey % 100 = 0),
-        |bits AS (SELECT list(DISTINCT
+        |bitpos AS (SELECT DISTINCT
         |    ('0x' || substr(md5('b' || h || ':' || k::VARCHAR),1,15))::BIGINT
-        |      % 16384) AS bs
+        |      % 16384 AS b
         |  FROM keys, (SELECT unnest([0,1,2]) AS h)),
-        |probe AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+        |wordagg AS (SELECT b // 60 AS w,
+        |    bit_or(1::BIGINT << (b % 60)::INT) AS word
+        |  FROM bitpos GROUP BY 1),
+        |words AS (SELECT list(coalesce(word, 0) ORDER BY i) AS ws
+        |  FROM (SELECT unnest(range(274)) AS i) g
+        |  LEFT JOIN wordagg ON g.i = wordagg.w),
+        |probe AS (SELECT k,
+        |    ('0x' || substr(md5('b0:' || k::VARCHAR),1,15))::BIGINT % 16384 AS b0,
+        |    ('0x' || substr(md5('b1:' || k::VARCHAR),1,15))::BIGINT % 16384 AS b1,
+        |    ('0x' || substr(md5('b2:' || k::VARCHAR),1,15))::BIGINT % 16384 AS b2
+        |  FROM (SELECT DISTINCT l_orderkey AS k FROM lineitem)),
         |t AS (SELECT p.k, p.k % 100 = 0 AS is_member,
-        |    list_contains(bits.bs,
-        |      ('0x' || substr(md5('b0:' || p.k::VARCHAR),1,15))::BIGINT % 16384)
-        |    AND list_contains(bits.bs,
-        |      ('0x' || substr(md5('b1:' || p.k::VARCHAR),1,15))::BIGINT % 16384)
-        |    AND list_contains(bits.bs,
-        |      ('0x' || substr(md5('b2:' || p.k::VARCHAR),1,15))::BIGINT % 16384)
+        |    ((ws[(b0 // 60)::INT + 1] >> (b0 % 60)::INT) & 1) = 1
+        |    AND ((ws[(b1 // 60)::INT + 1] >> (b1 % 60)::INT) & 1) = 1
+        |    AND ((ws[(b2 // 60)::INT + 1] >> (b2 % 60)::INT) & 1) = 1
         |      AS bloom_pass
-        |  FROM probe p CROSS JOIN bits)
+        |  FROM probe p CROSS JOIN words)
         |SELECT count(*) AS n_probe,
         |  count(*) FILTER (is_member) AS n_member,
         |  count(*) FILTER (bloom_pass) AS n_pass,
@@ -514,17 +526,30 @@ object Analytics {
       (s, d) =>
         def bucket(h: Int, k: org.apache.spark.sql.Column) =
           md5Long(concat(lit(s"b$h:"), k.cast("string"))) % 16384
-        val bits = orders(s, d).filter(col("o_orderkey") % 100 === 0)
+        val words = orders(s, d).filter(col("o_orderkey") % 100 === 0)
           .select(col("o_orderkey").as("k")).distinct()
           .select(explode(array((0 to 2).map(h => bucket(h, col("k"))): _*))
             .as("bit"))
-          .agg(collect_set(col("bit")).as("bs"))
+          .select(expr("bit div 60").as("w"),
+            expr("shiftleft(cast(1 as bigint), cast(bit % 60 as int))").as("m"))
+          .groupBy("w").agg(expr("bit_or(m)").as("word"))
+          // densify the sparse (word-index, word) rows into ONE fixed-width
+          // 274-slot array — the build-time linear map walk is 274² ops on
+          // a single row; every probe after this is O(1)
+          .agg(map_from_entries(collect_list(struct(col("w"), col("word"))))
+            .as("wm"))
+          .select(transform(sequence(lit(0), lit(273)),
+            i => coalesce(element_at(col("wm"), i.cast("long")), lit(0L)))
+            .as("ws"))
+        def testBit(b: String) =
+          expr(s"(shiftright(element_at(ws, cast($b div 60 as int) + 1), " +
+            s"cast($b % 60 as int)) & 1) = 1")
         val probed = lineitem(s, d).select(col("l_orderkey").as("k")).distinct()
-          .crossJoin(broadcast(bits))
+          .crossJoin(broadcast(words))
+          .select(col("k"), col("ws"), bucket(0, col("k")).as("b0"),
+            bucket(1, col("k")).as("b1"), bucket(2, col("k")).as("b2"))
           .select((col("k") % 100 === 0).as("is_member"),
-            (array_contains(col("bs"), bucket(0, col("k"))) &&
-              array_contains(col("bs"), bucket(1, col("k"))) &&
-              array_contains(col("bs"), bucket(2, col("k")))).as("bloom_pass"))
+            (testBit("b0") && testBit("b1") && testBit("b2")).as("bloom_pass"))
         probed.agg(count(lit(1)).as("n_probe"),
           count(when(col("is_member"), 1)).as("n_member"),
           count(when(col("bloom_pass"), 1)).as("n_pass"),
@@ -713,7 +738,8 @@ object Analytics {
         |        CAST(SUM(v * v) AS DOUBLE) AS svv
         |      FROM e GROUP BY grp)
         |SELECT grp, n, round(sv / n, 6) AS mean,
-        |  round((svv - sv * sv / n) / (n - 1), 6) AS variance
+        |  CASE WHEN n > 1 THEN round((svv - sv * sv / n) / (n - 1), 6)
+        |       END AS variance
         |FROM g ORDER BY grp""".stripMargin) {
       (s, d) =>
         events(s, d).filter(col("event_type") === "purchase")
@@ -727,8 +753,11 @@ object Analytics {
             sum(col("v") * col("v")).cast("double").as("svv"))
           .select(col("grp"), col("n"),
             round(col("sv") / col("n"), 6).as("mean"),
-            round((col("svv") - col("sv") * col("sv") / col("n")) /
-              (col("n") - 1), 6).as("variance"))
+            // n = 1 ⇒ NULL on both engines (Spark's non-ANSI x/0 is NULL but
+            // DuckDB's IEEE division yields inf/NaN; the guard keeps parity).
+            when(col("n") > 1,
+              round((col("svv") - col("sv") * col("sv") / col("n")) /
+                (col("n") - 1), 6)).as("variance"))
           .orderBy("grp")
     },
 

@@ -140,8 +140,16 @@ object Streams {
               .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
               .coalesce(1).write.mode("append").parquet(staging.toString)
             Option(staging.toFile.listFiles()).foreach(_.foreach { f =>
-              if (!before(f.getName) && f.getName.endsWith(".parquet"))
-                f.setLastModified(System.currentTimeMillis() + (i + 1) * 60000L)
+              if (!before(f.getName) && f.getName.endsWith(".parquet")) {
+                val target = System.currentTimeMillis() + (i + 1) * 60000L
+                // the replays-last guarantee depends on this mtime bump —
+                // fall back to the NIO API and fail loudly rather than
+                // silently degrading to creation-time ordering
+                if (!f.setLastModified(target)) {
+                  java.nio.file.Files.setLastModifiedTime(f.toPath,
+                    java.nio.file.attribute.FileTime.fromMillis(target))
+                }
+              }
             })
           }
       }
@@ -239,17 +247,20 @@ object Streams {
     * struct so `max` is one lexicographic comparison). Latest-wins merging
     * is associative and commutative under a total order, so the final
     * table is independent of how the replay was micro-batched — which is
-    * exactly what the batch oracle (window row_number = 1) checks. Each
-    * batch writes a NEW table generation ([[graft.queries.Sinks.stagingDir]]:
-    * process-owned root, ≤2 generations kept, shutdown-cleaned), so a
-    * reader of the previous generation is never invalidated mid-read —
-    * at scale this is the snapshot-isolation discipline of a real table
-    * format. State lives in the table, not the engine: the merge itself
-    * is O(batch + |table|) per batch with no streaming state operator.
+    * exactly what the batch oracle (window row_number = 1) checks.
+    * Intermediate per-batch merge generations live in a RUN-LOCAL temp dir
+    * (not [[graft.queries.Sinks.stagingDir]], whose ≤2-generation pruning
+    * assumes one generation per query build — ~5 per run here would evict
+    * directories an older still-collectable plan reads); only the FINAL
+    * merged table is published through stagingDir, preserving its
+    * snapshot-isolation contract for downstream readers. State lives in
+    * the table, not the engine: the merge itself is O(batch + |table|)
+    * per batch with no streaming state operator.
     */
   def upsertFromSnapshot(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): DataFrame = {
     val staging = java.nio.file.Files.createTempDirectory("graft-stream-upsert")
+    val mergeTmp = java.nio.file.Files.createTempDirectory("graft-upsert-gen")
     try {
       graft.model.Tables.events(spark, sfDir)
         .repartition(4).write.mode("overwrite").parquet(staging.toString)
@@ -263,6 +274,7 @@ object Streams {
             col("event_type"), col("value")).as("pk"))
           .groupBy("user_id").agg(max(col("pk")).as("pk"))
       val current = new java.util.concurrent.atomic.AtomicReference[String](null)
+      val batchSeq = new java.util.concurrent.atomic.AtomicLong(0L)
       val q = src.writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val batchLatest = reduceLatest(batch)
@@ -272,7 +284,8 @@ object Streams {
               .groupBy("user_id").agg(max(col("pk")).as("pk"))
             case None => batchLatest
           }
-          val gen = graft.queries.Sinks.stagingDir("graft-upsert-table", sfDir)
+          val gen =
+            mergeTmp.resolve(s"gen-${batchSeq.incrementAndGet()}").toString
           merged.write.mode("overwrite").parquet(gen)
           current.set(gen)
           ()
@@ -280,15 +293,23 @@ object Streams {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // publish the final table through stagingDir (one generation per
+      // build — the contract its pruning assumes), then the run-local
+      // intermediates can be deleted in the finally block below.
+      val published = graft.queries.Sinks.stagingDir("graft-upsert-table", sfDir)
       spark.read.parquet(current.get())
+        .write.mode("overwrite").parquet(published)
+      spark.read.parquet(published)
         .select(col("user_id"), col("pk.event_id").as("event_id"),
           col("pk.event_type").as("event_type"), col("pk.value").as("value"),
           col("pk.ts").as("ts"))
     } finally {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(staging).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      Seq(staging, mergeTmp).foreach { root =>
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
     }
   }
 
