@@ -124,6 +124,119 @@ object Analytics {
           .orderBy("suppkey")
     },
 
+    // ── PageRank to CONVERGENCE (the driver-loop discipline of
+    //    ConnectedComponents applied to the power iteration): a part→part
+    //    graph from consecutive line numbers within each order (sparse and
+    //    cyclic, unlike the bipartite customer→supplier step graph whose
+    //    fixed point is reached in one hop), iterated until the max
+    //    per-node rank change falls under an INTEGER threshold —
+    //    R/(n·1000), 0.1% of the uniform share — so termination is
+    //    engine-exact, not float-fuzzy. All arithmetic is scaled-integer
+    //    (R = 1e12) with truncating division in the SAME order on both
+    //    engines; dangling mass is redistributed uniformly, so total mass
+    //    is conserved up to truncation (the spec pins it). Each round:
+    //    ranks ⋈ edges (the Pregel send), groupBy dst (the combine), one
+    //    eager localCheckpoint (lineage truncation — plans stay
+    //    constant-size no matter the round count), and two scalar driver
+    //    aggregates (delta, dangling mass) — driver state is two longs,
+    //    the rank vector itself never leaves the cluster. The DuckDB
+    //    oracle is the identical loop as a recursive CTE whose recursive
+    //    term carries (rank, prev-rank) and gates on the same threshold.
+    //    Iterations surface both as DATA (the `iters` column) and as a
+    //    CollectMetrics observation (the K3 discipline). ──────────────────
+    Q("q_pagerank",
+      """WITH RECURSIVE
+        |edges AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND b.l_linenumber = a.l_linenumber + 1
+        |  WHERE a.l_partkey <> b.l_partkey),
+        |nodes AS (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |outd AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+        |pr(it, node, rk, prev) AS (
+        |  SELECT 0, node, (1000000000000 // n)::BIGINT, 0::BIGINT
+        |  FROM nodes CROSS JOIN nn
+        |  UNION ALL
+        |  SELECT p.it + 1, p.node,
+        |    ((15 * 1000000000000) // (100 * nn.n)
+        |     + (85 * coalesce(c.s, 0)) // 100
+        |     + (85 * (SELECT coalesce(sum(d.rk), 0) FROM pr d
+        |              LEFT JOIN outd o2 ON d.node = o2.src
+        |              WHERE o2.src IS NULL)) // (100 * nn.n))::BIGINT,
+        |    p.rk
+        |  FROM pr p CROSS JOIN nn
+        |  LEFT JOIN (SELECT e.dst, sum(q.rk // o.od)::BIGINT AS s
+        |             FROM pr q JOIN edges e ON q.node = e.src
+        |             JOIN outd o ON e.src = o.src
+        |             GROUP BY e.dst) c ON p.node = c.dst
+        |  WHERE p.it < 100
+        |    AND (SELECT max(abs(x.rk - x.prev)) FROM pr x)
+        |        > (SELECT 1000000000000 // (n * 1000) FROM nn))
+        |SELECT node AS partkey, rk AS rank_num,
+        |  round(rk / 1000000000000.0, 9) AS rank, it::BIGINT AS iters
+        |FROM pr WHERE it = (SELECT max(it) FROM pr)
+        |ORDER BY partkey""".stripMargin) {
+      (s, d) =>
+        val R = 1000000000000L
+        val li = lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        val nxt = li.select(col("l_orderkey"),
+          (col("l_linenumber") - 1).as("l_linenumber"),
+          col("l_partkey").as("dst"))
+        // edges + out-degrees are loop-invariant: checkpointed ONCE and
+        // re-joined every round (the reused-partitioning discipline)
+        val edges = li.select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey").as("src"))
+          .join(nxt, Seq("l_orderkey", "l_linenumber"))
+          .filter(col("src") =!= col("dst"))
+          .select("src", "dst").distinct()
+          .localCheckpoint()
+        val outd = edges.groupBy("src").agg(count(lit(1)).as("od"))
+        val eo = edges.join(outd, "src").localCheckpoint()
+        val nodes = edges.select(col("src").as("node"))
+          .union(edges.select(col("dst").as("node"))).distinct()
+          .localCheckpoint()
+        val n = nodes.count()
+        val base = (15L * R) / (100L * n)
+        val thr = R / (n * 1000L)
+        var ranks = nodes.select(col("node"), lit(R / n).as("rk"))
+          .localCheckpoint()
+        var iters = 0
+        var delta = Long.MaxValue
+        while (delta > thr && iters < 100) {
+          val contribs = ranks.join(eo, ranks("node") === eo("src"))
+            .select(col("dst"), expr("rk div od").as("w"))
+            .groupBy("dst").agg(sum(col("w")).as("s"))
+          // dangling mass as a broadcast single-row aggregate riding the
+          // round's ONE plan — not a separate driver action
+          val dang = ranks
+            .join(outd, ranks("node") === outd("src"), "left_anti")
+            .agg(coalesce(sum(col("rk")), lit(0L)).as("dmass"))
+          val next = ranks.select(col("node"), col("rk").as("prev"))
+            .join(contribs, col("node") === col("dst"), "left")
+            .crossJoin(broadcast(dang))
+            .select(col("node"),
+              (lit(base) + expr("(85 * coalesce(s, 0)) div 100") +
+                expr(s"(85 * dmass) div (100 * $n)")).as("rk"),
+              col("prev"))
+            .localCheckpoint()
+          delta = next.agg(max(abs(col("rk") - col("prev")))).head().getLong(0)
+          ranks = next.select("node", "rk")
+          iters += 1
+        }
+        ranks
+          .select(col("node").as("partkey"), col("rk").as("rank_num"),
+            round(col("rk") / lit(1.0e12), 9).as("rank"),
+            lit(iters).cast("long").as("iters"))
+          .orderBy("partkey")
+          .observe("pagerank_convergence",
+            max(lit(iters)).cast("long").as("iterations"),
+            max(lit(delta)).as("final_delta"),
+            max(lit(if (delta <= thr) 1L else 0L)).as("converged"))
+    },
+
     // ── bigram language-model scoring: add-one-smoothed P(w2|w1) from
     //    corpus-wide bigram/unigram counts, average log-probability per
     //    sampled document — the perplexity-style quality gate a curation

@@ -75,6 +75,34 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("q_pagerank: converged fixed point conserves mass and reports its loop") {
+    val df = run("q_pagerank")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // At the fixed point the TOTAL mass must equal R = 1e12 up to integer
+    // truncation: each round loses < 1 unit per node per term (3 truncating
+    // divisions), and convergence takes ≤ 100 rounds, so the drift bound is
+    // 300 · n units — far below any real mass movement.
+    val n = rows.length.toLong
+    val mass = rows.map(_.getAs[Long]("rank_num")).sum
+    val drift = 1000000000000L - mass
+    assert(drift >= 0L && drift <= 300L * n,
+      s"mass $mass drifted $drift (bound ${300L * n})")
+    // convergence is DATA: the iters column is a genuine loop count, and
+    // the final delta at the fixed point is within the declared threshold
+    val iters = rows.map(_.getAs[Long]("iters")).distinct
+    assert(iters.length == 1 && iters.head >= 2L && iters.head < 100L,
+      s"suspicious iteration count: ${iters.toSeq}")
+    rows.foreach { r =>
+      val rank = r.getAs[Double]("rank")
+      assert(rank > 0.0 && rank < 1.0)
+    }
+    // ...and as a CollectMetrics observation (the K3 discipline)
+    val obs = df.queryExecution.observedMetrics.get("pagerank_convergence")
+    assert(obs.exists(_.getAs[Long]("converged") == 1L),
+      s"pagerank_convergence observation missing or not converged: $obs")
+  }
+
   test("q_funnel: stage counts are monotonically non-increasing") {
     val n = run("q_funnel").collect().sortBy(_.getAs[String]("stage"))
       .map(_.getAs[Long]("n"))
