@@ -334,6 +334,55 @@ object Sinks {
           .orderBy("o_custkey")
     },
 
+    // ── CDC-COMPLETE materialized-view maintenance: q_mv_refresh handles
+    //    the insert channel; this adds DELETES. The CDC stream deletes a
+    //    deterministic subset of pre-cutoff orders (o_orderkey % 10 = 7 —
+    //    rows already inside the persisted base MV) and inserts the
+    //    post-cutoff orders. Because count/sum are commutative-GROUP
+    //    aggregates (they have inverses), a delete is just a RETRACTION
+    //    partial with negated measures — the merge stays one
+    //    union + re-aggregate, O(base + delta), never O(history), and
+    //    order-independent because the measures ride exact DECIMAL(18,2).
+    //    Customers whose live count drops to zero leave the MV (the
+    //    HAVING n > 0 gate) — exactly what the full-recompute oracle
+    //    produces by never seeing their rows. ──────────────────────────────
+    Q("q_mv_refresh_cdc",
+      """WITH cut AS (SELECT max(o_orderdate) - INTERVAL 90 DAY AS c
+        |             FROM orders),
+        |live AS (SELECT o_custkey, o_totalprice FROM orders CROSS JOIN cut
+        |         WHERE NOT (o_orderdate < c AND o_orderkey % 10 = 7))
+        |SELECT o_custkey, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM live GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) {
+      (s, d) =>
+        val cut = orders(s, d).agg(max(col("o_orderdate")).as("m"))
+          .select((col("m") - expr("INTERVAL 90 DAYS")).as("cutoff"))
+        def partialAgg(pred: org.apache.spark.sql.Column) =
+          orders(s, d).crossJoin(broadcast(cut)).filter(pred)
+            .groupBy("o_custkey")
+            .agg(count(lit(1)).as("n"),
+              sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+        val dir = stagingDir("graft-mv-cdc-base", d)
+        partialAgg(col("o_orderdate") < col("cutoff"))
+          .write.mode("overwrite").parquet(dir)
+        val base = s.read.parquet(dir)
+        val inserts = partialAgg(col("o_orderdate") >= col("cutoff"))
+        // the delete channel, folded to a retraction partial: negated
+        // count and negated sum, same schema as the base/insert partials
+        val retracts = orders(s, d).crossJoin(broadcast(cut))
+          .filter(col("o_orderdate") < col("cutoff") &&
+            col("o_orderkey") % 10 === 7)
+          .groupBy("o_custkey")
+          .agg((-count(lit(1))).as("n"),
+            (-sum(col("o_totalprice").cast("decimal(18,2)"))).as("total"))
+        base.unionByName(inserts).unionByName(retracts)
+          .groupBy("o_custkey")
+          .agg(sum(col("n")).as("n"),
+            sum(col("total")).cast("double").as("total"))
+          .filter(col("n") > 0)
+          .orderBy("o_custkey")
+    },
+
     Q("q_partition_prune",
       """SELECT o_orderpriority, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

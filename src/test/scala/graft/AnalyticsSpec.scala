@@ -183,4 +183,25 @@ class AnalyticsSpec extends SparkTestBase {
     assert(merged.collect().toSeq == full.collect().toSeq,
       "refresh result diverges from full recompute")
   }
+
+  test("q_mv_refresh_cdc: retraction merge equals recompute with deletes applied") {
+    val merged = run("q_mv_refresh_cdc")
+    val orders = graft.model.Tables.orders(spark, sfDir)
+    val cut = orders.agg(max(col("o_orderdate")).as("m"))
+      .select((col("m") - expr("INTERVAL 90 DAYS")).as("cutoff"))
+    val full = orders.crossJoin(broadcast(cut))
+      .filter(!(col("o_orderdate") < col("cutoff") &&
+        col("o_orderkey") % 10 === 7))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy("o_custkey")
+    assert(merged.collect().toSeq == full.collect().toSeq,
+      "CDC merge diverges from full recompute over the post-delete base")
+    // the delete channel really fired: some pre-cutoff customer lost rows
+    val before = run("q_mv_refresh").collect()
+    assert(merged.collect().map(_.getAs[Long]("n")).sum <
+      before.map(_.getAs[Long]("n")).sum,
+      "no rows were retracted — the CDC path was not exercised")
+  }
 }
