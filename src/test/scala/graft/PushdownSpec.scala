@@ -125,4 +125,66 @@ class PushdownSpec extends SparkTestBase {
       !s.contains("text") && !s.contains("n_chars") && !s.contains("source")),
       s"documents scan reads unreferenced columns: $schemas")
   }
+
+  // ── Join-side pins for the analytics tier (BucketingSpec's AQE-unwrap
+  //    technique): the queries below DECLARE a broadcast or bounded side;
+  //    a future edit that silently plans a full shuffle where a broadcast
+  //    belongs must fail here, not surface as a bench regression. ──────────
+
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+  import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+  import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, SortMergeJoinExec}
+
+  private def finalPlan(df: DataFrame): SparkPlan = {
+    df.collect() // force AQE to finalize every stage
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] =
+    p.collect(pf) ++
+      p.collect { case q: QueryStageExec => collectAll(q.plan)(pf) }.flatten ++
+      p.collect { case r: ReusedExchangeExec => collectAll(r.child)(pf) }.flatten ++
+      p.subqueries.flatMap(collectAll(_)(pf))
+
+  test("q_copurchase: both degree joins broadcast the per-part counts") {
+    val plan = finalPlan(SparkEntry.queries("q_copurchase")(spark, sfDir))
+    val bhj = collectAll(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.count(j => j.leftKeys.exists(k =>
+      k.toString.contains("pa") || k.toString.contains("pb"))) >= 2,
+      s"deg joins did not broadcast: ${bhj.map(_.leftKeys)}")
+    // the pair self-join on ok is ALLOWED to sort-merge (fact⋈fact); the
+    // deg joins on pa/pb are not
+    val smj = collectAll(plan) { case j: SortMergeJoinExec => j }
+    assert(!smj.exists(j => j.leftKeys.exists(k =>
+      k.toString.contains("pa") || k.toString.contains("pb"))),
+      s"a deg join planned as sort-merge: ${smj.map(_.leftKeys)}")
+  }
+
+  test("q_rfm: the percentile-bounds join is a broadcast of ONE row") {
+    val plan = finalPlan(SparkEntry.queries("q_rfm")(spark, sfDir))
+    val bnlj = collectAll(plan) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.nonEmpty,
+      "bounds join is not a broadcast nested-loop over the single-row aggregate")
+    val smj = collectAll(plan) { case j: SortMergeJoinExec => j }
+    assert(smj.isEmpty,
+      s"q_rfm planned a sort-merge join where only broadcasts belong: $smj")
+  }
+
+  test("q_join_cardinality: histogram join is broadcast, estimate join is single-row") {
+    val plan = finalPlan(SparkEntry.queries("q_join_cardinality")(spark, sfDir))
+    // ha ⋈ hb on the 32-value bucket column: both sides are fixed-width
+    // histograms — must be a broadcast hash join, never a shuffle
+    val bhj = collectAll(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.exists(_.leftKeys.exists(_.toString.contains("b"))),
+      s"histogram join did not broadcast: ${bhj.map(_.leftKeys)}")
+    val bnlj = collectAll(plan) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.nonEmpty, "estimate join is not a single-row broadcast")
+    val smj = collectAll(plan) { case j: SortMergeJoinExec => j }
+    assert(smj.isEmpty,
+      s"q_join_cardinality planned a sort-merge join: $smj")
+  }
 }
