@@ -367,6 +367,46 @@ object Relational {
           .orderBy("event_id")
     },
 
+    // ── VARIANT (Spark 4's semi-structured type): a nested JSON document
+    //    (the flat events.props object wrapped with typed event fields —
+    //    composed IDENTICALLY on both engines, so the parse input is
+    //    bit-equal) goes through parse_json → VariantType, and typed paths
+    //    come back out with variant_get: the open-schema ingestion shape,
+    //    where the document's structure is not declared anywhere in the
+    //    plan. Parsing is a pure map stage over the scan (no shuffle
+    //    added); the extracted columns then filter and aggregate like any
+    //    native column. The DuckDB oracle runs the same paths through its
+    //    JSON functions on the same composed document. ─────────────────────
+    Q("q_variant",
+      """WITH j AS (SELECT event_id,
+        |    '{"p": ' || props || ', "e": {"t": "' || event_type ||
+        |    '", "uid": ' || user_id::VARCHAR || '}}' AS doc
+        |  FROM events),
+        |x AS (SELECT event_id,
+        |    CAST(json_extract_string(doc, '$.p.k') AS BIGINT) AS k,
+        |    json_extract_string(doc, '$.e.t') AS t,
+        |    CAST(json_extract_string(doc, '$.e.uid') AS BIGINT) AS uid
+        |  FROM j)
+        |SELECT t, count(*) AS n, SUM(k)::BIGINT AS sum_k,
+        |  count(DISTINCT uid) AS n_users
+        |FROM x WHERE k >= 50 GROUP BY t ORDER BY t""".stripMargin) {
+      (s, d) =>
+        val doc = concat(lit("{\"p\": "), col("props"),
+          lit(", \"e\": {\"t\": \""), col("event_type"),
+          lit("\", \"uid\": "), col("user_id").cast("string"), lit("}}"))
+        events(s, d)
+          .select(col("event_id"), parse_json(doc).as("v"))
+          .select(col("event_id"),
+            expr("variant_get(v, '$.p.k', 'bigint')").as("k"),
+            expr("variant_get(v, '$.e.t', 'string')").as("t"),
+            expr("variant_get(v, '$.e.uid', 'bigint')").as("uid"))
+          .filter(col("k") >= 50)
+          .groupBy("t")
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+            count_distinct(col("uid")).as("n_users"))
+          .orderBy("t")
+    },
+
     // ── generator / lateral view: positional explode of a token array ───
     Q("q_posexplode",
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents
