@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev utility (not part of the library surface): synthesize a larger scale
+  * factor from an existing testdata directory by REPLICATION with
+  * foreign-key-consistent key offsets, so the scale story (VERDICT r6 next
+  * round #1) can be MEASURED instead of asserted.
+  *
+  * Usage: sbt 'runMain graft.ScaleGen [srcDir] [outDir] [replicas]'
+  * Default: /root/testdata/sf0.1 → tmp/sf1 ×10.
+  *
+  * Replication rules:
+  *  - Every table key gets `key + r · stride` (stride = max(key)+1), with
+  *    the SAME stride applied to each referencing column — so each replica
+  *    is a disjoint island with the original's join cardinalities, and
+  *    total join/agg work scales linearly with the replica count.
+  *  - `region`/`nation` stay single-copy (dimensions don't scale with fact
+  *    data; nationkey references remain valid in every island).
+  *  - `documents.text` is token-ROTATED by 7·r positions per replica:
+  *    vocabulary, lengths and within-island near-dup structure are
+  *    preserved, but 3-gram shingles across islands disagree — replicas do
+  *    NOT become artificial near-duplicates (which would quadratically
+  *    inflate every banding join and poison the growth measurement).
+  *  - `embeddings.embedding` is dimension-rotated by r for the same
+  *    reason: norms and within-island cosine structure survive, while
+  *    cross-island cosines stay at random-vector levels.
+  *  - `events.ts` is written as raw BIGINT nanos (the nanosAsLong read
+  *    shape), which `Tables.events` consumes identically to the
+  *    TIMESTAMP(NANOS) original.
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val src  = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val out  = args.lift(1).getOrElse("tmp/sf1")
+    val reps = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def raw(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    def stride(t: String, k: String): Long =
+      raw(t).agg(max(col(k))).head().getLong(0) + 1L
+    // replicate each row `reps` times, tagged with its replica index
+    def rep(df: DataFrame): DataFrame =
+      df.select(col("*"),
+        explode(sequence(lit(0L), lit(reps - 1L))).as("__r"))
+    def write(df: DataFrame, t: String, files: Int): Unit = {
+      df.repartition(files).write.mode("overwrite")
+        .parquet(s"$out/$t.parquet")
+      System.err.println(s"[scalegen] wrote $t")
+    }
+
+    val (so, sc, sp, ss) = (stride("orders", "o_orderkey"),
+      stride("customer", "c_custkey"), stride("part", "p_partkey"),
+      stride("supplier", "s_suppkey"))
+    val (se, su) = (stride("events", "event_id"), stride("events", "user_id"))
+    val (sd, sv) = (stride("documents", "doc_id"),
+      stride("embeddings", "vec_id"))
+
+    raw("region").write.mode("overwrite").parquet(s"$out/region.parquet")
+    raw("nation").write.mode("overwrite").parquet(s"$out/nation.parquet")
+
+    def off(c: String, s: Long) = (col(c) + col("__r") * s).as(c)
+    write(rep(raw("customer")).select(off("c_custkey", sc), col("c_name"),
+      col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")),
+      "customer", 4)
+    write(rep(raw("supplier")).select(off("s_suppkey", ss), col("s_name"),
+      col("s_nationkey"), col("s_acctbal")), "supplier", 2)
+    write(rep(raw("part")).select(off("p_partkey", sp), col("p_name"),
+      col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice")),
+      "part", 4)
+    write(rep(raw("orders")).select(off("o_orderkey", so),
+      off("o_custkey", sc), col("o_orderstatus"), col("o_totalprice"),
+      col("o_orderdate"), col("o_orderpriority")), "orders", 8)
+    write(rep(raw("lineitem")).select(off("l_orderkey", so),
+      off("l_partkey", sp), off("l_suppkey", ss), col("l_linenumber"),
+      col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+      col("l_tax"), col("l_returnflag"), col("l_linestatus"),
+      col("l_shipdate")), "lineitem", 16)
+    write(rep(raw("events")).select(off("event_id", se), col("ts"),
+      off("user_id", su), col("event_type"), col("value"), col("props")),
+      "events", 8)
+
+    // token rotation by 7·r (mod length): identity for replica 0
+    val rotText = expr(
+      """array_join(
+        |  CASE WHEN size(split(text, ' ')) < 2 THEN split(text, ' ')
+        |  ELSE concat(
+        |    slice(split(text, ' '),
+        |      cast((__r * 7) % size(split(text, ' ')) as int) + 1,
+        |      size(split(text, ' ')) - cast((__r * 7) % size(split(text, ' ')) as int)),
+        |    slice(split(text, ' '), 1,
+        |      cast((__r * 7) % size(split(text, ' ')) as int)))
+        |  END, ' ')""".stripMargin)
+    write(rep(raw("documents")).select(off("doc_id", sd),
+      rotText.as("text"), col("lang"), col("source"), col("n_chars")),
+      "documents", 8)
+
+    // dimension rotation by r (mod dim): identity for replica 0
+    val rotVec = expr(
+      """CASE WHEN __r % size(embedding) = 0 THEN embedding
+        |ELSE concat(
+        |  slice(embedding, cast(__r % size(embedding) as int) + 1,
+        |    size(embedding) - cast(__r % size(embedding) as int)),
+        |  slice(embedding, 1, cast(__r % size(embedding) as int)))
+        |END""".stripMargin)
+    write(rep(raw("embeddings")).select(off("vec_id", sv),
+      rotVec.as("embedding"), col("label")), "embeddings", 4)
+
+    System.err.println(s"[scalegen] done: $out = $src × $reps")
+    spark.stop()
+  }
+}
