@@ -28,10 +28,19 @@ object Similarity {
 
   private val Dims = 64
   private val LshBits = 6 // 64 buckets over 500 vectors → ~8 vecs/bucket
-  // Near-dup candidate probing: pairs whose sign-buckets differ in ≤ 2 of
-  // the 6 hyperplane bits. At larger N, LshBits grows with log N and the
-  // probe radius stays fixed — candidate volume stays bucket-bounded.
+  // Near-dup candidate probing: pairs whose sign-buckets differ in ≤ 2
+  // hyperplane bits. The PAIR-generating family (q_dedup_cosine/_clusters/
+  // _keep) sizes its signature adaptively — 2^bits ≥ N, so bucket occupancy
+  // stays ≤ 1 and candidate volume is O(N · bits²), never O(N²/2^bits) with
+  // a FIXED bucket space (measured: the fixed 6-bit signature grew 21× on
+  // 10× data in tools/scalecheck.json; the adaptive one is linear). The
+  // query-side ANN probes (q_ann_lsh/_multiprobe) keep the fixed 6-bit
+  // signature: their candidate volume is already bounded by the CONSTANT
+  // query set (Q · N/2^bits), and coarser buckets are what gives them
+  // usable recall at top-3.
   private val ProbeHamming = 2
+  private def adaptiveBits(n: Long): Int =
+    (6 to 30).find(b => (1L << b) >= n).getOrElse(30)
   private val TopKQueries = 20 // q_cosine_topk's FIXED query-set size
   // Measurement-query discipline: every recall/quality query (q_ann_recall,
   // q_ann_quant) bounds BOTH its exact-truth side and the approximate sides
@@ -82,13 +91,35 @@ object Similarity {
        |nb AS (SELECT n.vec_id, n.e, n.nrm, bk.bucket FROM n JOIN bk USING (vec_id))""".stripMargin
 
   /** Shared DuckDB candidate stage of the embedding-dedup family
-    * (q_dedup_cosine / _clusters / _keep): signature CTEs + hamming-≤2
+    * (q_dedup_cosine / _clusters / _keep): ADAPTIVE-width signature CTEs
+    * (2^bits ≥ N, floor 6 — the same data-derived width the Spark side
+    * computes, so both engines build identical planes) + hamming-≤2
     * bucket pairs + exact cosine verify at ≥ 0.4, ending in
-    * `cp(vec_a, vec_b, sim)`.
+    * `cp(vec_a, vec_b, sim)`. The oracle finds radius-≤2 pairs by theta
+    * join (fine at oracle scale); the Spark side probes by XOR-mask
+    * explode + equi-join.
     */
+  private val adaptiveLshCte =
+    s"""nbits AS (SELECT coalesce(min(b), 30)::INT AS bits
+       |  FROM range(6, 31) r(b)
+       |  WHERE (1::BIGINT << b::INT) >= (SELECT count(*) FROM embeddings)),
+       |hp AS (SELECT b, list(w ORDER BY d) AS wv FROM (
+       |    SELECT b, d,
+       |      ((('0x' || substr(md5(b::VARCHAR || ':' || d::VARCHAR), 1, 15))::BIGINT
+       |        % 2001) - 1000) / 1000.0::DOUBLE AS w
+       |    FROM range(0, 30) r1(b), range(1, ${Dims + 1}) r2(d), nbits
+       |    WHERE b < nbits.bits) t
+       |  GROUP BY b),
+       |proj AS (SELECT n.vec_id, hp.b, ${dotSqlIdx("n.e", "hp.wv")} AS p
+       |  FROM n CROSS JOIN hp),
+       |bk AS (SELECT vec_id,
+       |    CAST(SUM(CASE WHEN p > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY vec_id),
+       |nb AS (SELECT n.vec_id, n.e, n.nrm, bk.bucket FROM n JOIN bk USING (vec_id))""".stripMargin
+
   private val cosinePairsCte =
     s"""$normsCte,
-       |$lshCte,
+       |$adaptiveLshCte,
        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |        ${dotSqlIdx("a.e", "b.e")} AS dot, a.nrm AS na, b.nrm AS nb2
        |      FROM nb a JOIN nb b
@@ -98,20 +129,28 @@ object Similarity {
        |       WHERE dot / sqrt(na * nb2) >= 0.4)""".stripMargin
 
   /** Spark half of [[cosinePairsCte]] — the bounded near-dup pair generator
-    * shared by the whole embedding-dedup family. Side A explodes its 22
-    * hamming-≤2 probe masks (C(6,0)+C(6,1)+C(6,2) XOR masks) as SLIM
-    * (id, bucket) rows, the bucket equi-join finds each candidate pair
-    * exactly once (the matching mask is bucketA⊕bucketB, unique per pair —
-    * no distinct needed), vectors join back for candidates only, and the
-    * exact cosine filter verifies. Never an all-pairs join — the plan spec
-    * (SimilarityPlanSpec) pins BroadcastNestedLoopJoin out of the plan.
+    * shared by the whole embedding-dedup family. The signature width is
+    * ADAPTIVE (2^bits ≥ N, floor 6): occupancy stays ≤ 1 vector/bucket in
+    * expectation, so candidate volume is O(N · bits²) — the scalecheck-
+    * measured fix for the fixed-width signature's O(N²/2^bits) growth.
+    * Side A explodes its 1 + bits + C(bits,2) hamming-≤2 probe masks as
+    * SLIM (id, bucket) rows, the bucket equi-join finds each candidate
+    * pair exactly once (the matching mask is bucketA⊕bucketB, unique per
+    * pair — no distinct needed), vectors join back for candidates only,
+    * and the exact cosine filter verifies. Never an all-pairs join — the
+    * plan spec (SimilarityPlanSpec) pins BroadcastNestedLoopJoin out of
+    * the plan.
     */
   private def cosinePairs(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val nb = withBuckets(s, d).cache() // probe side + both vector join-backs
-    val masks = (0 until (1 << LshBits)).filter(Integer.bitCount(_) <= ProbeHamming)
+    val bits = adaptiveBits(embeddings(s, d).count())
+    val nb = bucketsFrom(withNorms(s, d), bits).cache() // probe side + join-backs
+    val masks: Seq[Long] = 0L +:
+      ((0 until bits).map(1L << _) ++
+        (for { i <- 0 until bits; j <- i + 1 until bits }
+          yield (1L << i) | (1L << j)))
     val probes = nb.select(col("vec_id").as("vec_a"),
       explode(array(masks.map(m =>
-        col("bucket").bitwiseXOR(lit(m.toLong))): _*)).as("pb"))
+        col("bucket").bitwiseXOR(lit(m))): _*)).as("pb"))
     val bSide = nb.select(col("vec_id").as("vec_b"), col("e").as("eb"),
       col("nrm").as("nb"), col("bucket").as("pb"))
     val aVec = nb.select(col("vec_id").as("vec_a"), col("e").as("ea"),
@@ -555,16 +594,20 @@ object Similarity {
     },
 
     // ── embedding-cosine near-duplicate pairs (dedup flavor) ────────────
-    // Candidate generation is the SAME hyperplane signature stage as
-    // q_ann_lsh, self-joined with a hamming-≤2 probe radius: side A
-    // explodes its 22 probe buckets (C(6,0)+C(6,1)+C(6,2) XOR masks) as
-    // SLIM (id, bucket) rows, the equi-join on bucket finds each candidate
-    // pair exactly once (the mask that matches is bucketA⊕bucketB, unique
-    // per pair — no distinct needed), vectors join back for candidates
-    // only, and the exact cosine filter verifies. The all-pairs
-    // BroadcastNestedLoopJoin this replaces is O(N²) and unusable at
-    // corpus scale; a plan spec asserts it never reappears. Declared
-    // semantics = "near-dup pairs within probe radius", which the oracle
+    // Candidate generation is a hyperplane signature stage with
+    // ADAPTIVE width (2^bits ≥ N, floor 6 — both engines derive bits from
+    // the corpus count), self-joined with a hamming-≤2 probe radius: side
+    // A explodes its 1 + bits + C(bits,2) probe masks as SLIM (id, bucket)
+    // rows, the equi-join on bucket finds each candidate pair exactly once
+    // (the mask that matches is bucketA⊕bucketB, unique per pair — no
+    // distinct needed), vectors join back for candidates only, and the
+    // exact cosine filter verifies. The adaptive width keeps expected
+    // bucket occupancy ≤ 1, so candidate volume is O(N · bits²) — measured
+    // linear in tools/scalecheck.json, where the previous FIXED 6-bit
+    // space grew 21× on 10× data. The all-pairs BroadcastNestedLoopJoin
+    // this replaces is O(N²) and unusable at corpus scale; a plan spec
+    // asserts it never reappears. Declared semantics = "near-dup pairs
+    // within probe radius of the adaptive signature", which the oracle
     // mirrors with the identical signature CTEs + bit_count(xor()) ≤ 2.
     Q("q_dedup_cosine",
       s"""WITH $cosinePairsCte
@@ -777,12 +820,12 @@ object Similarity {
   private def withBuckets(s: org.apache.spark.sql.SparkSession, d: String) =
     bucketsFrom(withNorms(s, d))
 
-  private def bucketsFrom(n: DataFrame): DataFrame = {
-    val planes: Seq[Seq[Double]] = (0 until LshBits).map { b =>
+  private def bucketsFrom(n: DataFrame, bits: Int = LshBits): DataFrame = {
+    val planes: Seq[Seq[Double]] = (0 until bits).map { b =>
       (1 to Dims).map(dd =>
         ((md5LongLocal(s"$b:$dd") % 2001L) - 1000L) / 1000.0)
     }
-    val bucketExpr = (0 until LshBits)
+    val bucketExpr = (0 until bits)
       .map(b => when(dotProduct(col("e"), typedLit(planes(b))) > 0,
         lit(1L << b)).otherwise(0L))
       .reduce(_ + _)
