@@ -35,6 +35,7 @@ class NoCrossJoinSpec extends SparkTestBase {
     "q_bigram_lm", // vocabulary size V (add-one smoothing denominator)
     "q_range_partition", // 7-element boundary array from the sample
     "q_mv_refresh", // data-derived 90-day cutoff (base/delta split point)
+    "q_mv_refresh_cdc", // same cutoff broadcast on base/insert/retract channels
     "q_bpe_step", // one-row top-pair × vocab × token-count frames
     "q_drift", // corpus token count M (global-distribution denominator)
     "q_rfm", // one-row percentile-bounds frames (median split points)
