@@ -394,10 +394,16 @@ object Relational {
         val doc = concat(lit("{\"p\": "), col("props"),
           lit(", \"e\": {\"t\": \""), col("event_type"),
           lit("\", \"uid\": "), col("user_id").cast("string"), lit("}}"))
+        // cache boundary after the parse (the q_quantize discipline):
+        // without it Catalyst substitutes the filter below the extraction
+        // projection and parseJson runs TWICE per row — once in the filter,
+        // once for the surviving rows' projection. The boundary makes `v`
+        // an attribute, so the document parses exactly once and the
+        // variant_get path lookups (cheap binary reads) are all that repeat.
         events(s, d)
-          .select(col("event_id"), parse_json(doc).as("v"))
-          .select(col("event_id"),
-            expr("variant_get(v, '$.p.k', 'bigint')").as("k"),
+          .select(parse_json(doc).as("v"))
+          .cache()
+          .select(expr("variant_get(v, '$.p.k', 'bigint')").as("k"),
             expr("variant_get(v, '$.e.t', 'string')").as("t"),
             expr("variant_get(v, '$.e.uid', 'bigint')").as("uid"))
           .filter(col("k") >= 50)
