@@ -615,6 +615,46 @@ object Similarity {
       (s, d) => cosinePairs(s, d).orderBy("vec_a", "vec_b")
     },
 
+    // ── adaptive-signature quality measurement (the recall discipline
+    //    every approximate family closes with): of the EXACT sim ≥ 0.4
+    //    pairs whose smaller id is in the constant probe set (vec_id < 20
+    //    — the truth side is O(probe·N), never all-pairs), how many does
+    //    the hamming-≤2 adaptive signature surface? cp verifies the exact
+    //    cosine, so found ⊆ truth by construction and recall = found ∕
+    //    truth. This is the measured price of the O(N·bits²) candidate
+    //    bound the scalecheck relies on — recall drops as the signature
+    //    widens with the corpus, and this row keeps that honest. ───────────
+    Q("q_dedup_cosine_recall",
+      s"""WITH $cosinePairsCte,
+         |tr AS (SELECT a.vec_id AS va, b.vec_id AS vb
+         |  FROM n a JOIN n b
+         |    ON a.vec_id < $RecallQueries AND b.vec_id > a.vec_id
+         |  WHERE ${dotSqlIdx("a.e", "b.e")} / sqrt(a.nrm * b.nrm) >= 0.4),
+         |ap AS (SELECT vec_a, vec_b FROM cp WHERE vec_a < $RecallQueries)
+         |SELECT (SELECT count(*) FROM tr) AS n_exact,
+         |  (SELECT count(*) FROM ap) AS n_found,
+         |  CASE WHEN (SELECT count(*) FROM tr) > 0 THEN
+         |    round((SELECT count(*) FROM ap) /
+         |      CAST((SELECT count(*) FROM tr) AS DOUBLE), 6) END AS recall""".stripMargin) {
+      (s, d) =>
+        val n = withNorms(s, d)
+        val q = n.filter(recallQPred)
+          .select(col("vec_id").as("va"), col("e").as("qe"), col("nrm").as("qn"))
+        val c = n.select(col("vec_id").as("vb"), col("e").as("ce"),
+          col("nrm").as("cn"))
+        val truth = broadcast(q).join(c, col("vb") > col("va"))
+          .filter(dotProduct(col("qe"), col("ce")) /
+            sqrt(col("qn") * col("cn")) >= 0.4)
+          .agg(count(lit(1)).as("n_exact"))
+        val found = cosinePairs(s, d).filter(col("vec_a") < RecallQueries)
+          .agg(count(lit(1)).as("n_found"))
+        truth.crossJoin(broadcast(found))
+          .select(col("n_exact"), col("n_found"),
+            when(col("n_exact") > 0,
+              round(col("n_found") / col("n_exact").cast("double"), 6))
+              .as("recall"))
+    },
+
     // ── int8 symmetric quantization: per-vector max-abs scale, explicit
     //    half-up rounding written as floor(x·s + 0.5) on BOTH engines so no
     //    dialect rounding mode (HALF_UP vs HALF_EVEN) can diverge. The

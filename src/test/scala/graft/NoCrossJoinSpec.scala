@@ -51,6 +51,7 @@ class NoCrossJoinSpec extends SparkTestBase {
     // O(Q·N)/O(N·nlist) by construction, never O(N²) (since round 6 the
     // recall queries' exact-truth sides use the fixed vec_id<20 sample too):
     "q_cosine_topk", "q_ann_recall", "q_ann_quant", "q_ann_ivf",
+    "q_dedup_cosine_recall", // vec_id<20 probe truth kernel + count frames
     "q_ann_persisted", // same broadcast-centroid assignment as q_ann_ivf
     "q_ann_incremental", // broadcast-centroid assignment of the increment
     "q_kmeans_step", // same broadcast-centroid assignment (Lloyd refine)
