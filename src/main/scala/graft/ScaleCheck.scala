@@ -32,6 +32,7 @@ object ScaleCheck {
     "q_dedup_cosine_keep",
     // recall truths: probe-bounded exact sides
     "q_minhash_recall", "q_simhash_recall", "q_ann_recall", "q_ann_quant",
+    "q_dedup_cosine_recall",
     // ANN family: bucket/cell equi-joins, persisted index probes
     "q_ann_lsh", "q_ann_multiprobe", "q_ann_ivf", "q_ann_persisted",
     "q_ann_incremental", "q_quantize",

@@ -194,7 +194,14 @@ object Analytics {
           .select("src", "dst").distinct()
           .localCheckpoint()
         val outd = edges.groupBy("src").agg(count(lit(1)).as("od"))
-        val eo = edges.join(outd, "src").localCheckpoint()
+        // pre-partitioned on the per-round join key BEFORE the one-time
+        // checkpoint (LogicalRDD preserves outputPartitioning): every
+        // iteration's ranks⋈eo join reuses this layout, so only the small
+        // rank vector ever moves — the edge table shuffles ONCE per query,
+        // not once per round, which is the property that matters when the
+        // edge table is the 100 TB side
+        val eo = edges.join(outd, "src")
+          .repartition(col("src")).localCheckpoint()
         val nodes = edges.select(col("src").as("node"))
           .union(edges.select(col("dst").as("node"))).distinct()
           .localCheckpoint()
