@@ -203,6 +203,29 @@ object StreamingExec {
           .orderBy("user_id")
     },
 
+    // Streaming CDC ingest (the q_mv_refresh_cdc symmetry, streaming
+    // form): upsert merge + tombstone deletes (event_id % 17 = 0) flowing
+    // through the SAME associative latest-wins fold — deletes survive
+    // every intermediate merge and apply at read time, so the result is
+    // micro-batching-independent and the batch oracle checks a real
+    // streamed CDC table.
+    Q("q_stream_cdc",
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+        |             ts::TIMESTAMP AS ts FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM e)
+        |SELECT user_id, event_id, event_type, value,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts
+        |FROM r WHERE rn = 1 AND event_id % 17 <> 0
+        |ORDER BY user_id""".stripMargin) {
+      (s, d) =>
+        graft.streaming.Streams.cdcFromSnapshot(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("value"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"))
+          .orderBy("user_id")
+    },
+
     // Stateful streaming dedup: watermark-bounded dropDuplicates state,
     // key-only projection so the surviving-row nondeterminism of "first
     // arrival wins" never reaches the output — the key SET is the batch

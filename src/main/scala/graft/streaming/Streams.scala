@@ -258,7 +258,27 @@ object Streams {
     * per batch with no streaming state operator.
     */
   def upsertFromSnapshot(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String): DataFrame = {
+      sfDir: String): DataFrame =
+    mergeFromSnapshot(spark, sfDir, tombstones = false)
+
+  /** REAL streaming CDC ingest — [[upsertFromSnapshot]]'s merge discipline
+    * with a DELETE channel: rows whose `event_id % 17 = 0` are tombstones
+    * (the delete operation of a CDC feed). The tombstone flag rides INSIDE
+    * the packed ordering struct (after the unique (ts, event_id) prefix,
+    * so it never influences the max), which means deletes flow through the
+    * SAME associative latest-wins merge as upserts — a user whose latest
+    * CDC operation is a delete survives every intermediate merge and is
+    * dropped only at read time, exactly how tombstones work in a log-
+    * structured table. The batch oracle (latest row per user, filtered on
+    * the tombstone rule) must equal the replayed result under ANY
+    * micro-batching. The streaming counterpart of `q_mv_refresh_cdc`.
+    */
+  def cdcFromSnapshot(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame =
+    mergeFromSnapshot(spark, sfDir, tombstones = true)
+
+  private def mergeFromSnapshot(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, tombstones: Boolean): DataFrame = {
     val staging = java.nio.file.Files.createTempDirectory("graft-stream-upsert")
     val mergeTmp = java.nio.file.Files.createTempDirectory("graft-upsert-gen")
     try {
@@ -268,9 +288,11 @@ object Streams {
       val src = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(staging.toString)
       // latest row per user as (user_id, pk) where pk's leading fields are
-      // the ordering key — max(pk) IS latest-wins
+      // the ordering key — max(pk) IS latest-wins; (ts, event_id) is unique
+      // (event_id alone is), so fields after it never affect the max
       def reduceLatest(df: DataFrame): DataFrame =
         df.select(col("user_id"), struct(col("ts"), col("event_id"),
+            (col("event_id") % 17 === 0).as("del"),
             col("event_type"), col("value")).as("pk"))
           .groupBy("user_id").agg(max(col("pk")).as("pk"))
       val current = new java.util.concurrent.atomic.AtomicReference[String](null)
@@ -296,10 +318,14 @@ object Streams {
       // publish the final table through stagingDir (one generation per
       // build — the contract its pruning assumes), then the run-local
       // intermediates can be deleted in the finally block below.
-      val published = graft.queries.Sinks.stagingDir("graft-upsert-table", sfDir)
+      val published = graft.queries.Sinks.stagingDir(
+        if (tombstones) "graft-cdc-table" else "graft-upsert-table", sfDir)
       spark.read.parquet(current.get())
         .write.mode("overwrite").parquet(published)
-      spark.read.parquet(published)
+      val table = spark.read.parquet(published)
+      // tombstone read-time filter: a user whose LATEST CDC operation is a
+      // delete is absent from the served table
+      (if (tombstones) table.filter(!col("pk.del")) else table)
         .select(col("user_id"), col("pk.event_id").as("event_id"),
           col("pk.event_type").as("event_type"), col("pk.value").as("value"),
           col("pk.ts").as("ts"))
