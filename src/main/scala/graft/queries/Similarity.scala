@@ -496,6 +496,123 @@ object Similarity {
           .orderBy("ccid", "dim")
     },
 
+    // ── k-means to CONVERGENCE (Lloyd's loop — the q_pagerank driver-loop
+    //    discipline over the embedding table): coordinates are quantized
+    //    ONCE to exact integers (floor(x·10⁶), the engine-portable domain;
+    //    q_kmeans_step's comment explains why float/DECIMAL accumulation is
+    //    not), so every distance is an exact integer sum of squares, every
+    //    centroid update an exact integer mean (truncating div — both
+    //    engines truncate toward zero), and the argmin is the integer trick
+    //    min(dist·K + cid) with its deterministic smallest-cid tie-break.
+    //    Convergence = ASSIGNMENT STABILITY: stop when at most
+    //    max(1, N div 500) vectors change cluster in a round — the
+    //    standard relative criterion, and still an exact INTEGER
+    //    comparison on both engines (k-means' oscillating 1–2-point tail
+    //    otherwise burns rounds moving nothing that matters). K=4 seeded
+    //    from vec_id 0–3; clusters that lose all members drop out of the
+    //    candidate set on both engines identically. Per round: one
+    //    broadcast of 256 centroid rows, one partial-aggregated distance
+    //    reduce, one eager localCheckpoint (constant-size plans at any
+    //    round count), and ONE scalar driver count (changed rows). The
+    //    DuckDB oracle is the identical loop as a recursive CTE carrying
+    //    (cid, prev-cid) and gated on EXISTS(changed). ─────────────────────
+    Q("q_kmeans",
+      s"""WITH RECURSIVE
+         |v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+         |      FROM embeddings),
+         |xi AS (SELECT vec_id, d, CAST(floor(e[d] * 1000000) AS BIGINT) AS xi
+         |       FROM v CROSS JOIN range(1, ${Dims + 1}) t(d)),
+         |cent0 AS (SELECT vec_id::INT AS cid, d, xi AS cd FROM xi
+         |          WHERE vec_id < 4),
+         |km(it, vec_id, cid, prev) AS (
+         |  SELECT 0, dd.vec_id, (min(dd.dist * 4 + dd.cid) % 4)::INT, -1
+         |  FROM (SELECT x2.vec_id, c.cid,
+         |          sum((x2.xi - c.cd) * (x2.xi - c.cd)) AS dist
+         |        FROM xi x2 JOIN cent0 c ON x2.d = c.d
+         |        GROUP BY x2.vec_id, c.cid) dd
+         |  GROUP BY dd.vec_id
+         |  UNION ALL
+         |  SELECT p.it + 1, a.vec_id, a.cid, p.cid
+         |  FROM km p JOIN (
+         |    SELECT dd.vec_id, (min(dd.dist * 4 + dd.cid) % 4)::INT AS cid
+         |    FROM (SELECT x.vec_id, c.cid,
+         |            sum((x.xi - c.cd) * (x.xi - c.cd)) AS dist
+         |          FROM xi x JOIN (
+         |            SELECT p2.cid, x2.d, sum(x2.xi) // count(*) AS cd
+         |            FROM km p2 JOIN xi x2 ON p2.vec_id = x2.vec_id
+         |            GROUP BY p2.cid, x2.d) c ON x.d = c.d
+         |          GROUP BY x.vec_id, c.cid) dd
+         |    GROUP BY dd.vec_id) a ON a.vec_id = p.vec_id
+         |  WHERE p.it < 50
+         |    AND (SELECT count(*) FROM km z WHERE z.cid <> z.prev)
+         |        > greatest(1, (SELECT count(DISTINCT vec_id) FROM xi) // 500))
+         |SELECT vec_id, cid::BIGINT AS cid, it::BIGINT AS iters
+         |FROM km WHERE it = (SELECT max(it) FROM km)
+         |ORDER BY vec_id""".stripMargin) {
+      (s, d) =>
+        val K = 4
+        val xiDf = embeddings(s, d)
+          .select(col("vec_id"),
+            posexplode(transform(col("embedding"), _.cast("double")))
+              .as(Seq("d0", "x")))
+          .select(col("vec_id"), (col("d0") + 1).as("d"),
+            floor(col("x") * 1000000).cast("long").as("xi"))
+          .localCheckpoint()
+        // centroids broadcast WIDE (one row per dimension, K columns), so
+        // the distance reduce is ONE groupBy over the un-multiplied xi rows
+        // with a least() argmin — not a K× row explosion and two shuffles.
+        // A missing (emptied) cluster pivots to NULL → its distance sums to
+        // NULL → least() skips it: the same shrunken candidate set the
+        // oracle's centroid join produces.
+        def reassign(cent: DataFrame): DataFrame = {
+          val wideCols = (0 until K).map(j =>
+            max(when(col("cid") === j, col("cd"))).as(s"cd$j"))
+          val wide = cent.groupBy("d").agg(wideCols.head, wideCols.tail: _*)
+          val distCols = (0 until K).map(j =>
+            sum((col("xi") - col(s"cd$j")) * (col("xi") - col(s"cd$j")))
+              .as(s"dist$j"))
+          xiDf.join(broadcast(wide), "d")
+            .groupBy("vec_id").agg(distCols.head, distCols.tail: _*)
+            .select(col("vec_id"),
+              least((0 until K).map(j => col(s"dist$j") * K + j): _*).as("msc"))
+            .select(col("vec_id"), (col("msc") % K).cast("int").as("cid"))
+        }
+        val cent0 = xiDf.filter(col("vec_id") < K)
+          .select(col("vec_id").cast("int").as("cid"), col("d"),
+            col("xi").as("cd"))
+        var assign = reassign(cent0).localCheckpoint()
+        val nVecs = assign.count()
+        val stableThr = math.max(1L, nVecs / 500L)
+        var iters = 0
+        var changed = Long.MaxValue
+        while (changed > stableThr && iters < 50) {
+          val cent = assign.join(xiDf, "vec_id")
+            .groupBy("cid", "d")
+            .agg(expr("sum(xi) div count(1)").as("cd"))
+          // ONE action per round: the changed-count rides the checkpoint's
+          // execution as a CollectMetrics observation instead of a second
+          // job over the checkpointed frame
+          val staged = reassign(cent)
+            .join(assign.withColumnRenamed("cid", "pcid"), "vec_id")
+            .observe(s"kmeans_chg_$iters",
+              coalesce(sum(when(col("cid") =!= col("pcid"), 1L)), lit(0L))
+                .as("n"))
+          val next = staged.localCheckpoint()
+          changed = staged.queryExecution
+            .observedMetrics(s"kmeans_chg_$iters").getAs[Long]("n")
+          assign = next.select("vec_id", "cid")
+          iters += 1
+        }
+        assign
+          .select(col("vec_id"), col("cid").cast("long").as("cid"),
+            lit(iters).cast("long").as("iters"))
+          .orderBy("vec_id")
+          .observe("kmeans_convergence",
+            max(lit(iters)).cast("long").as("iterations"),
+            max(lit(changed)).as("final_changed"),
+            max(lit(if (changed <= stableThr) 1L else 0L)).as("converged"))
+    },
+
     // ── ANN quality as a declared, hash-checked number: recall@3 of each
     //    approximate variant (single-bucket LSH, multi-probe LSH, IVF)
     //    against the exact brute-force top-3 over the SAME query set —

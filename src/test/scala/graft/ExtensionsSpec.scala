@@ -217,4 +217,31 @@ class ExtensionsSpec extends SparkTestBase {
       .filter(col("diff") =!= 0.0)
     assert(diffs.count() == 0)
   }
+
+  test("q_kmeans: converged partition, genuine loop count, deterministic") {
+    val df = run("q_kmeans")
+    val rows = df.collect()
+    val n = graft.model.Tables.embeddings(spark, sfDir).count()
+    // total partition: every vector assigned exactly once, cid in 0..K-1
+    assert(rows.length.toLong == n)
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == rows.length)
+    assert(rows.forall { r =>
+      val c = r.getAs[Long]("cid"); c >= 0L && c < 4L
+    })
+    // convergence is DATA: a single genuine loop count within the declared
+    // 50-round ceiling, surfaced as a CollectMetrics observation (the K3
+    // discipline, as for q_pagerank)
+    val iters = rows.map(_.getAs[Long]("iters")).distinct
+    assert(iters.length == 1 && iters.head >= 1L && iters.head < 50L,
+      s"suspicious iteration count: ${iters.toSeq}")
+    val obs = df.queryExecution.observedMetrics.get("kmeans_convergence")
+    assert(obs.exists(_.getAs[Long]("converged") == 1L),
+      s"kmeans_convergence observation missing or not converged: $obs")
+    // deterministic end-to-end: exact-integer distances + the cid-indexed
+    // argmin tie-break leave no float or ordering slack between runs
+    val again = run("q_kmeans").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cid")))
+    assert(rows.map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cid")))
+      .sameElements(again))
+  }
 }
