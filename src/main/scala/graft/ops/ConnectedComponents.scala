@@ -116,18 +116,25 @@ object ConnectedComponents {
         .join(labels.select(col("node").as("lbl"), col("lbl").as("jump")),
           Seq("lbl"))
         .select(col("node"), col("jump"))
-      val next = labels
+      // ONE action per round: the old label is already in the round's plan,
+      // so the changed-count rides the checkpoint's execution as a
+      // CollectMetrics observation — no second join-and-count job
+      val staged = labels
         .join(viaNeighbors, Seq("node"), "left")
         .join(viaPointer, Seq("node"), "left")
         .select(col("node"),
           least(col("lbl"), coalesce(col("minNbr"), col("lbl")),
-            coalesce(col("jump"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true) // materialize AND cut lineage (see above)
-      val changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("node"))
-        .filter(col("lbl") =!= col("old")).count()
+            coalesce(col("jump"), col("lbl"))).as("newLbl"),
+          col("lbl").as("old"))
+        .observe(s"cc_chg_$iter",
+          coalesce(sum(when(col("newLbl") =!= col("old"), 1L)), lit(0L))
+            .as("n"))
+      val next = staged.localCheckpoint(true) // materialize AND cut lineage
+      val changed = staged.queryExecution
+        .observedMetrics(s"cc_chg_$iter").getAs[Long]("n")
       // the previous round's checkpoint blocks are freed by the
       // ContextCleaner once the old frame becomes unreachable here
-      labels = next
+      labels = next.select(col("node"), col("newLbl").as("lbl"))
       converged = changed == 0
       lastChanged = changed
       iter += 1

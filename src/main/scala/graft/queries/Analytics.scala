@@ -221,15 +221,21 @@ object Analytics {
           val dang = ranks
             .join(outd, ranks("node") === outd("src"), "left_anti")
             .agg(coalesce(sum(col("rk")), lit(0L)).as("dmass"))
-          val next = ranks.select(col("node"), col("rk").as("prev"))
+          // ONE action per round: the convergence delta rides the
+          // checkpoint's execution as a CollectMetrics observation (the
+          // q_kmeans discipline) instead of a second job per round
+          val staged = ranks.select(col("node"), col("rk").as("prev"))
             .join(contribs, col("node") === col("dst"), "left")
             .crossJoin(broadcast(dang))
             .select(col("node"),
               (lit(base) + expr("(85 * coalesce(s, 0)) div 100") +
                 expr(s"(85 * dmass) div (100 * $n)")).as("rk"),
               col("prev"))
-            .localCheckpoint()
-          delta = next.agg(max(abs(col("rk") - col("prev")))).head().getLong(0)
+            .observe(s"pr_delta_$iters",
+              coalesce(max(abs(col("rk") - col("prev"))), lit(0L)).as("d"))
+          val next = staged.localCheckpoint()
+          delta = staged.queryExecution
+            .observedMetrics(s"pr_delta_$iters").getAs[Long]("d")
           ranks = next.select("node", "rk")
           iters += 1
         }
