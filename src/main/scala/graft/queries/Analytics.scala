@@ -250,6 +250,98 @@ object Analytics {
             max(lit(if (delta <= thr) 1L else 0L)).as("converged"))
     },
 
+    // ── multi-source shortest paths (BFS distance-to-nearest-seed, the
+    //    propagation op a curation pipeline runs to trace contamination /
+    //    lineage hops from a seed set): Bellman-Ford label correction over
+    //    the SAME part→part graph as q_pagerank, seeds = partkey % 100 == 0
+    //    at distance 0, everyone else at the 10⁹ sentinel. Per round: the
+    //    REACHED nodes (dist < sentinel) send dist+1 along their edges, one
+    //    groupBy-min per destination, least() with the incumbent — all
+    //    exact integers — and the changed-count rides the round's single
+    //    localCheckpoint job as a CollectMetrics observation (the q_kmeans
+    //    discipline). The edge table shuffles ONCE (pre-partitioned on src
+    //    before its one-time checkpoint); only the dist vector moves per
+    //    round. Rounds are bounded by graph diameter — O(log N) on this
+    //    near-clique order graph, ≤30 declared. The DuckDB oracle is the
+    //    identical loop as a recursive CTE carrying (dist, prev-dist),
+    //    gated on the same changed-count — the q_pagerank construction,
+    //    already proven hash-exact. Unreached nodes are dropped at the end
+    //    on both engines. ────────────────────────────────────────────────
+    Q("q_bfs",
+      """WITH RECURSIVE
+        |edges AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND b.l_linenumber = a.l_linenumber + 1
+        |  WHERE a.l_partkey <> b.l_partkey),
+        |nodes AS (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+        |bfs(it, node, dist, prev) AS (
+        |  SELECT 0, node,
+        |    (CASE WHEN node % 100 = 0 THEN 0 ELSE 1000000000 END)::BIGINT,
+        |    (-1)::BIGINT
+        |  FROM nodes
+        |  UNION ALL
+        |  SELECT b.it + 1, b.node,
+        |    least(b.dist, coalesce(c.md, 1000000000))::BIGINT, b.dist
+        |  FROM bfs b LEFT JOIN (
+        |      SELECT e.dst, (min(q.dist) + 1)::BIGINT AS md
+        |      FROM bfs q JOIN edges e ON q.node = e.src
+        |      WHERE q.dist < 1000000000
+        |      GROUP BY e.dst) c ON b.node = c.dst
+        |  WHERE b.it < 30
+        |    AND (SELECT count(*) FROM bfs z WHERE z.dist <> z.prev) > 0)
+        |SELECT node AS partkey, dist, it::BIGINT AS iters
+        |FROM bfs
+        |WHERE it = (SELECT max(it) FROM bfs) AND dist < 1000000000
+        |ORDER BY partkey""".stripMargin) {
+      (s, d) =>
+        val INF = 1000000000L
+        val li = lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        val nxt = li.select(col("l_orderkey"),
+          (col("l_linenumber") - 1).as("l_linenumber"),
+          col("l_partkey").as("dst"))
+        val edges = li.select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey").as("src"))
+          .join(nxt, Seq("l_orderkey", "l_linenumber"))
+          .filter(col("src") =!= col("dst"))
+          .select("src", "dst").distinct()
+          .repartition(col("src")).localCheckpoint()
+        val nodes = edges.select(col("src").as("node"))
+          .union(edges.select(col("dst").as("node"))).distinct()
+        var dist = nodes.select(col("node"),
+            when(col("node") % 100 === 0, 0L).otherwise(INF).as("dist"))
+          .localCheckpoint()
+        var iters = 0
+        var changed = Long.MaxValue
+        while (changed > 0L && iters < 30) {
+          val cand = dist.filter(col("dist") < INF)
+            .join(edges, dist("node") === edges("src"))
+            .groupBy("dst").agg((min(col("dist")) + 1L).as("md"))
+          val staged = dist.select(col("node"), col("dist").as("old"))
+            .join(cand, col("node") === col("dst"), "left")
+            .select(col("node"),
+              least(col("old"), coalesce(col("md"), lit(INF))).as("dist"),
+              col("old"))
+            .observe(s"bfs_chg_$iters",
+              coalesce(sum(when(col("dist") =!= col("old"), 1L)), lit(0L))
+                .as("n"))
+          val next = staged.localCheckpoint()
+          changed = staged.queryExecution
+            .observedMetrics(s"bfs_chg_$iters").getAs[Long]("n")
+          dist = next.select("node", "dist")
+          iters += 1
+        }
+        dist.filter(col("dist") < INF)
+          .select(col("node").as("partkey"), col("dist"),
+            lit(iters).cast("long").as("iters"))
+          .orderBy("partkey")
+          .observe("bfs_convergence",
+            max(lit(iters)).cast("long").as("iterations"),
+            max(lit(if (changed == 0L) 1L else 0L)).as("converged"))
+    },
+
     // ── bigram language-model scoring: add-one-smoothed P(w2|w1) from
     //    corpus-wide bigram/unigram counts, average log-probability per
     //    sampled document — the perplexity-style quality gate a curation

@@ -103,6 +103,41 @@ class AnalyticsSpec extends SparkTestBase {
       s"pagerank_convergence observation missing or not converged: $obs")
   }
 
+  test("q_bfs: seeds at 0, fixed point admits no further relaxation") {
+    val df = run("q_bfs")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val dist = rows.map(r =>
+      r.getAs[Long]("partkey") -> r.getAs[Long]("dist")).toMap
+    // seeds are exactly the reached partkey%100==0 nodes at distance 0
+    dist.foreach { case (k, v) =>
+      if (k % 100 == 0) assert(v == 0L, s"seed $k at dist $v")
+      else assert(v >= 1L, s"non-seed $k at dist $v")
+    }
+    // fixed point: for every graph edge u→v with u reached,
+    // dist(v) ≤ dist(u) + 1 — the Bellman-Ford termination certificate
+    // (rebuilt from the same consecutive-linenumber definition)
+    val li = graft.model.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    val edges = li.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey").as("src"))
+      .join(li.select(col("l_orderkey"),
+        (col("l_linenumber") - 1).as("l_linenumber"),
+        col("l_partkey").as("dst")), Seq("l_orderkey", "l_linenumber"))
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    edges.foreach { case (u, v) =>
+      dist.get(u).foreach { du =>
+        val dv = dist.getOrElse(v, Long.MaxValue)
+        assert(dv <= du + 1L, s"edge $u→$v relaxable: $du + 1 < $dv")
+      }
+    }
+    val obs = df.queryExecution.observedMetrics.get("bfs_convergence")
+    assert(obs.exists(_.getAs[Long]("converged") == 1L),
+      s"bfs_convergence observation missing or not converged: $obs")
+  }
+
   test("q_funnel: stage counts are monotonically non-increasing") {
     val n = run("q_funnel").collect().sortBy(_.getAs[String]("stage"))
       .map(_.getAs[Long]("n"))
