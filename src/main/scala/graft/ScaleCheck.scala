@@ -40,7 +40,10 @@ object ScaleCheck {
     // fan-outs, broadcast histograms/bounds, sketches, convergence loops
     "q_decontaminate", "q_copurchase", "q_entity_match", "q_profile",
     "q_join_cardinality", "q_bigram_lm", "q_heavy_hitters",
-    "q_sketch_distinct", "q_bloom_filter", "q_pagerank")
+    "q_sketch_distinct", "q_bloom_filter", "q_pagerank",
+    // round-7 convergence loops: per-round work linear, round count
+    // data-dependent (diameter / assignment stability)
+    "q_kmeans", "q_bfs")
 
   def main(args: Array[String]): Unit = {
     val small  = args.lift(0).getOrElse("/root/testdata/sf0.1")
