@@ -533,6 +533,119 @@ object Analytics {
             (col("n_tok") - col("cnt")).as("tokens_after"))
     },
 
+    // ── BPE training LOOP — q_bpe_step's merge primitive iterated to a
+    //    vocab budget (10 merges), the word-level analog of tokenizer
+    //    training. The corpus is carried as STRINGS with doubled spaces
+    //    (' a  b  c '), which makes the per-round merge a plain
+    //    boundary-anchored replace(' w1  w2 ' → ' w1_w2 ') that cannot
+    //    miss adjacent occurrences (' a  b  a  b ' matches twice — the
+    //    single-space trailing context of one match is re-usable as the
+    //    leading context of the next) and cannot match inside tokens
+    //    (tokens contain no spaces; '_' never occurs in the corpus, so
+    //    merged tokens cannot collide). With the q_bpe_step w1 ≠ w2
+    //    restriction, occurrences are provably non-overlapping, so both
+    //    engines' left-to-right replace() perform the identical greedy
+    //    merge. Each round: one bigram groupBy over the re-split corpus →
+    //    top pair (cnt desc, then lexicographic — engine-exact total
+    //    order) → ONE driver row that parameterizes the next round's
+    //    rewrite (the decision is inherently sequential — this is how
+    //    distributed BPE trainers work); rounds chain 10 narrow replaces
+    //    over the once-checkpointed corpus, so there is no per-round
+    //    shuffle of the data itself, only the fixed-size pair-count
+    //    aggregate. Stops early if no pair reaches count 2. The DuckDB
+    //    oracle is the identical loop as a recursive CTE whose recursive
+    //    term cross-joins the working corpus with its own top-pair
+    //    selection. Output: the final merged text per document — an exact
+    //    string hash of the whole training trajectory. ─────────────────────
+    Q("q_bpe",
+      """WITH RECURSIVE
+        |t0 AS (SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS s
+        |       FROM documents),
+        |bpe(it, doc_id, s) AS (
+        |  SELECT 0, doc_id, s FROM t0
+        |  UNION ALL
+        |  SELECT b.it + 1, b.doc_id,
+        |    replace(b.s, ' ' || tp.w1 || '  ' || tp.w2 || ' ',
+        |                 ' ' || tp.w1 || '_' || tp.w2 || ' ')
+        |  FROM bpe b CROSS JOIN (
+        |    SELECT w1, w2 FROM (
+        |      SELECT ts[i] AS w1, ts[i + 1] AS w2, count(*) AS cnt
+        |      FROM (SELECT string_split(trim(replace(s, '  ', ' ')), ' ')
+        |              AS ts FROM bpe) q
+        |      CROSS JOIN range(1, 128) r(i)
+        |      WHERE i < len(ts) AND ts[i] <> ts[i + 1]
+        |      GROUP BY 1, 2
+        |      HAVING count(*) >= 2
+        |      ORDER BY cnt DESC, w1, w2 LIMIT 1)) tp
+        |  WHERE b.it < 10)
+        |SELECT doc_id,
+        |  len(string_split(trim(replace(s, '  ', ' ')), ' '))::BIGINT
+        |    AS n_tok,
+        |  trim(replace(s, '  ', ' ')) AS text, it::BIGINT AS iters
+        |FROM bpe WHERE it = (SELECT max(it) FROM bpe)
+        |ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val M = 10
+        def collapsed(c: Column): Column =
+          trim(call_function("replace", c, lit("  "), lit(" ")))
+        var cur = documents(s, d)
+          .select(col("doc_id"),
+            concat(lit(" "),
+              call_function("replace", col("text"), lit(" "), lit("  ")),
+              lit(" ")).as("s"))
+          .localCheckpoint()
+        var iters = 0
+        var done = false
+        while (!done && iters < M) {
+          // project the token array into a real column FIRST: referencing
+          // the split(...) expression inside the transform lambda would
+          // inline it per element_at — an O(len²) re-split per document
+          val top = cur.select(split(collapsed(col("s")), " ").as("ts"))
+            .filter(size(col("ts")) >= 2)
+            .select(explode(transform(
+              sequence(lit(1), size(col("ts")) - 1),
+              i => struct(element_at(col("ts"), i).as("w1"),
+                element_at(col("ts"), i + 1).as("w2")))).as("pr"))
+            .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+            .filter(col("w1") =!= col("w2"))
+            .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+            .filter(col("cnt") >= 2)
+            .orderBy(col("cnt").desc, col("w1"), col("w2"))
+            .limit(1).collect()
+          if (top.isEmpty) done = true
+          else {
+            // the merge pair rides a broadcast 1-row parameter table, NOT
+            // literals: every round's plan then generates IDENTICAL code
+            // (Janino caches on source text), so whole-stage codegen
+            // compiles once for all 10 rounds instead of once per round —
+            // and the per-round checkpoint keeps round k from re-running
+            // rounds 1..k-1's replaces
+            val param = s.createDataFrame(
+              java.util.List.of(org.apache.spark.sql.Row(
+                s" ${top(0).getString(0)}  ${top(0).getString(1)} ",
+                s" ${top(0).getString(0)}_${top(0).getString(1)} ")),
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("pat",
+                  org.apache.spark.sql.types.StringType),
+                org.apache.spark.sql.types.StructField("rep",
+                  org.apache.spark.sql.types.StringType))))
+            cur = cur.crossJoin(broadcast(param))
+              .select(col("doc_id"),
+                call_function("replace", col("s"), col("pat"), col("rep"))
+                  .as("s"))
+              .localCheckpoint()
+            iters += 1
+          }
+        }
+        cur.select(col("doc_id"),
+            size(split(collapsed(col("s")), " ")).cast("long").as("n_tok"),
+            collapsed(col("s")).as("text"),
+            lit(iters).cast("long").as("iters"))
+          .orderBy("doc_id")
+          .observe("bpe_convergence",
+            max(lit(iters)).cast("long").as("merges"))
+    },
+
     // ── conversion funnel: view → click → purchase with a 1-day window per
     //    step, per-user earliest-qualifying-event semantics (first view,
     //    first click after it, first purchase after that). Three stages =

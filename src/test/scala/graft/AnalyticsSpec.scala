@@ -138,6 +138,34 @@ class AnalyticsSpec extends SparkTestBase {
       s"bfs_convergence observation missing or not converged: $obs")
   }
 
+  test("q_bpe: merges are lossless joins of adjacent original words") {
+    val df = run("q_bpe")
+    val rows = df.collect()
+    val orig = graft.model.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(rows.length == orig.size)
+    rows.foreach { r =>
+      val docId = r.getAs[Long]("doc_id")
+      val merged = r.getAs[String]("text")
+      // un-merging reproduces the original document EXACTLY: every merge
+      // only ever joined two adjacent surviving tokens with '_'
+      assert(merged.replace('_', ' ') == orig(docId),
+        s"doc $docId: un-merged text diverges from the original")
+      // declared token count matches the merged text
+      assert(r.getAs[Long]("n_tok").toInt == merged.split(" ").length)
+    }
+    // the merge budget was spent (this corpus has abundant repeated pairs)
+    val iters = rows.map(_.getAs[Long]("iters")).distinct
+    assert(iters.sameElements(Array(10L)), s"iters: ${iters.toSeq}")
+    // ...and merging actually shrank the corpus
+    val nTok = rows.map(_.getAs[Long]("n_tok")).sum
+    val nOrig = orig.valuesIterator.map(_.split(" ").length.toLong).sum
+    assert(nTok < nOrig, s"no shrink: $nTok vs $nOrig")
+    val obs = df.queryExecution.observedMetrics.get("bpe_convergence")
+    assert(obs.exists(_.getAs[Long]("merges") == 10L))
+  }
+
   test("q_funnel: stage counts are monotonically non-increasing") {
     val n = run("q_funnel").collect().sortBy(_.getAs[String]("stage"))
       .map(_.getAs[Long]("n"))
