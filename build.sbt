@@ -28,3 +28,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Execution-mode-independence sweep (SURVEY §8): set
+// SPARK_CODEGEN_FACTORY=NO_CODEGEN to force interpreted expression
+// evaluation for a full Verify run; unset = Spark's default FALLBACK.
+javaOptions ++= sys.env.get("SPARK_CODEGEN_FACTORY")
+  .map(m => s"-Dspark.sql.codegen.factoryMode=$m").toSeq
