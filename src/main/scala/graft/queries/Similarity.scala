@@ -561,13 +561,13 @@ object Similarity {
         // centroids broadcast WIDE (one row per dimension, K columns), so
         // the distance reduce is ONE groupBy over the un-multiplied xi rows
         // with a least() argmin — not a K× row explosion and two shuffles.
-        // A missing (emptied) cluster pivots to NULL → its distance sums to
-        // NULL → least() skips it: the same shrunken candidate set the
-        // oracle's centroid join produces.
-        def reassign(cent: DataFrame): DataFrame = {
-          val wideCols = (0 until K).map(j =>
-            max(when(col("cid") === j, col("cd"))).as(s"cd$j"))
-          val wide = cent.groupBy("d").agg(wideCols.head, wideCols.tail: _*)
+        // The K means are computed as K conditional sum/count pairs in a
+        // SINGLE groupBy(d) over the assigned rows (not groupBy(cid,d) then
+        // a pivot — that is a second shuffle per round for the same 512
+        // integers). An emptied cluster's count is 0 → `div` yields NULL →
+        // its distance sums to NULL → least() skips it: the same shrunken
+        // candidate set the oracle's centroid join produces.
+        def reassign(wide: DataFrame): DataFrame = {
           val distCols = (0 until K).map(j =>
             sum((col("xi") - col(s"cd$j")) * (col("xi") - col(s"cd$j")))
               .as(s"dist$j"))
@@ -577,18 +577,21 @@ object Similarity {
               least((0 until K).map(j => col(s"dist$j") * K + j): _*).as("msc"))
             .select(col("vec_id"), (col("msc") % K).cast("int").as("cid"))
         }
+        val seedCols = (0 until K).map(j =>
+          max(when(col("vec_id") === j, col("xi"))).as(s"cd$j"))
         val cent0 = xiDf.filter(col("vec_id") < K)
-          .select(col("vec_id").cast("int").as("cid"), col("d"),
-            col("xi").as("cd"))
+          .groupBy("d").agg(seedCols.head, seedCols.tail: _*)
         var assign = reassign(cent0).localCheckpoint()
         val nVecs = assign.count()
         val stableThr = math.max(1L, nVecs / 500L)
         var iters = 0
         var changed = Long.MaxValue
+        val meanCols = (0 until K).map(j =>
+          expr(s"sum(CASE WHEN cid = $j THEN xi END)" +
+            s" div count(CASE WHEN cid = $j THEN 1 END)").as(s"cd$j"))
         while (changed > stableThr && iters < 50) {
           val cent = assign.join(xiDf, "vec_id")
-            .groupBy("cid", "d")
-            .agg(expr("sum(xi) div count(1)").as("cd"))
+            .groupBy("d").agg(meanCols.head, meanCols.tail: _*)
           // ONE action per round: the changed-count rides the checkpoint's
           // execution as a CollectMetrics observation instead of a second
           // job over the checkpointed frame
