@@ -238,4 +238,48 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("q_bpe doubled-space replace == reference greedy merge (random sequences)") {
+    // The q_bpe core claim: on doubled-space strings, one boundary-anchored
+    // replace(' w1  w2 ' -> ' w1_w2 ') performs EXACTLY the greedy
+    // non-overlapping merge of every (w1, w2) adjacency — including
+    // back-to-back occurrences ('a b a b') and tokens that are
+    // prefixes/suffixes of each other ('a' vs 'ab'). Reference semantics
+    // implemented directly over the token list; both sides evaluated for
+    // 400 random sequences in one Spark pass.
+    def refMerge(toks: List[String], w1: String, w2: String): List[String] =
+      toks match {
+        case a :: b :: rest if a == w1 && b == w2 =>
+          s"${a}_$b" :: refMerge(rest, w1, w2)
+        case a :: rest => a :: refMerge(rest, w1, w2)
+        case Nil => Nil
+      }
+    val vocab = Seq("a", "b", "ab", "ba", "aa")
+    val caseGen = for {
+      n <- Gen.chooseNum(2, 14)
+      toks <- Gen.listOfN(n, Gen.oneOf(vocab))
+      w1 <- Gen.oneOf(vocab)
+      w2 <- Gen.oneOf(vocab.filterNot(_ == w1))
+    } yield (toks, w1, w2)
+    val cases = sample(caseGen, 400).zipWithIndex
+      .map { case ((toks, w1, w2), i) => (i.toLong, toks.mkString(" "), w1, w2) }
+    val rows = cases.toDF("id", "text", "w1", "w2")
+      .select(col("id"),
+        // the exact q_bpe pipeline: double, pad, anchored replace,
+        // collapse, trim
+        trim(call_function("replace",
+          call_function("replace",
+            concat(lit(" "),
+              call_function("replace", col("text"), lit(" "), lit("  ")),
+              lit(" ")),
+            concat(lit(" "), col("w1"), lit("  "), col("w2"), lit(" ")),
+            concat(lit(" "), col("w1"), lit("_"), col("w2"), lit(" "))),
+          lit("  "), lit(" "))).as("merged"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.foreach { case (id, text, w1, w2) =>
+      val expect = refMerge(text.split(" ").toList, w1, w2).mkString(" ")
+      assert(rows(id) == expect,
+        s"case $id: merge($w1,$w2) of '$text' gave '${rows(id)}', want '$expect'")
+    }
+  }
+
 }
