@@ -42,8 +42,9 @@ object ScaleCheck {
     "q_join_cardinality", "q_bigram_lm", "q_heavy_hitters",
     "q_sketch_distinct", "q_bloom_filter", "q_pagerank",
     // round-7 convergence loops: per-round work linear, round count
-    // data-dependent (diameter / assignment stability)
-    "q_kmeans", "q_bfs")
+    // data-dependent (diameter / assignment stability); q_bpe's budget is
+    // fixed (10 merges), so its growth is the pair-count aggregate's
+    "q_kmeans", "q_bfs", "q_bpe")
 
   def main(args: Array[String]): Unit = {
     val small  = args.lift(0).getOrElse("/root/testdata/sf0.1")
