@@ -118,7 +118,9 @@ object ConnectedComponents {
         .select(col("node"), col("jump"))
       // ONE action per round: the old label is already in the round's plan,
       // so the changed-count rides the checkpoint's execution as a
-      // CollectMetrics observation — no second join-and-count job
+      // CollectMetrics observation — no second join-and-count job. The old
+      // column feeds only the observation and is projected away before the
+      // checkpoint, so the materialized label vector stays two columns.
       val staged = labels
         .join(viaNeighbors, Seq("node"), "left")
         .join(viaPointer, Seq("node"), "left")
@@ -129,12 +131,13 @@ object ConnectedComponents {
         .observe(s"cc_chg_$iter",
           coalesce(sum(when(col("newLbl") =!= col("old"), 1L)), lit(0L))
             .as("n"))
+        .select(col("node"), col("newLbl").as("lbl"))
       val next = staged.localCheckpoint(true) // materialize AND cut lineage
       val changed = staged.queryExecution
         .observedMetrics(s"cc_chg_$iter").getAs[Long]("n")
       // the previous round's checkpoint blocks are freed by the
       // ContextCleaner once the old frame becomes unreachable here
-      labels = next.select(col("node"), col("newLbl").as("lbl"))
+      labels = next
       converged = changed == 0
       lastChanged = changed
       iter += 1

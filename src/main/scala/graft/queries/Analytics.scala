@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.model.Tables._
@@ -15,6 +15,27 @@ import graft.ops.Exprs.md5Long
   * `round(...,6)` only where `ln` differs by 1 ulp between engines).
   */
 object Analytics {
+
+  /** The part→part order graph q_pagerank and q_bfs both iterate over:
+    * a directed edge for each consecutive-linenumber pair within an
+    * order, self-loops dropped, deduplicated. One definition so the two
+    * queries (and their recursive-CTE oracles, which spell out the same
+    * join) cannot drift apart. AnalyticsSpec's q_bfs test deliberately
+    * re-derives it independently — a wrong edit here fails the
+    * fixed-point certificate there instead of being masked.
+    */
+  private def partGraphEdges(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    val nxt = li.select(col("l_orderkey"),
+      (col("l_linenumber") - 1).as("l_linenumber"),
+      col("l_partkey").as("dst"))
+    li.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey").as("src"))
+      .join(nxt, Seq("l_orderkey", "l_linenumber"))
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+  }
 
   val all: Seq[Q] = Seq(
 
@@ -180,19 +201,9 @@ object Analytics {
         |ORDER BY partkey""".stripMargin) {
       (s, d) =>
         val R = 1000000000000L
-        val li = lineitem(s, d)
-          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
-        val nxt = li.select(col("l_orderkey"),
-          (col("l_linenumber") - 1).as("l_linenumber"),
-          col("l_partkey").as("dst"))
         // edges + out-degrees are loop-invariant: checkpointed ONCE and
         // re-joined every round (the reused-partitioning discipline)
-        val edges = li.select(col("l_orderkey"), col("l_linenumber"),
-            col("l_partkey").as("src"))
-          .join(nxt, Seq("l_orderkey", "l_linenumber"))
-          .filter(col("src") =!= col("dst"))
-          .select("src", "dst").distinct()
-          .localCheckpoint()
+        val edges = partGraphEdges(s, d).localCheckpoint()
         val outd = edges.groupBy("src").agg(count(lit(1)).as("od"))
         // pre-partitioned on the per-round join key BEFORE the one-time
         // checkpoint (LogicalRDD preserves outputPartitioning): every
@@ -223,7 +234,11 @@ object Analytics {
             .agg(coalesce(sum(col("rk")), lit(0L)).as("dmass"))
           // ONE action per round: the convergence delta rides the
           // checkpoint's execution as a CollectMetrics observation (the
-          // q_kmeans discipline) instead of a second job per round
+          // q_kmeans discipline) instead of a second job per round. The
+          // prev column feeds ONLY the observation, so it is projected
+          // away before the checkpoint (CollectMetrics sits below the
+          // projection and still executes) — the materialized rank vector
+          // stays two columns wide, not three
           val staged = ranks.select(col("node"), col("rk").as("prev"))
             .join(contribs, col("node") === col("dst"), "left")
             .crossJoin(broadcast(dang))
@@ -233,10 +248,11 @@ object Analytics {
               col("prev"))
             .observe(s"pr_delta_$iters",
               coalesce(max(abs(col("rk") - col("prev"))), lit(0L)).as("d"))
+            .select("node", "rk")
           val next = staged.localCheckpoint()
           delta = staged.queryExecution
             .observedMetrics(s"pr_delta_$iters").getAs[Long]("d")
-          ranks = next.select("node", "rk")
+          ranks = next
           iters += 1
         }
         ranks
@@ -297,16 +313,7 @@ object Analytics {
         |ORDER BY partkey""".stripMargin) {
       (s, d) =>
         val INF = 1000000000L
-        val li = lineitem(s, d)
-          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
-        val nxt = li.select(col("l_orderkey"),
-          (col("l_linenumber") - 1).as("l_linenumber"),
-          col("l_partkey").as("dst"))
-        val edges = li.select(col("l_orderkey"), col("l_linenumber"),
-            col("l_partkey").as("src"))
-          .join(nxt, Seq("l_orderkey", "l_linenumber"))
-          .filter(col("src") =!= col("dst"))
-          .select("src", "dst").distinct()
+        val edges = partGraphEdges(s, d)
           .repartition(col("src")).localCheckpoint()
         val nodes = edges.select(col("src").as("node"))
           .union(edges.select(col("dst").as("node"))).distinct()
@@ -319,6 +326,8 @@ object Analytics {
           val cand = dist.filter(col("dist") < INF)
             .join(edges, dist("node") === edges("src"))
             .groupBy("dst").agg((min(col("dist")) + 1L).as("md"))
+          // old feeds only the observation — project it away before the
+          // checkpoint (see q_pagerank)
           val staged = dist.select(col("node"), col("dist").as("old"))
             .join(cand, col("node") === col("dst"), "left")
             .select(col("node"),
@@ -327,10 +336,11 @@ object Analytics {
             .observe(s"bfs_chg_$iters",
               coalesce(sum(when(col("dist") =!= col("old"), 1L)), lit(0L))
                 .as("n"))
+            .select("node", "dist")
           val next = staged.localCheckpoint()
           changed = staged.queryExecution
             .observedMetrics(s"bfs_chg_$iters").getAs[Long]("n")
-          dist = next.select("node", "dist")
+          dist = next
           iters += 1
         }
         dist.filter(col("dist") < INF)
@@ -570,9 +580,14 @@ object Analytics {
         |  FROM bpe b CROSS JOIN (
         |    SELECT w1, w2 FROM (
         |      SELECT ts[i] AS w1, ts[i + 1] AS w2, count(*) AS cnt
+        |      -- range() rejects subquery args, so the position range is a
+        |      -- fixed bound filtered by i < len(ts); 1024 is 10x the
+        |      -- corpus's 100-token max (the Spark side enumerates ALL
+        |      -- positions — a >=1024-token document would silently
+        |      -- diverge, so keep the bound generous)
         |      FROM (SELECT string_split(trim(replace(s, '  ', ' ')), ' ')
         |              AS ts FROM bpe) q
-        |      CROSS JOIN range(1, 128) r(i)
+        |      CROSS JOIN range(1, 1024) r(i)
         |      WHERE i < len(ts) AND ts[i] <> ts[i + 1]
         |      GROUP BY 1, 2
         |      HAVING count(*) >= 2

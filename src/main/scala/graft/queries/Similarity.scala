@@ -564,9 +564,11 @@ object Similarity {
         // The K means are computed as K conditional sum/count pairs in a
         // SINGLE groupBy(d) over the assigned rows (not groupBy(cid,d) then
         // a pivot — that is a second shuffle per round for the same 512
-        // integers). An emptied cluster's count is 0 → `div` yields NULL →
-        // its distance sums to NULL → least() skips it: the same shrunken
-        // candidate set the oracle's centroid join produces.
+        // integers). An emptied cluster's conditional sum over zero rows is
+        // NULL (and the count is nullif-guarded, so ANSI mode cannot raise
+        // on the 0 divisor) → its distance sums to NULL → least() skips
+        // it: the same shrunken candidate set the oracle's centroid join
+        // produces.
         def reassign(wide: DataFrame): DataFrame = {
           val distCols = (0 until K).map(j =>
             sum((col("xi") - col(s"cd$j")) * (col("xi") - col(s"cd$j")))
@@ -588,7 +590,8 @@ object Similarity {
         var changed = Long.MaxValue
         val meanCols = (0 until K).map(j =>
           expr(s"sum(CASE WHEN cid = $j THEN xi END)" +
-            s" div count(CASE WHEN cid = $j THEN 1 END)").as(s"cd$j"))
+            s" div nullif(count(CASE WHEN cid = $j THEN 1 END), 0)")
+            .as(s"cd$j"))
         while (changed > stableThr && iters < 50) {
           val cent = assign.join(xiDf, "vec_id")
             .groupBy("d").agg(meanCols.head, meanCols.tail: _*)
@@ -600,10 +603,13 @@ object Similarity {
             .observe(s"kmeans_chg_$iters",
               coalesce(sum(when(col("cid") =!= col("pcid"), 1L)), lit(0L))
                 .as("n"))
+            // pcid feeds only the observation — project it away before
+            // the checkpoint (CollectMetrics still executes below)
+            .select("vec_id", "cid")
           val next = staged.localCheckpoint()
           changed = staged.queryExecution
             .observedMetrics(s"kmeans_chg_$iters").getAs[Long]("n")
-          assign = next.select("vec_id", "cid")
+          assign = next
           iters += 1
         }
         assign
