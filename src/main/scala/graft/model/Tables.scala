@@ -61,8 +61,12 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
     * as a timestamp. Read it as nanos-since-epoch (legacy.parquet.nanosAsLong)
-    * and truncate to a µs TimestampType — exactly what DuckDB's TIMESTAMP_NS
-    * → TIMESTAMP cast does, so both engines see identical µs instants.
+    * and FLOOR-divide to a µs TimestampType — exactly what DuckDB's
+    * TIMESTAMP_NS → TIMESTAMP cast does, so both engines see identical µs
+    * instants. Floor, not `div`: `div` truncates toward zero, which differs
+    * from DuckDB on pre-1970 instants with sub-µs nanos (−999 ns is −1 µs
+    * under floor but 0 under truncation); the pmod-based form is exact
+    * floor division on BIGINT with no double round-trip.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     // The flag belongs in the session builder (Verify/Bench/tests set it
@@ -72,7 +76,7 @@ object Tables {
     if (!s.conf.getOption(k).contains("true")) s.conf.set(k, "true")
     table(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+        org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

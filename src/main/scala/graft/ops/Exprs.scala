@@ -124,11 +124,15 @@ object Exprs {
   /** Cosine similarity of two float-array embeddings. Elements are cast to
     * double BEFORE multiplying (so DuckDB's `x::DOUBLE * y::DOUBLE` matches
     * bit-for-bit), and the final formula is `dot / sqrt(na * nb)` — keep the
-    * oracle character-identical.
+    * oracle character-identical. A zero-norm (all-zero) vector yields NULL,
+    * matching DuckDB's x/0 — Spark under ANSI mode would otherwise throw.
+    * The SQL `cosine_similarity` registration composes the same guarded
+    * shape (GraftExtensions), keeping SQL and Column callers bit-equal.
     */
   def cosineSim(a: Column, b: Column): Column = {
     val ad = transform(a, _.cast("double"))
     val bd = transform(b, _.cast("double"))
-    dotProduct(ad, bd) / sqrt(dotProduct(ad, ad) * dotProduct(bd, bd))
+    val n2 = dotProduct(ad, ad) * dotProduct(bd, bd)
+    when(n2 > 0, dotProduct(ad, bd) / sqrt(n2))
   }
 }

@@ -56,11 +56,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(args.length == 2,
           s"cosine_similarity takes 2 arguments, got ${args.length}")
-        import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+        import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Divide, GreaterThan, Literal, Multiply, Sqrt}
         val (a, b) = (args(0), args(1))
-        Divide(graft.functions.DotProduct(a, b),
-          Sqrt(Multiply(graft.functions.DotProduct(a, a),
-            graft.functions.DotProduct(b, b))))
+        // zero-norm guard matching Exprs.cosineSim: a/0 must be NULL (the
+        // DuckDB behavior), not an ANSI DIVIDE_BY_ZERO error
+        val n2 = Multiply(graft.functions.DotProduct(a, a),
+          graft.functions.DotProduct(b, b))
+        CaseWhen(Seq((GreaterThan(n2, Literal(0.0)),
+          Divide(graft.functions.DotProduct(a, b), Sqrt(n2)))), None)
       }))
     ext.injectPostHocResolutionRule(_ => HaversineBoundingBox)
   }

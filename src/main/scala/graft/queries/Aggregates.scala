@@ -128,10 +128,14 @@ object Aggregates {
             sum(q * q).cast("double").as("s2"))
           .select(col("l_returnflag"), col("n"), col("s1"), col("s2"),
             (col("s1") / col("n")).as("mean"),
-            ((col("s2") - col("s1") * col("s1") / col("n")) /
-              (col("n") - 1)).as("var_samp"),
-            sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
-              (col("n") - 1)).as("std_samp"))
+            // n = 1 → NULL on both engines: DuckDB's x/0 is NULL, Spark
+            // under ANSI would throw, so the guard IS the parity
+            when(col("n") > 1,
+              (col("s2") - col("s1") * col("s1") / col("n")) /
+                (col("n") - 1)).as("var_samp"),
+            when(col("n") > 1,
+              sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
+                (col("n") - 1))).as("std_samp"))
           .orderBy("l_returnflag")
     },
 
@@ -177,7 +181,10 @@ object Aggregates {
       }
       val flags = qs.map { q =>
         val t = (q * 100).toInt
-        (col(s"a$t") >= col(s"lo$t") && col(s"a$t") <= col(s"hi$t")).as(s"ok$t")
+        // empty/all-NULL input -> NULL comparison; the sketch made no
+        // error there, so coalesce to TRUE — the oracle's declared flag
+        coalesce(col(s"a$t") >= col(s"lo$t") && col(s"a$t") <= col(s"hi$t"),
+          lit(true)).as(s"ok$t")
       }
       lineitem(s, d).agg(aggs.head, aggs.tail: _*)
         .select(qs.map(q => col(s"p${(q * 100).toInt}")) ++ flags: _*)
@@ -235,16 +242,22 @@ object Aggregates {
         |  count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
-        |ORDER BY status, prio""".stripMargin) {
+        |-- grouping() breaks the tie between a NULL group value coalesced
+        |-- to 'ALL' and the genuine subtotal row
+        |ORDER BY status, prio,
+        |  grouping(o_orderstatus), grouping(o_orderpriority)""".stripMargin) {
       (s, d) =>
         orders(s, d)
           .rollup("o_orderstatus", "o_orderpriority")
           .agg(count(lit(1)).as("n"),
-            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+            grouping(col("o_orderstatus")).as("gs"),
+            grouping(col("o_orderpriority")).as("gp"))
           .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
             coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
-            col("n"), col("sum_price"))
-          .orderBy("status", "prio")
+            col("n"), col("sum_price"), col("gs"), col("gp"))
+          .orderBy("status", "prio", "gs", "gp")
+          .select("status", "prio", "n", "sum_price")
     },
 
     // ── cube: full grouping-set lattice (rollup's sibling; completes the
@@ -255,16 +268,22 @@ object Aggregates {
         |  count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
-        |ORDER BY status, prio""".stripMargin) {
+        |-- grouping() breaks the tie between a NULL group value coalesced
+        |-- to 'ALL' and the genuine subtotal row
+        |ORDER BY status, prio,
+        |  grouping(o_orderstatus), grouping(o_orderpriority)""".stripMargin) {
       (s, d) =>
         orders(s, d)
           .cube("o_orderstatus", "o_orderpriority")
           .agg(count(lit(1)).as("n"),
-            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+            grouping(col("o_orderstatus")).as("gs"),
+            grouping(col("o_orderpriority")).as("gp"))
           .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
             coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
-            col("n"), col("sum_price"))
-          .orderBy("status", "prio")
+            col("n"), col("sum_price"), col("gs"), col("gp"))
+          .orderBy("status", "prio", "gs", "gp")
+          .select("status", "prio", "n", "sum_price")
     },
 
     // ── explicit GROUPING SETS: the general lattice rollup/cube are sugar
@@ -282,7 +301,9 @@ object Aggregates {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY GROUPING SETS
         |  ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
-        |ORDER BY status, prio""".stripMargin) {
+        |-- g_status/g_prio break the tie between a NULL group value
+        |-- coalesced to 'ALL' and the genuine subtotal row
+        |ORDER BY status, prio, g_status, g_prio""".stripMargin) {
       (s, d) =>
         orders(s, d)
           .groupingSets(
@@ -296,7 +317,7 @@ object Aggregates {
           .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
             coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
             col("g_status"), col("g_prio"), col("n"), col("sum_price"))
-          .orderBy("status", "prio")
+          .orderBy("status", "prio", "g_status", "g_prio")
     },
 
     // ── rank-statistics windows: percent_rank / cume_dist / first_value —

@@ -427,7 +427,10 @@ object Analytics {
         |t AS (SELECT o_totalprice, o_orderkey,
         |        ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS tile
         |      FROM s),
-        |bl AS (SELECT list_sort(list(bnd)) AS bs FROM
+        |-- coalesce to []: an empty sample must give part 0 everywhere on
+        |-- both engines (Spark's collect_list is [] over zero rows, but
+        |-- DuckDB's list() is NULL -> len(list_filter(NULL,..)) is NULL)
+        |bl AS (SELECT coalesce(list_sort(list(bnd)), []) AS bs FROM
         |       (SELECT max(o_totalprice) AS bnd FROM t
         |        WHERE tile < 8 GROUP BY tile)),
         |asg AS (SELECT o.o_orderkey, o.o_totalprice,
@@ -582,9 +585,9 @@ object Analytics {
         |      SELECT ts[i] AS w1, ts[i + 1] AS w2, count(*) AS cnt
         |      -- range() rejects subquery args, so the position range is a
         |      -- fixed bound filtered by i < len(ts); 1024 is 10x the
-        |      -- corpus's 100-token max (the Spark side enumerates ALL
-        |      -- positions — a >=1024-token document would silently
-        |      -- diverge, so keep the bound generous)
+        |      -- corpus's 100-token max, and the Spark side caps its
+        |      -- sequence() at the same 1023 — the engines ignore pairs
+        |      -- past that position identically, never divergently
         |      FROM (SELECT string_split(trim(replace(s, '  ', ' ')), ' ')
         |              AS ts FROM bpe) q
         |      CROSS JOIN range(1, 1024) r(i)
@@ -614,11 +617,15 @@ object Analytics {
         while (!done && iters < M) {
           // project the token array into a real column FIRST: referencing
           // the split(...) expression inside the transform lambda would
-          // inline it per element_at — an O(len²) re-split per document
+          // inline it per element_at — an O(len²) re-split per document.
+          // Positions cap at 1023 to mirror the oracle's fixed range(1,
+          // 1024) (DuckDB range() rejects subquery bounds) — both engines
+          // ignore pairs past position 1023 identically, so a pathological
+          // >=1024-token document cannot silently diverge the merge choice
           val top = cur.select(split(collapsed(col("s")), " ").as("ts"))
             .filter(size(col("ts")) >= 2)
             .select(explode(transform(
-              sequence(lit(1), size(col("ts")) - 1),
+              sequence(lit(1), least(size(col("ts")) - 1, lit(1023))),
               i => struct(element_at(col("ts"), i).as("w1"),
                 element_at(col("ts"), i + 1).as("w2")))).as("pr"))
             .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
@@ -821,7 +828,10 @@ object Analytics {
           .agg(count(lit(1)).as("exact"))
         exact.crossJoin(broadcast(est))
           .select(col("exact"), col("est"), col("n_buckets"),
-            round(col("est") / col("exact").cast("double"), 6).as("est_ratio"))
+            // zero exact matches -> NULL on both engines (ANSI guard)
+            when(col("exact") > 0,
+              round(col("est") / col("exact").cast("double"), 6))
+              .as("est_ratio"))
     },
 
     // ── Bloom-filter membership sketch (closing the sketch quartet:
@@ -901,8 +911,11 @@ object Analytics {
           count(when(col("bloom_pass"), 1)).as("n_pass"),
           count(when(col("bloom_pass") && !col("is_member"), 1)).as("n_fp"),
           count(when(col("is_member") && !col("bloom_pass"), 1)).as("n_fn"),
-          round(count(when(col("bloom_pass") && !col("is_member"), 1)) /
-            count(when(!col("is_member"), 1)).cast("double"), 6).as("fp_rate"))
+          // all-member probe set -> NULL on both engines (ANSI guard)
+          when(count(when(!col("is_member"), 1)) > 0,
+            round(count(when(col("bloom_pass") && !col("is_member"), 1)) /
+              count(when(!col("is_member"), 1)).cast("double"), 6))
+            .as("fp_rate"))
     },
 
     // ── co-purchase affinity (the collaborative-filtering primitive):

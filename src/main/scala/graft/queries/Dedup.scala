@@ -342,8 +342,12 @@ object Dedup {
         nC.crossJoin(nT).crossJoin(nH)
           .select(lit("minhash_b4r4").as("method"),
             col("n_cand"), col("n_truth"), col("n_hits"),
-            (col("n_hits").cast("double") / col("n_truth")).as("recall"),
-            (col("n_hits").cast("double") / col("n_cand")).as("prec"))
+            // empty truth/candidate set -> NULL on both engines (DuckDB's
+            // x/0 is NULL; Spark under ANSI would throw without the guard)
+            when(col("n_truth") > 0,
+              col("n_hits").cast("double") / col("n_truth")).as("recall"),
+            when(col("n_cand") > 0,
+              col("n_hits").cast("double") / col("n_cand")).as("prec"))
     },
 
     // ── SimHash quality as a declared, hash-checked number — the last
@@ -463,8 +467,11 @@ object Dedup {
         nC.crossJoin(nT).crossJoin(nH)
           .select(lit("simhash_h8").as("method"),
             col("n_cand"), col("n_truth"), col("n_hits"),
-            (col("n_hits").cast("double") / col("n_truth")).as("recall"),
-            (col("n_hits").cast("double") / col("n_cand")).as("prec"))
+            // same empty-set guard as q_minhash_recall
+            when(col("n_truth") > 0,
+              col("n_hits").cast("double") / col("n_truth")).as("recall"),
+            when(col("n_cand") > 0,
+              col("n_hits").cast("double") / col("n_cand")).as("prec"))
     },
 
     // ── n-gram Jaccard: distinct 2-gram shingles, pairs via shared-shingle

@@ -147,7 +147,12 @@ object Multimodal {
               sum += b
               i += 1
             }
-            (r.doc_id, r.bin.length.toLong, mn, mx, sum)
+            // empty payload -> NULL stats, matching DuckDB's
+            // list_min/list_max/list_sum over an empty list (the 255/0
+            // sentinels would hash-diverge on a zero-length document)
+            if (r.bin.isEmpty) (r.doc_id, 0L, None, None, None)
+            else (r.doc_id, r.bin.length.toLong,
+              Some(mn), Some(mx), Some(sum))
           }
         }.toDF("doc_id", "n_bytes", "min_byte", "max_byte", "sum_byte")
           .orderBy("doc_id")

@@ -26,6 +26,14 @@ import graft.ops.Exprs._
   */
 object Similarity {
 
+  /** Null-safe cosine: `dot / sqrt(n2)` with a zero-norm guard. An
+    * all-zero vector's norm product is 0; DuckDB's x/0 is NULL while
+    * Spark under ANSI mode would throw DIVIDE_BY_ZERO, so the guard IS
+    * the engine parity (NULL sims rank last / fail thresholds on both).
+    */
+  private def cosSim(dot: Column, n2: Column): Column =
+    when(n2 > 0, dot / sqrt(n2))
+
   private val Dims = 64
   private val LshBits = 6 // 64 buckets over 500 vectors → ~8 vecs/bucket
   // Near-dup candidate probing: pairs whose sign-buckets differ in ≤ 2
@@ -155,7 +163,7 @@ object Similarity {
       col("nrm").as("nb"), col("bucket").as("pb"))
     val aVec = nb.select(col("vec_id").as("vec_a"), col("e").as("ea"),
       col("nrm").as("na"))
-    val sim = dotProduct(col("ea"), col("eb")) / sqrt(col("na") * col("nb"))
+    val sim = cosSim(dotProduct(col("ea"), col("eb")), col("na") * col("nb"))
     probes.join(bSide, Seq("pb"))
       .filter(col("vec_a") < col("vec_b"))
       .join(aVec, Seq("vec_a"))
@@ -303,8 +311,8 @@ object Similarity {
         val n = withNorms(s, d).cache() // assignment + query probes + lists
         val cent = n.filter(col("vec_id") % 31 === 1)
           .select(col("vec_id").as("ccid"), col("e").as("ce"), col("nrm").as("cn"))
-        val csim = (dotProduct(col("e"), col("ce")) /
-          sqrt(col("nrm") * col("cn"))).as("csim")
+        val csim = cosSim(dotProduct(col("e"), col("ce")),
+          col("nrm") * col("cn")).as("csim")
         val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("ccid"))
         val assign = n.crossJoin(broadcast(cent))
           .select(col("vec_id"), col("ccid"), csim)
@@ -322,8 +330,8 @@ object Similarity {
           .join(n, "vec_id")
           .select(col("vec_id").as("qid"), col("ccid").as("cell"),
             col("e").as("qe"), col("nrm").as("qn"))
-        val sim = (dotProduct(col("qe"), col("ce2")) /
-          sqrt(col("qn") * col("cn2"))).as("sim")
+        val sim = cosSim(dotProduct(col("qe"), col("ce2")),
+          col("qn") * col("cn2")).as("sim")
         broadcast(qp).join(inv, Seq("cell"))
           .filter(col("cid") =!= col("qid"))
           .select(col("qid"), col("cid"), sim)
@@ -390,8 +398,8 @@ object Similarity {
         val batch = n.filter(col("bkt") >= 90)
         val cent = corpus.filter(col("vec_id") % 31 === 1)
           .select(col("vec_id").as("ccid"), col("e").as("ce"), col("nrm").as("cn"))
-        val csim = (dotProduct(col("e"), col("ce")) /
-          sqrt(col("nrm") * col("cn"))).as("csim")
+        val csim = cosSim(dotProduct(col("e"), col("ce")),
+          col("nrm") * col("cn")).as("csim")
         val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("ccid"))
         // build the corpus index ONCE — inverted lists AND centroids go to
         // the lake slot; everything the batch touches is read back from it
@@ -415,8 +423,8 @@ object Similarity {
           .join(batch, "vec_id")
           .select(col("vec_id").as("qid"), col("ccid").as("cell"),
             col("e").as("qe"), col("nrm").as("qn"))
-        val sim = (dotProduct(col("qe"), col("ce2")) /
-          sqrt(col("qn") * col("cn2"))).as("sim")
+        val sim = cosSim(dotProduct(col("qe"), col("ce2")),
+          col("qn") * col("cn2")).as("sim")
         // qid (batch, bkt≥90) and cid (corpus, bkt<90) are disjoint by the
         // split, so no self-match filter is needed
         broadcast(qp).join(lists, Seq("cell"))
@@ -471,8 +479,8 @@ object Similarity {
         val n = withNorms(s, d).cache() // assignment + quantized join-back
         val cent = n.filter(col("vec_id") % 31 === 1)
           .select(col("vec_id").as("ccid"), col("e").as("ce"), col("nrm").as("cn"))
-        val csim = (dotProduct(col("e"), col("ce")) /
-          sqrt(col("nrm") * col("cn"))).as("csim")
+        val csim = cosSim(dotProduct(col("e"), col("ce")),
+          col("nrm") * col("cn")).as("csim")
         val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("ccid"))
         // cache boundary after the scale stage (the q_quantize rule): stops
         // CollapseProject inlining array_max into the per-element lambda
@@ -711,7 +719,10 @@ object Similarity {
             .agg(count(lit(1)).as("n_hits"))
             .crossJoin(exN)
             .select(lit(m).as("method"), col("n_hits"), col("n_expected"),
-              (col("n_hits").cast("double") / col("n_expected")).as("recall"))
+              // empty truth -> NULL on both engines (ANSI guard)
+              when(col("n_expected") > 0,
+                col("n_hits").cast("double") / col("n_expected"))
+                .as("recall"))
         recallRow("ivf", ivfRankedFrom(n, recallQPred))
           .unionByName(recallRow("lsh", lshRankedFrom(nb, recallQPred)))
           .unionByName(recallRow("multiprobe",
@@ -769,8 +780,8 @@ object Similarity {
         val c = n.select(col("vec_id").as("vb"), col("e").as("ce"),
           col("nrm").as("cn"))
         val truth = broadcast(q).join(c, col("vb") > col("va"))
-          .filter(dotProduct(col("qe"), col("ce")) /
-            sqrt(col("qn") * col("cn")) >= 0.4)
+          .filter(cosSim(dotProduct(col("qe"), col("ce")),
+            col("qn") * col("cn")) >= 0.4)
           .agg(count(lit(1)).as("n_exact"))
         val found = cosinePairs(s, d).filter(col("vec_a") < RecallQueries)
           .agg(count(lit(1)).as("n_found"))
@@ -902,8 +913,8 @@ object Similarity {
           col("qnrm").as("icn"))
         val idot = aggregate(zip_with(col("qqv"), col("cqv"), (x, y) => x * y),
           lit(0L), (a, b) => a + b)
-        val simQ = idot.cast("double") /
-          sqrt((col("qqn") * col("icn")).cast("double"))
+        val simQ = cosSim(idot.cast("double"),
+          (col("qqn") * col("icn")).cast("double"))
         val i3 = broadcast(iq).join(c, col("cid") =!= col("qid"))
           .select(col("qid"), col("cid"), simQ.as("sim"))
           .withColumn("rk", row_number().over(rankW))
@@ -913,7 +924,9 @@ object Similarity {
           .agg(count(lit(1)).as("n_hits"))
           .crossJoin(exN)
           .select(lit("int8").as("method"), col("n_hits"), col("n_expected"),
-            (col("n_hits").cast("double") / col("n_expected")).as("recall"))
+            // empty truth -> NULL on both engines (ANSI guard)
+            when(col("n_expected") > 0,
+              col("n_hits").cast("double") / col("n_expected")).as("recall"))
     },
 
     // ── embedding-dedup clustering: connected components over the cosine
@@ -1011,8 +1024,8 @@ object Similarity {
     val q = n.filter(qPred)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
     val c = n.select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
-    val sim = (dotProduct(col("qe"), col("ce")) /
-      sqrt(col("qn") * col("cn"))).as("sim")
+    val sim = cosSim(dotProduct(col("qe"), col("ce")),
+      col("qn") * col("cn")).as("sim")
     broadcast(q).join(c, col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"), sim)
       .withColumn("rk", row_number().over(rankW).cast("long"))
@@ -1031,8 +1044,8 @@ object Similarity {
         col("nrm").as("qn"), col("bucket"))
     val c = nb.select(col("vec_id").as("cid"), col("e").as("ce"),
       col("nrm").as("cn"), col("bucket"))
-    val sim = (dotProduct(col("qe"), col("ce")) /
-      sqrt(col("qn") * col("cn"))).as("sim")
+    val sim = cosSim(dotProduct(col("qe"), col("ce")),
+      col("qn") * col("cn")).as("sim")
     broadcast(q).join(c, Seq("bucket"))
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"), col("bucket"), sim)
@@ -1057,8 +1070,8 @@ object Similarity {
         col("nrm").as("qn"), explode(probeSet).as("bucket"))
     val c = nb.select(col("vec_id").as("cid"), col("e").as("ce"),
       col("nrm").as("cn"), col("bucket"))
-    val sim = (dotProduct(col("qe"), col("ce")) /
-      sqrt(col("qn") * col("cn"))).as("sim")
+    val sim = cosSim(dotProduct(col("qe"), col("ce")),
+      col("qn") * col("cn")).as("sim")
     broadcast(q).join(c, Seq("bucket"))
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"), sim)
