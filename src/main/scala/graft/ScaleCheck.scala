@@ -81,7 +81,10 @@ object ScaleCheck {
         System.err.println(f"[scalecheck] $name%-24s small=$ts%7.2fs big=$tb%7.2fs ratio=$ratio%5.2f")
         Some(name -> (ts, tb, ratio))
       } catch {
-        case e: Throwable =>
+        // NonFatal only: an OutOfMemoryError (or any fatal JVM error) must
+        // abort the run — every later measurement in a heap-pressured JVM
+        // would skew the very ratios this report exists to pin down
+        case scala.util.control.NonFatal(e) =>
           System.err.println(s"[scalecheck] $name FAILED: ${e.getMessage}")
           Some(name -> (-1.0, -1.0, -1.0))
       }
@@ -100,9 +103,10 @@ object ScaleCheck {
       s""""sum_small":${f(sumS)},"sum_big":${f(sumB)},""" +
       s""""ratio_total":${f(sumB / sumS)},"errors":$errs,"queries":$qjson}"""
     println(record)
-    val w = new java.io.PrintWriter("tools/scalecheck.json")
+    val out = ToolPaths.resolve("tools/scalecheck.json")
+    val w = new java.io.PrintWriter(out)
     try w.println(record) finally w.close()
-    System.err.println("[scalecheck] wrote tools/scalecheck.json")
+    System.err.println(s"[scalecheck] wrote $out")
     spark.stop()
   }
 }

@@ -387,29 +387,36 @@ object Relational {
         |    json_extract_string(doc, '$.e.t') AS t,
         |    CAST(json_extract_string(doc, '$.e.uid') AS BIGINT) AS uid
         |  FROM j)
-        |SELECT t, count(*) AS n, SUM(k)::BIGINT AS sum_k,
-        |  count(DISTINCT uid) AS n_users
-        |FROM x WHERE k >= 50 GROUP BY t ORDER BY t""".stripMargin) {
+        |SELECT t, count(CASE WHEN k >= 50 THEN 1 END) AS n,
+        |  SUM(CASE WHEN k >= 50 THEN k END)::BIGINT AS sum_k,
+        |  count(DISTINCT CASE WHEN k >= 50 THEN uid END) AS n_users
+        |FROM x GROUP BY t
+        |HAVING count(CASE WHEN k >= 50 THEN 1 END) > 0
+        |ORDER BY t""".stripMargin) {
       (s, d) =>
         val doc = concat(lit("{\"p\": "), col("props"),
           lit(", \"e\": {\"t\": \""), col("event_type"),
           lit("\", \"uid\": "), col("user_id").cast("string"), lit("}}"))
-        // cache boundary after the parse (the q_quantize discipline):
-        // without it Catalyst substitutes the filter below the extraction
-        // projection and parseJson runs TWICE per row — once in the filter,
-        // once for the surviving rows' projection. The boundary makes `v`
-        // an attribute, so the document parses exactly once and the
-        // variant_get path lookups (cheap binary reads) are all that repeat.
+        // The `k >= 50` row filter is FOLDED into conditional aggregates
+        // (count/sum/distinct over `when(k >= 50, ...)`, then `HAVING
+        // n > 0` to drop groups with no qualifying rows — identically on
+        // the oracle). A pre-aggregation `.filter` would be substituted
+        // below the extraction projection by Catalyst, making parseJson
+        // run twice per row; folding it keeps ONE projection whose three
+        // variant_get calls share a single parse via whole-stage codegen
+        // subexpression elimination — no cache boundary needed, so a
+        // 156-query sweep doesn't carry this table's parsed blocks around
+        // for the rest of the session.
         events(s, d)
           .select(parse_json(doc).as("v"))
-          .cache()
           .select(expr("variant_get(v, '$.p.k', 'bigint')").as("k"),
             expr("variant_get(v, '$.e.t', 'string')").as("t"),
             expr("variant_get(v, '$.e.uid', 'bigint')").as("uid"))
-          .filter(col("k") >= 50)
           .groupBy("t")
-          .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
-            count_distinct(col("uid")).as("n_users"))
+          .agg(count(when(col("k") >= 50, 1)).as("n"),
+            sum(when(col("k") >= 50, col("k"))).as("sum_k"),
+            count_distinct(when(col("k") >= 50, col("uid"))).as("n_users"))
+          .filter(col("n") > 0)
           .orderBy("t")
     },
 

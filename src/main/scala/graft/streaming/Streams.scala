@@ -320,8 +320,14 @@ object Streams {
       // intermediates can be deleted in the finally block below.
       val published = graft.queries.Sinks.stagingDir(
         if (tombstones) "graft-cdc-table" else "graft-upsert-table", sfDir)
-      spark.read.parquet(current.get())
-        .write.mode("overwrite").parquet(published)
+      // an empty events source produces ZERO micro-batches, so `current`
+      // is still null here — publish an empty table with the merged schema
+      // (reduceLatest of zero rows) instead of NPE-ing on parquet(null)
+      (Option(current.get()) match {
+        case Some(p) => spark.read.parquet(p)
+        case None => reduceLatest(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+      }).write.mode("overwrite").parquet(published)
       val table = spark.read.parquet(published)
       // tombstone read-time filter: a user whose LATEST CDC operation is a
       // delete is absent from the served table
