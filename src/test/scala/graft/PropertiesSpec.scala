@@ -222,7 +222,7 @@ class PropertiesSpec extends SparkTestBase {
       Seq(b ^ (1L << flips(i)), b ^ (1L << flips(i + 20)) ^ (1L << flips(i + 40)))
     }).zipWithIndex.map { case (sg, i) => (i.toLong, sg) }
     val df = sigs.toDF("doc_id", "simhash")
-    for (maxDist <- Seq(0, 3, 8)) {
+    for (maxDist <- Seq(0, 3, 8); k <- Seq(1, 2, 3)) {
       val naive = df.as("a").crossJoin(df.as("b"))
         .filter(col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id"), col("b.doc_id"),
@@ -231,10 +231,10 @@ class PropertiesSpec extends SparkTestBase {
         .orderBy("a.doc_id", "b.doc_id").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       val blocked = graft.ops.HammingJoin
-        .pairsWithin(df, "doc_id", "simhash", 60, maxDist)
+        .pairsWithin(df, "doc_id", "simhash", 60, maxDist, requiredMatches = k)
         .orderBy("doc_a", "doc_b").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      assert(blocked.sameElements(naive), s"maxDist=$maxDist")
+      assert(blocked.sameElements(naive), s"maxDist=$maxDist k=$k")
     }
   }
 
