@@ -47,8 +47,30 @@ object Similarity {
   // query set (Q · N/2^bits), and coarser buckets are what gives them
   // usable recall at top-3.
   private val ProbeHamming = 2
-  private def adaptiveBits(n: Long): Int =
+  // kmeans++ D² sampling fractions, as exact integer billionths shared by
+  // BOTH engines (md5-derived, so they are arbitrary but reproducible):
+  // seed j is the minimum vec_id whose cumulative D² crosses
+  // frac_j/10⁹ of the total — the standard kmeans++ distribution with the
+  // random draw replaced by a fixed quantile, keeping the whole seeding
+  // chain deterministic and oracle-mirrorable.
+  private def kmSeedFrac(j: Int): Long =
+    graft.ops.Exprs.md5LongLocal(s"kmseed:$j") % 1000000000L
+
+  // private[graft] so SimilarityPlanSpec can pin the width FORMULA itself
+  // (2^bits >= n, floor 6, cap 30): a future edit reintroducing a fixed
+  // width would resurrect the measured 21.4x scalecheck defect silently.
+  private[graft] def adaptiveBits(n: Long): Int =
     (6 to 30).find(b => (1L << b) >= n).getOrElse(30)
+  // Corpus-count memo: the adaptive width needs |embeddings| at PLAN-
+  // CONSTRUCTION time, so merely BUILDING a cosine-family DataFrame (plan
+  // specs, explain) runs a counting job. Memoized per directory — the
+  // parquet corpora are immutable for a session — so the five builders
+  // that share cosinePairs trigger at most ONE count per corpus.
+  private val corpusCount =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def embeddingCount(s: org.apache.spark.sql.SparkSession,
+      d: String): Long =
+    corpusCount.computeIfAbsent(d, dir => embeddings(s, dir).count())
   private val TopKQueries = 20 // q_cosine_topk's FIXED query-set size
   // Measurement-query discipline: every recall/quality query (q_ann_recall,
   // q_ann_quant) bounds BOTH its exact-truth side and the approximate sides
@@ -150,7 +172,7 @@ object Similarity {
     * the plan.
     */
   private def cosinePairs(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val bits = adaptiveBits(embeddings(s, d).count())
+    val bits = adaptiveBits(embeddingCount(s, d))
     val nb = bucketsFrom(withNorms(s, d), bits).cache() // probe side + join-backs
     val masks: Seq[Long] = 0L +:
       ((0 until bits).map(1L << _) ++
@@ -517,8 +539,9 @@ object Similarity {
     //    standard relative criterion, and still an exact INTEGER
     //    comparison on both engines (k-means' oscillating 1–2-point tail
     //    otherwise burns rounds moving nothing that matters). K=4 seeded
-    //    from vec_id 0–3; clusters that lose all members drop out of the
-    //    candidate set on both engines identically. Per round: one
+    //    by DETERMINISTIC kmeans++ (farthest-first traversal from vec_id
+    //    0 — see the seeding block below); clusters that lose all members
+    //    drop out of the candidate set on both engines identically. Per round: one
     //    broadcast of 256 centroid rows, one partial-aggregated distance
     //    reduce, one eager localCheckpoint (constant-size plans at any
     //    round count), and ONE scalar driver count (changed rows). The
@@ -530,8 +553,42 @@ object Similarity {
          |      FROM embeddings),
          |xi AS (SELECT vec_id, d, CAST(floor(e[d] * 1000000) AS BIGINT) AS xi
          |       FROM v CROSS JOIN range(1, ${Dims + 1}) t(d)),
-         |cent0 AS (SELECT vec_id::INT AS cid, d, xi AS cd FROM xi
-         |          WHERE vec_id < 4),
+         |d1 AS (SELECT x.vec_id, sum((x.xi - c.xi) * (x.xi - c.xi)) AS dist
+         |       FROM xi x JOIN xi c ON c.vec_id = 0 AND x.d = c.d
+         |       GROUP BY x.vec_id),
+         |p1 AS (SELECT min(vec_id) AS vec_id FROM (
+         |         SELECT vec_id, sum(dist) OVER (ORDER BY vec_id) AS cum
+         |         FROM d1) t
+         |       WHERE CAST(cum AS DOUBLE) >= ${kmSeedFrac(1)} *
+         |         CAST((SELECT sum(dist) FROM d1) AS DOUBLE) / 1000000000.0),
+         |e2 AS (SELECT x.vec_id, sum((x.xi - c.xi) * (x.xi - c.xi)) AS dist
+         |       FROM xi x JOIN xi c ON c.vec_id = (SELECT vec_id FROM p1)
+         |                          AND x.d = c.d
+         |       GROUP BY x.vec_id),
+         |m2 AS (SELECT d1.vec_id, least(d1.dist, e2.dist) AS dist
+         |       FROM d1 JOIN e2 ON d1.vec_id = e2.vec_id),
+         |p2 AS (SELECT min(vec_id) AS vec_id FROM (
+         |         SELECT vec_id, sum(dist) OVER (ORDER BY vec_id) AS cum
+         |         FROM m2) t
+         |       WHERE CAST(cum AS DOUBLE) >= ${kmSeedFrac(2)} *
+         |         CAST((SELECT sum(dist) FROM m2) AS DOUBLE) / 1000000000.0),
+         |e3 AS (SELECT x.vec_id, sum((x.xi - c.xi) * (x.xi - c.xi)) AS dist
+         |       FROM xi x JOIN xi c ON c.vec_id = (SELECT vec_id FROM p2)
+         |                          AND x.d = c.d
+         |       GROUP BY x.vec_id),
+         |m3 AS (SELECT m2.vec_id, least(m2.dist, e3.dist) AS dist
+         |       FROM m2 JOIN e3 ON m2.vec_id = e3.vec_id),
+         |p3 AS (SELECT min(vec_id) AS vec_id FROM (
+         |         SELECT vec_id, sum(dist) OVER (ORDER BY vec_id) AS cum
+         |         FROM m3) t
+         |       WHERE CAST(cum AS DOUBLE) >= ${kmSeedFrac(3)} *
+         |         CAST((SELECT sum(dist) FROM m3) AS DOUBLE) / 1000000000.0),
+         |seeds AS (SELECT 0::BIGINT AS svid, 0 AS cid
+         |          UNION ALL SELECT vec_id, 1 FROM p1
+         |          UNION ALL SELECT vec_id, 2 FROM p2
+         |          UNION ALL SELECT vec_id, 3 FROM p3),
+         |cent0 AS (SELECT s.cid::INT AS cid, x.d, x.xi AS cd
+         |          FROM seeds s JOIN xi x ON x.vec_id = s.svid),
          |km(it, vec_id, cid, prev) AS (
          |  SELECT 0, dd.vec_id, (min(dd.dist * 4 + dd.cid) % 4)::INT, -1
          |  FROM (SELECT x2.vec_id, c.cid,
@@ -587,9 +644,65 @@ object Similarity {
               least((0 until K).map(j => col(s"dist$j") * K + j): _*).as("msc"))
             .select(col("vec_id"), (col("msc") % K).cast("int").as("cid"))
         }
-        val seedCols = (0 until K).map(j =>
-          max(when(col("vec_id") === j, col("xi"))).as(s"cd$j"))
-        val cent0 = xiDf.filter(col("vec_id") < K)
+        // kmeans++ seeding, deterministic: seed 0 is vec_id 0; seed j is
+        // the minimum vec_id whose CUMULATIVE min-squared-distance-to-
+        // chosen-seeds crosses the fixed quantile kmSeedFrac(j)/10⁹ of the
+        // total — exactly the kmeans++ D² distribution with the random
+        // draw pinned, so the oracle's p1/p2/p3 CTEs reproduce the chain
+        // integer-for-integer (measured at sf0.1: 24 Lloyd rounds with
+        // adjacent-id seeding → 17 with this). A chosen seed has D² = 0,
+        // so the crossing row always carries positive mass — re-picking a
+        // seed is impossible by construction, no exclusion list needed.
+        // The cumulative sum is TWO-PHASE (per-2²⁰-id-block partial sums,
+        // then a tiny block-offset window + per-block in-partition
+        // windows): no global single-partition window ever sees the
+        // per-vector rows, so the seeding pass stays shuffle-parallel at
+        // any corpus size. The crossing compare is done in doubles on both
+        // engines (identical IEEE ops on identical integers — bit-equal),
+        // because cum × 10⁹ would overflow BIGINT at corpus scale.
+        def pickByCum(dPrev: DataFrame, fracE9: Long): Option[Long] = {
+          val wIn = Window.partitionBy("b").orderBy("vec_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val wPre = Window.orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, -1)
+          val bkt = dPrev.withColumn("b", shiftright(col("vec_id"), 20))
+          val boff = bkt.groupBy("b").agg(sum("dist").as("bs"))
+            .withColumn("off", coalesce(sum("bs").over(wPre), lit(0L)))
+            .select("b", "off")
+          val tot = dPrev.agg(sum("dist").as("tot"))
+          bkt.join(broadcast(boff), "b")
+            .withColumn("cum", col("off") + sum("dist").over(wIn))
+            .crossJoin(broadcast(tot))
+            .filter(col("cum").cast("double") >=
+              lit(fracE9).cast("double") * col("tot").cast("double") /
+                lit(1000000000.0))
+            .agg(min("vec_id")).collect().headOption
+            .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+        }
+        var seeds = Seq(0L)
+        var minDist: DataFrame = null
+        for (j <- 1 until K) {
+          val lastSeed = xiDf.filter(col("vec_id") === seeds.last)
+            .select(col("d"), col("xi").as("cxi"))
+          val dNew = xiDf.join(broadcast(lastSeed), "d")
+            .groupBy("vec_id")
+            .agg(sum((col("xi") - col("cxi")) * (col("xi") - col("cxi")))
+              .as("dist"))
+          val md = (if (minDist == null) dNew
+            else minDist.withColumnRenamed("dist", "pd").join(dNew, "vec_id")
+              .select(col("vec_id"), least(col("pd"), col("dist")).as("dist")))
+            .localCheckpoint() // reused by the next step's running min
+          pickByCum(md, kmSeedFrac(j)).foreach(v => seeds = seeds :+ v)
+          minDist = md
+        }
+        // pad with a match-nothing id if the corpus had < K candidates:
+        // the cd column goes all-NULL and least() skips it — the same
+        // emptied-cluster semantics as the loop body (and the oracle's
+        // empty p-CTEs)
+        val seedIds = seeds.padTo(K, -1L)
+        val seedCols = seedIds.zipWithIndex.map { case (v, j) =>
+          max(when(col("vec_id") === v, col("xi"))).as(s"cd$j") }
+        val cent0 = xiDf.filter(col("vec_id").isInCollection(seeds))
           .groupBy("d").agg(seedCols.head, seedCols.tail: _*)
         var assign = reassign(cent0).localCheckpoint()
         val nVecs = assign.count()

@@ -43,4 +43,41 @@ class SimilarityPlanSpec extends SparkTestBase {
     val equiJoins = collectAll(plan) { case j: BaseJoinExec => j }
     assert(equiJoins.size >= 2, s"expected bucket join + vector join-back, got: ${equiJoins.map(_.nodeName)}")
   }
+
+  // Width-formula pins: the scalecheck loop caught q_dedup_cosine at 21.4x
+  // growth on 10x data when the signature width was a CONSTANT 6 bits
+  // (candidate volume O(N²/2^bits)); the fix derives the width from the
+  // corpus (2^bits >= N, floor 6, cap 30 → occupancy ≤ 1 vector/bucket in
+  // expectation, candidates O(N·bits²), re-measured 3.0x). These exact
+  // values fail on any regression back to a constant width.
+  test("adaptive cosine signature width follows 2^bits >= N (floor 6, cap 30)") {
+    import graft.queries.Similarity.adaptiveBits
+    assert(adaptiveBits(0L) == 6)
+    assert(adaptiveBits(64L) == 6)     // floor: tiny corpora keep 6 bits
+    assert(adaptiveBits(65L) == 7)     // first width step
+    assert(adaptiveBits(5000L) == 13)  // sf0.1 regime
+    assert(adaptiveBits(50000L) == 16) // sf1 regime
+    assert(adaptiveBits(1L << 30) == 30)
+    assert(adaptiveBits(Long.MaxValue) == 30) // cap: signatures stay packable
+    // the formula property itself, not just samples: minimal b with 2^b >= n
+    for (n <- Seq(100L, 1000L, 123456L, 10000000L)) {
+      val b = adaptiveBits(n)
+      assert((1L << b) >= n && (b == 6 || (1L << (b - 1)) < n), s"n=$n b=$b")
+    }
+  }
+
+  // Same discipline for the pigeonhole hamming join (q_simhash_pairs): the
+  // combo key must WIDEN with the corpus — smallest k whose packed key
+  // space covers N — or bucket occupancy grows linearly and the candidate
+  // stage goes quadratic (the r7 11.3x scalecheck outlier).
+  test("adaptive pigeonhole combo width follows 2^keyBits >= N (cap k=3)") {
+    import graft.ops.HammingJoin.adaptiveRequiredMatches
+    // bits=60, maxDist=3: k=1 → 15-bit key; k=2 → 24; k=3 → 30
+    assert(adaptiveRequiredMatches(500L, 60, 3) == 1)
+    assert(adaptiveRequiredMatches(1L << 15, 60, 3) == 1)
+    assert(adaptiveRequiredMatches((1L << 15) + 1, 60, 3) == 2) // sf1 regime
+    assert(adaptiveRequiredMatches(1L << 24, 60, 3) == 2)
+    assert(adaptiveRequiredMatches((1L << 24) + 1, 60, 3) == 3)
+    assert(adaptiveRequiredMatches(Long.MaxValue, 60, 3) == 3)  // cap
+  }
 }
