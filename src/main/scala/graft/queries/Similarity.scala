@@ -35,17 +35,21 @@ object Similarity {
     when(n2 > 0, dot / sqrt(n2))
 
   private val Dims = 64
-  private val LshBits = 6 // 64 buckets over 500 vectors → ~8 vecs/bucket
   // Near-dup candidate probing: pairs whose sign-buckets differ in ≤ 2
-  // hyperplane bits. The PAIR-generating family (q_dedup_cosine/_clusters/
-  // _keep) sizes its signature adaptively — 2^bits ≥ N, so bucket occupancy
-  // stays ≤ 1 and candidate volume is O(N · bits²), never O(N²/2^bits) with
-  // a FIXED bucket space (measured: the fixed 6-bit signature grew 21× on
-  // 10× data in tools/scalecheck.json; the adaptive one is linear). The
-  // query-side ANN probes (q_ann_lsh/_multiprobe) keep the fixed 6-bit
-  // signature: their candidate volume is already bounded by the CONSTANT
-  // query set (Q · N/2^bits), and coarser buckets are what gives them
-  // usable recall at top-3.
+  // hyperplane bits. EVERY signature space in this file is sized
+  // adaptively — 2^bits ≥ N, so bucket occupancy stays ≤ 1 and candidate
+  // volume is O(N · bits²), never O(N²/2^bits) with a FIXED bucket space
+  // (measured: a fixed 6-bit signature grew 21× on 10× data in
+  // tools/scalecheck.json; the adaptive one is linear). Round 8's
+  // three-point scalecheck showed the query-side ANN probes
+  // (q_ann_lsh/_multiprobe) need the same discipline: their query set
+  // GROWS with the table (vec_id % 25 = 0 — declared semantics: "index
+  // every 25th vector's neighbors"), so a fixed 64-bucket space made the
+  // probe stage Q · N/64 = O(N²/1600) — exponent 1.78 on the sf1→sf3
+  // step. With 2^bits ≥ N each probe touches O(1) expected candidates and
+  // the total stays linear; multi-probe's bit-flip fan-out grows only as
+  // bits = O(log N), which is exactly how production multi-probe LSH
+  // regains recall as spaces get finer.
   private val ProbeHamming = 2
   // kmeans++ D² sampling fractions, as exact integer billionths shared by
   // BOTH engines (md5-derived, so they are arbitrary but reproducible):
@@ -61,6 +65,26 @@ object Similarity {
   // width would resurrect the measured 21.4x scalecheck defect silently.
   private[graft] def adaptiveBits(n: Long): Int =
     (6 to 30).find(b => (1L << b) >= n).getOrElse(30)
+  // IVF coarse-quantizer size: centroids are the vectors with
+  // vec_id % M = 1 where M = max(31, ⌊√N⌋), so nlist ≈ √N — the textbook
+  // IVF sizing (cell size ≈ √N balances assignment cost N·nlist against
+  // probe cost Q·nprobe·N/nlist). Round 7 used a FIXED modulus 31, which
+  // made nlist grow LINEARLY with the corpus and the assignment stage
+  // O(N²/31) — the 1.85 growth exponent the three-point scalecheck
+  // exposed on q_ann_ivf. √N keeps both sides of the trade at O(N^1.5)
+  // worst case with tiny constants, and the assignment itself is now a
+  // map-side top-k over a broadcast centroid array (see assignTopK) — no
+  // N×nlist row materialization, no window shuffle. Floor 31 keeps
+  // sf0.001/sf0.01 results identical to the fixed-modulus rounds.
+  // private[graft] for the SimilarityPlanSpec formula pin.
+  private[graft] def ivfModulus(n: Long): Long =
+    math.max(31L, math.sqrt(n.toDouble).toLong)
+  // DuckDB mirror: GREATEST(31, ⌊√count⌋) — IEEE sqrt is correctly
+  // rounded on both engines, so the floor is bit-identical.
+  private val ivfmCte =
+    """ivfm AS (SELECT GREATEST(31, CAST(floor(sqrt(count(*))) AS BIGINT)) AS m
+      |  FROM embeddings)""".stripMargin
+  private val ivfModSql = "(SELECT m FROM ivfm)"
   // Corpus-count memo: the adaptive width needs |embeddings| at PLAN-
   // CONSTRUCTION time, so merely BUILDING a cosine-family DataFrame (plan
   // specs, explain) runs a counting job. Memoized per directory — the
@@ -103,22 +127,17 @@ object Similarity {
        |          list_transform(e, x -> x * x)), (a,b) -> a + b) AS nrm
        |      FROM v)""".stripMargin
 
-  // Shared random-hyperplane signature stage (q_ann_lsh / q_ann_multiprobe /
-  // q_dedup_cosine): plane weights are derived from md5(b:d) so both engines
-  // rebuild identical planes; `nb` is every vector with its sign-bucket id.
-  private val lshCte =
-    s"""hp AS (SELECT b, list(w ORDER BY d) AS wv FROM (
-       |    SELECT b, d,
-       |      ((('0x' || substr(md5(b::VARCHAR || ':' || d::VARCHAR), 1, 15))::BIGINT
-       |        % 2001) - 1000) / 1000.0::DOUBLE AS w
-       |    FROM range($LshBits) r1(b), range(1, ${Dims + 1}) r2(d)) t
-       |  GROUP BY b),
-       |proj AS (SELECT n.vec_id, hp.b, ${dotSqlIdx("n.e", "hp.wv")} AS p
-       |  FROM n CROSS JOIN hp),
-       |bk AS (SELECT vec_id,
-       |    CAST(SUM(CASE WHEN p > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS bucket
-       |  FROM proj GROUP BY vec_id),
-       |nb AS (SELECT n.vec_id, n.e, n.nrm, bk.bucket FROM n JOIN bk USING (vec_id))""".stripMargin
+  // The multi-probe bucket fan-out (query bucket + every one-bit-flip
+  // neighbor), sized by the SAME adaptive width the signature stage uses:
+  // pl enumerates probe index -1 (the identity probe) plus one per
+  // hyperplane bit.
+  private val multiProbesCte =
+    """probes AS (SELECT qid, qe, qn,
+      |    CASE WHEN pb < 0 THEN bucket
+      |         ELSE xor(bucket, (1::BIGINT << pb)) END AS bucket
+      |  FROM q CROSS JOIN (SELECT -1 AS pb UNION ALL
+      |    SELECT b::INT AS pb FROM range(0, 30) r(b), nbits
+      |    WHERE b < nbits.bits) pl)""".stripMargin
 
   /** Shared DuckDB candidate stage of the embedding-dedup family
     * (q_dedup_cosine / _clusters / _keep): ADAPTIVE-width signature CTEs
@@ -219,9 +238,12 @@ object Similarity {
     // ── LSH-bucketed ANN: random-hyperplane signs → bucket equi-join ────
     // Hyperplane weights are derived from md5Long(b:d) so both engines
     // build the identical planes: w = ((h % 2001) - 1000) / 1000.0.
+    // Signature width is ADAPTIVE (2^bits ≥ N): the query set grows with
+    // the table, so per-query candidate volume must stay O(1) — see the
+    // ProbeHamming comment at the top of this file.
     Q("q_ann_lsh",
       s"""WITH $normsCte,
-         |$lshCte,
+         |$adaptiveLshCte,
          |q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn, bucket FROM nb
          |      WHERE vec_id % 25 = 0),
          |p2 AS (SELECT qid, c.vec_id AS cid, q.bucket,
@@ -238,18 +260,17 @@ object Similarity {
     },
 
     // ── multi-probe LSH: probe the query's bucket AND every bucket one
-    //    bit-flip away (hamming ≤ 1 over the 6 hyperplane signs). The
-    //    probe set is an explicit explode → the candidate join stays a
+    //    bit-flip away (hamming ≤ 1 over the adaptive hyperplane signs).
+    //    The probe set is an explicit explode → the candidate join stays a
     //    pure equi-join on bucket id; recall rises without ever comparing
-    //    buckets pairwise. ────────────────────────────────────────────────
+    //    buckets pairwise. The fan-out is bits + 1 = O(log N) — exactly
+    //    how multi-probe regains recall as the adaptive space gets finer.
     Q("q_ann_multiprobe",
       s"""WITH $normsCte,
-         |$lshCte,
+         |$adaptiveLshCte,
          |q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn, bucket FROM nb
          |      WHERE vec_id % 25 = 0),
-         |probes AS (SELECT qid, qe, qn,
-         |    unnest([bucket${(0 until LshBits).map(b => s", xor(bucket, ${1L << b})").mkString}]) AS bucket
-         |  FROM q),
+         |$multiProbesCte,
          |p2 AS (SELECT qid, c.vec_id AS cid,
          |        ${dotSqlIdx("qe", "c.e")} AS dot, qn, c.nrm AS cn
          |      FROM probes JOIN nb c USING (bucket) WHERE c.vec_id <> qid),
@@ -264,17 +285,20 @@ object Similarity {
     },
 
     // ── IVF-style ANN: coarse quantizer → inverted cell lists → nprobe=4 ─
-    // Centroids are the vectors with vec_id % 31 = 1 (deterministic coarse
-    // quantizer both engines can rebuild; count grows with the table like a
-    // real IVF nlist). Every vector is assigned to its nearest centroid by
-    // cosine (inverted lists); a query probes its 4 nearest cells and ranks
-    // candidates exactly. At scale: centroids broadcast, assignment is one
-    // narrow map stage, and candidate generation is an equi-join on cell id
-    // — the brute-force O(Q·N) pair stage never materializes.
+    // Centroids are the vectors with vec_id % M = 1, M = max(31, ⌊√N⌋)
+    // (deterministic coarse quantizer both engines rebuild; nlist ≈ √N —
+    // the textbook IVF sizing, see ivfModulus). Every vector is assigned
+    // to its 4 nearest centroids INSIDE one projection over the broadcast
+    // centroid array (assignTopK — no N×nlist rows, no window shuffle); a
+    // query probes its 4 nearest cells and ranks candidates exactly. At
+    // scale: assignment is a pure map stage over √N broadcast centroids,
+    // and candidate generation is an equi-join on cell id — the
+    // brute-force O(Q·N) pair stage never materializes.
     Q("q_ann_ivf",
       s"""WITH $normsCte,
+         |$ivfmCte,
          |cent AS (SELECT vec_id AS ccid, e AS ce, nrm AS cn FROM n
-         |         WHERE vec_id % 31 = 1),
+         |         WHERE vec_id % $ivfModSql = 1),
          |asg AS (SELECT n.vec_id, cent.ccid,
          |        ${dotSqlIdx("n.e", "cent.ce")} / sqrt(n.nrm * cent.cn) AS csim
          |      FROM n CROSS JOIN cent),
@@ -307,8 +331,9 @@ object Similarity {
     //    round-trip parquet bit-exactly, so even the sim values hash-match.
     Q("q_ann_persisted",
       s"""WITH $normsCte,
+         |$ivfmCte,
          |cent AS (SELECT vec_id AS ccid, e AS ce, nrm AS cn FROM n
-         |         WHERE vec_id % 31 = 1),
+         |         WHERE vec_id % $ivfModSql = 1),
          |asg AS (SELECT n.vec_id, cent.ccid,
          |        ${dotSqlIdx("n.e", "cent.ce")} / sqrt(n.nrm * cent.cn) AS csim
          |      FROM n CROSS JOIN cent),
@@ -331,15 +356,10 @@ object Similarity {
          |SELECT qid, rk, cid, sim FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin) {
       (s, d) =>
         val n = withNorms(s, d).cache() // assignment + query probes + lists
-        val cent = n.filter(col("vec_id") % 31 === 1)
+        val cent = n
+          .filter(col("vec_id") % ivfModulus(embeddingCount(s, d)) === 1)
           .select(col("vec_id").as("ccid"), col("e").as("ce"), col("nrm").as("cn"))
-        val csim = cosSim(dotProduct(col("e"), col("ce")),
-          col("nrm") * col("cn")).as("csim")
-        val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("ccid"))
-        val assign = n.crossJoin(broadcast(cent))
-          .select(col("vec_id"), col("ccid"), csim)
-          .withColumn("crk", row_number().over(wAssign))
-          .filter(col("crk") <= 4)
+        val assign = assignTopK(n, cent, 4)
           .cache() // inverted-list build + query probes
         // build the index ONCE into the lake slot, probe the read-back files
         val idxDir = Sinks.stagingDir("graft-ivf-index", d)
@@ -377,6 +397,7 @@ object Similarity {
     //    are touched only through the stored lists. ─────────────────────────
     Q("q_ann_incremental",
       s"""WITH $normsCte,
+         |$ivfmCte,
          |bk AS (SELECT vec_id,
          |    ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT % 100 AS bkt
          |  FROM embeddings),
@@ -385,7 +406,7 @@ object Similarity {
          |batch AS (SELECT n.vec_id, n.e, n.nrm FROM n JOIN bk USING (vec_id)
          |          WHERE bkt >= 90),
          |cent AS (SELECT vec_id AS ccid, e AS ce, nrm AS cn FROM corpus
-         |         WHERE vec_id % 31 = 1),
+         |         WHERE vec_id % $ivfModSql = 1),
          |asg AS (SELECT c.vec_id, cent.ccid,
          |        ${dotSqlIdx("c.e", "cent.ce")} / sqrt(c.nrm * cent.cn) AS csim
          |      FROM corpus c CROSS JOIN cent),
@@ -418,18 +439,13 @@ object Similarity {
           .cache() // corpus index build + batch probe both read it
         val corpus = n.filter(col("bkt") < 90)
         val batch = n.filter(col("bkt") >= 90)
-        val cent = corpus.filter(col("vec_id") % 31 === 1)
+        val cent = corpus
+          .filter(col("vec_id") % ivfModulus(embeddingCount(s, d)) === 1)
           .select(col("vec_id").as("ccid"), col("e").as("ce"), col("nrm").as("cn"))
-        val csim = cosSim(dotProduct(col("e"), col("ce")),
-          col("nrm") * col("cn")).as("csim")
-        val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("ccid"))
         // build the corpus index ONCE — inverted lists AND centroids go to
         // the lake slot; everything the batch touches is read back from it
         val idxDir = Sinks.stagingDir("graft-ivf-incr", d)
-        corpus.crossJoin(broadcast(cent))
-          .select(col("vec_id"), col("ccid"), csim)
-          .withColumn("crk", row_number().over(wAssign))
-          .filter(col("crk") === 1)
+        assignTopK(corpus, cent, 1)
           .join(corpus, "vec_id")
           .select(col("vec_id").as("cid"), col("ccid").as("cell"),
             col("e").as("ce2"), col("nrm").as("cn2"))
@@ -438,10 +454,7 @@ object Similarity {
         val lists = s.read.parquet(s"$idxDir/lists")
         val rcent = s.read.parquet(s"$idxDir/centroids")
         // ingest: assign ONLY the new batch against the read-back centroids
-        val qp = batch.crossJoin(broadcast(rcent))
-          .select(col("vec_id"), col("ccid"), csim)
-          .withColumn("crk", row_number().over(wAssign))
-          .filter(col("crk") <= 4)
+        val qp = assignTopK(batch, rcent, 4)
           .join(batch, "vec_id")
           .select(col("vec_id").as("qid"), col("ccid").as("cell"),
             col("e").as("qe"), col("nrm").as("qn"))
@@ -474,8 +487,9 @@ object Similarity {
     //    the shuffle. ───────────────────────────────────────────────────────
     Q("q_kmeans_step",
       s"""WITH $normsCte,
+         |$ivfmCte,
          |cent AS (SELECT vec_id AS ccid, e AS ce, nrm AS cn FROM n
-         |         WHERE vec_id % 31 = 1),
+         |         WHERE vec_id % $ivfModSql = 1),
          |asg AS (SELECT n.vec_id, cent.ccid,
          |        ${dotSqlIdx("n.e", "cent.ce")} / sqrt(n.nrm * cent.cn) AS csim
          |      FROM n CROSS JOIN cent),
@@ -499,11 +513,9 @@ object Similarity {
          |ORDER BY ccid, dim""".stripMargin) {
       (s, d) =>
         val n = withNorms(s, d).cache() // assignment + quantized join-back
-        val cent = n.filter(col("vec_id") % 31 === 1)
+        val cent = n
+          .filter(col("vec_id") % ivfModulus(embeddingCount(s, d)) === 1)
           .select(col("vec_id").as("ccid"), col("e").as("ce"), col("nrm").as("cn"))
-        val csim = cosSim(dotProduct(col("e"), col("ce")),
-          col("nrm") * col("cn")).as("csim")
-        val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("ccid"))
         // cache boundary after the scale stage (the q_quantize rule): stops
         // CollapseProject inlining array_max into the per-element lambda
         val scaled = n
@@ -514,10 +526,7 @@ object Similarity {
         val qvDf = scaled.withColumn("q",
           transform(col("e"), x => floor(x * col("scale") + 0.5).cast("long")))
           .select("vec_id", "q")
-        n.crossJoin(broadcast(cent))
-          .select(col("vec_id"), col("ccid"), csim)
-          .withColumn("crk", row_number().over(wAssign))
-          .filter(col("crk") === 1)
+        assignTopK(n, cent, 1)
           .join(qvDf, "vec_id")
           .select(col("ccid"), posexplode(col("q")).as(Seq("dim", "v")))
           .groupBy("ccid", "dim")
@@ -753,7 +762,8 @@ object Similarity {
     //    bit-for-bit. ──────────────────────────────────────────────────────
     Q("q_ann_recall",
       s"""WITH $normsCte,
-         |$lshCte,
+         |$adaptiveLshCte,
+         |$ivfmCte,
          |q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn, bucket FROM nb
          |      WHERE $recallQPredSql),
          |xp AS (SELECT qid, c.vec_id AS cid,
@@ -773,9 +783,7 @@ object Similarity {
          |          ORDER BY dot / sqrt(qn * cn) DESC, cid) AS rk
          |      FROM lp),
          |l3 AS (SELECT qid, cid FROM lr WHERE rk <= 3),
-         |probes AS (SELECT qid, qe, qn,
-         |    unnest([bucket${(0 until LshBits).map(b => s", xor(bucket, ${1L << b})").mkString}]) AS bucket
-         |  FROM q),
+         |$multiProbesCte,
          |mp AS (SELECT qid, c.vec_id AS cid,
          |        ${dotSqlIdx("qe", "c.e")} AS dot, qn, c.nrm AS cn
          |      FROM probes JOIN nb c USING (bucket) WHERE c.vec_id <> qid),
@@ -786,7 +794,7 @@ object Similarity {
          |      FROM ms),
          |m3 AS (SELECT qid, cid FROM mr WHERE rk <= 3),
          |cent AS (SELECT vec_id AS ccid, e AS ce, nrm AS cn FROM n
-         |         WHERE vec_id % 31 = 1),
+         |         WHERE vec_id % $ivfModSql = 1),
          |asg AS (SELECT n.vec_id, cent.ccid,
          |        ${dotSqlIdx("n.e", "cent.ce")} / sqrt(n.nrm * cent.cn) AS csim
          |      FROM n CROSS JOIN cent),
@@ -823,7 +831,8 @@ object Similarity {
         // stage them (recomputing the vector math per variant is the wrong
         // plan at any scale)
         val n = withNorms(s, d).cache()
-        val nb = bucketsFrom(n)
+        val bits = adaptiveBits(embeddingCount(s, d))
+        val nb = bucketsFrom(n, bits)
         val ex = exactRankedFrom(n, recallQPred)
           .select("qid", "cid").cache() // probed by all three variants
         val exN = ex.agg(count(lit(1)).as("n_expected"))
@@ -836,10 +845,11 @@ object Similarity {
               when(col("n_expected") > 0,
                 col("n_hits").cast("double") / col("n_expected"))
                 .as("recall"))
-        recallRow("ivf", ivfRankedFrom(n, recallQPred))
+        recallRow("ivf",
+            ivfRankedFrom(n, ivfModulus(embeddingCount(s, d)), recallQPred))
           .unionByName(recallRow("lsh", lshRankedFrom(nb, recallQPred)))
           .unionByName(recallRow("multiprobe",
-            multiprobeRankedFrom(nb, recallQPred)))
+            multiprobeRankedFrom(nb, bits, recallQPred)))
           .orderBy("method")
     },
 
@@ -1105,14 +1115,15 @@ object Similarity {
       .withColumn("nrm", dotProduct(col("e"), col("e")))
 
   /** [[withNorms]] plus the random-hyperplane sign-bucket id (Spark half of
-    * [[lshCte]]): plane weights are driver-derived literals via the same
-    * md5 formula the oracle uses, so the bucket id is one narrow map stage —
-    * no cross join, no per-plane shuffle.
+    * [[adaptiveLshCte]]): plane weights are driver-derived literals via the
+    * same md5 formula the oracle uses, so the bucket id is one narrow map
+    * stage — no cross join, no per-plane shuffle. Width is the adaptive
+    * 2^bits ≥ N (shared with the dedup-cosine family).
     */
   private def withBuckets(s: org.apache.spark.sql.SparkSession, d: String) =
-    bucketsFrom(withNorms(s, d))
+    bucketsFrom(withNorms(s, d), adaptiveBits(embeddingCount(s, d)))
 
-  private def bucketsFrom(n: DataFrame, bits: Int = LshBits): DataFrame = {
+  private def bucketsFrom(n: DataFrame, bits: Int): DataFrame = {
     val planes: Seq[Seq[Double]] = (0 until bits).map { b =>
       (1 to Dims).map(dd =>
         ((md5LongLocal(s"$b:$dd") % 2001L) - 1000L) / 1000.0)
@@ -1167,16 +1178,18 @@ object Similarity {
       .select("qid", "rk", "cid", "bucket", "sim")
   }
 
-  /** Multi-probe LSH ANN: each query explodes its bucket plus the 6
-    * one-bit-flip neighbors; the candidate join stays a pure equi-join.
+  /** Multi-probe LSH ANN: each query explodes its bucket plus the
+    * bits = O(log N) one-bit-flip neighbors; the candidate join stays a
+    * pure equi-join.
     */
   private[queries] def multiprobeRanked(s: SparkSession, d: String): DataFrame =
-    multiprobeRankedFrom(withBuckets(s, d))
+    multiprobeRankedFrom(withBuckets(s, d),
+      adaptiveBits(embeddingCount(s, d)))
 
-  private def multiprobeRankedFrom(nb: DataFrame,
+  private def multiprobeRankedFrom(nb: DataFrame, bits: Int,
       qPred: Column = col("vec_id") % 25 === 0): DataFrame = {
     val probeSet = array(
-      col("bucket") +: (0 until LshBits).map(b =>
+      col("bucket") +: (0 until bits).map(b =>
         col("bucket").bitwiseXOR(lit(1L << b))): _*)
     val q = nb.filter(qPred)
       .select(col("vec_id").as("qid"), col("e").as("qe"),
@@ -1194,25 +1207,56 @@ object Similarity {
       .select("qid", "rk", "cid", "sim")
   }
 
-  /** IVF ANN: broadcast-centroid assignment on SLIM (id, cell, csim) rows —
-    * the window shuffle moves 24 B/row, not the vectors — then an equi-join
-    * on cell id between the nprobe=4 query probes and the inverted lists.
+  /** Each vector's `k` nearest centroids by cosine, computed INSIDE one
+    * projection over the broadcast centroid array: the centroid set
+    * (bounded O(√N) by [[ivfModulus]]) collapses to a single
+    * collect_list row, crossJoin(broadcast) replicates it per partition,
+    * and per vector a transform → array_sort(comparator) → slice →
+    * posexplode picks the top k. NO N×nlist row ever materializes and no
+    * window shuffle runs — assignment is embarrassingly parallel, the
+    * plan you want when N×nlist rows would be the biggest shuffle in the
+    * job (it was: the r7 window-based assignment moved 116M rows at sf3,
+    * the 1.85 growth exponent in tools/scalecheck.json). The comparator
+    * mirrors the oracle's ORDER BY csim DESC, ccid (NULLS LAST — though
+    * cosSim's zero-norm NULL never fires on this corpus).
+    * Output: (vec_id, ccid, crk) with crk = 1..k.
+    */
+  private def assignTopK(n: DataFrame, cent: DataFrame, k: Int): DataFrame = {
+    val cents = cent
+      .agg(collect_list(struct(col("ccid"), col("ce"), col("cn"))).as("cents"))
+    val scored = transform(col("cents"), c =>
+      struct(
+        cosSim(dotProduct(col("e"), c.getField("ce")),
+          col("nrm") * c.getField("cn")).as("csim"),
+        c.getField("ccid").as("ccid")))
+    val cmp = (l: Column, r: Column) => {
+      val (ls, rs) = (l.getField("csim"), r.getField("csim"))
+      val (li, ri) = (l.getField("ccid"), r.getField("ccid"))
+      when(ls.isNull && rs.isNotNull, 1)
+        .when(rs.isNull && ls.isNotNull, -1)
+        .when(ls > rs, -1).when(ls < rs, 1)
+        .when(li < ri, -1).when(li > ri, 1).otherwise(0)
+    }
+    n.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        posexplode(slice(array_sort(scored, cmp), 1, k)).as(Seq("p", "sc")))
+      .select(col("vec_id"), col("sc.ccid").as("ccid"),
+        (col("p") + 1).as("crk"))
+  }
+
+  /** IVF ANN: map-side [[assignTopK]] over the √N broadcast centroids,
+    * then an equi-join on cell id between the nprobe=4 query probes and
+    * the inverted lists.
     */
   private[queries] def ivfRanked(s: SparkSession, d: String): DataFrame =
-    ivfRankedFrom(withNorms(s, d).cache()) // assignment + two vector join-backs
+    ivfRankedFrom(withNorms(s, d).cache(), // assignment + two vector join-backs
+      ivfModulus(embeddingCount(s, d)))
 
-  private def ivfRankedFrom(n: DataFrame,
+  private def ivfRankedFrom(n: DataFrame, ivfMod: Long,
       qPred: Column = col("vec_id") % 25 === 0): DataFrame = {
-    val cent = n.filter(col("vec_id") % 31 === 1)
+    val cent = n.filter(col("vec_id") % ivfMod === 1)
       .select(col("vec_id").as("ccid"), col("e").as("ce"), col("nrm").as("cn"))
-    val csim = (dotProduct(col("e"), col("ce")) /
-      sqrt(col("nrm") * col("cn"))).as("csim")
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("ccid"))
-    val assign = n.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("ccid"), csim)
-      .withColumn("crk", row_number().over(wAssign))
-      .filter(col("crk") <= 4)
-      .select("vec_id", "ccid", "crk")
+    val assign = assignTopK(n, cent, 4)
       .cache() // inverted lists + query probes read it once each
     val inv = assign.filter(col("crk") === 1).join(n, "vec_id")
       .select(col("vec_id").as("cid"), col("ccid").as("cell"),

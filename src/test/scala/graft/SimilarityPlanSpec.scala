@@ -66,6 +66,36 @@ class SimilarityPlanSpec extends SparkTestBase {
     }
   }
 
+  // IVF coarse-quantizer sizing: nlist must grow as √N, not N. Round 7's
+  // fixed modulus 31 made nlist = N/31 and the assignment stage O(N²/31) —
+  // the 1.85 sf1→sf3 growth exponent in tools/scalecheck.json. These exact
+  // values fail on any regression back to a constant modulus.
+  test("adaptive IVF modulus follows max(31, floor(sqrt(N)))") {
+    import graft.queries.Similarity.ivfModulus
+    assert(ivfModulus(0L) == 31)
+    assert(ivfModulus(961L) == 31)    // 31² — last corpus on the floor
+    assert(ivfModulus(1024L) == 32)   // first width step
+    assert(ivfModulus(2000L) == 44)   // sf0.1 regime
+    assert(ivfModulus(20000L) == 141) // sf1 regime
+    assert(ivfModulus(60000L) == 244) // sf3 regime
+    for (n <- Seq(100L, 5000L, 123456L, 10000000L)) {
+      val m = ivfModulus(n)
+      assert(m == math.max(31L, math.sqrt(n.toDouble).toLong), s"n=$n m=$m")
+    }
+  }
+
+  // The assignment itself must stay MAP-SIDE (assignTopK: broadcast
+  // centroid array + per-row sorted slice): the only Window in the whole
+  // q_ann_ivf plan is the final per-query rank. A second Window means the
+  // N×nlist assignment frame is being shuffled again.
+  test("q_ann_ivf assignment is map-side: exactly one Window (the final rank)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = finalPlan(SparkEntry.queries("q_ann_ivf")(spark, sfDir))
+    val windows = collectAll(plan) { case w: WindowExec => w }
+    assert(windows.size == 1,
+      s"expected only the final rank window, got ${windows.size}")
+  }
+
   // Same discipline for the pigeonhole hamming join (q_simhash_pairs): the
   // combo key must WIDEN with the corpus — smallest k whose packed key
   // space covers N — or bucket occupancy grows linearly and the candidate
