@@ -18,11 +18,20 @@ import org.apache.spark.sql.functions._
   *    total join/agg work scales linearly with the replica count.
   *  - `region`/`nation` stay single-copy (dimensions don't scale with fact
   *    data; nationkey references remain valid in every island).
-  *  - `documents.text` is token-ROTATED by 7·r positions per replica:
-  *    vocabulary, lengths and within-island near-dup structure are
-  *    preserved, but 3-gram shingles across islands disagree — replicas do
-  *    NOT become artificial near-duplicates (which would quadratically
-  *    inflate every banding join and poison the growth measurement).
+  *  - `documents.text` is token-TAGGED per replica (token w → "w~r" for
+  *    r > 0): a bijective token rename preserves lengths and the
+  *    within-island near-dup structure EXACTLY (shingle equality is
+  *    invariant under a bijection), while islands get disjoint
+  *    vocabularies — cross-island Jaccard is 0 for every document, so
+  *    replicas can NEVER become artificial near-duplicates. (Round 7
+  *    used token ROTATION by 7·r, which collides mod document length:
+  *    an L-token doc has only L distinct rotations, so at ≥ 10 replicas
+  *    short docs formed identical cross-island texts — 30-member
+  *    duplicate cliques, 2.2M candidate pairs at sf3 vs ~256 at sf0.1 —
+  *    quadratically inflating every banding measurement, exactly the
+  *    poisoning this transform exists to avoid. Tagging also grows the
+  *    vocabulary with the corpus, which is the Heaps-law behavior a real
+  *    crawl exhibits, where rotation froze it at ~930 shingles.)
   *  - `embeddings.embedding` is dimension-rotated by r for the same
   *    reason: norms and within-island cosine structure survive, while
   *    cross-island cosines stay at random-vector levels.
@@ -89,19 +98,18 @@ object ScaleGen {
       off("user_id", su), col("event_type"), col("value"), col("props")),
       "events", 8)
 
-    // token rotation by 7·r (mod length): identity for replica 0
-    val rotText = expr(
-      """array_join(
-        |  CASE WHEN size(split(text, ' ')) < 2 THEN split(text, ' ')
-        |  ELSE concat(
-        |    slice(split(text, ' '),
-        |      cast((__r * 7) % size(split(text, ' ')) as int) + 1,
-        |      size(split(text, ' ')) - cast((__r * 7) % size(split(text, ' ')) as int)),
-        |    slice(split(text, ' '), 1,
-        |      cast((__r * 7) % size(split(text, ' ')) as int)))
-        |  END, ' ')""".stripMargin)
+    // per-replica token tagging (identity for replica 0): a bijective
+    // rename — within-island shingle structure is EXACTLY preserved,
+    // cross-island vocabularies are disjoint (see the header for why
+    // rotation was wrong)
+    val tagText = expr(
+      """CASE WHEN __r = 0 THEN text
+        |ELSE array_join(
+        |  transform(split(text, ' '),
+        |    w -> concat(w, '~', cast(__r as string))), ' ')
+        |END""".stripMargin)
     write(rep(raw("documents")).select(off("doc_id", sd),
-      rotText.as("text"), col("lang"), col("source"), col("n_chars")),
+      tagText.as("text"), col("lang"), col("source"), col("n_chars")),
       "documents", 8)
 
     // dimension rotation by r (mod dim): identity for replica 0

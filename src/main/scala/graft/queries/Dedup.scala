@@ -82,7 +82,7 @@ object Dedup {
       .select(col("doc_id"), explode(wordShingles(toks, 3)).as("s"))
       .select(col("doc_id"), md5Long(col("s")).as("hv"))
 
-  private def minhashPairs(s: org.apache.spark.sql.SparkSession,
+  private[graft] def minhashPairs(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     minhashPairsFrom(shingleHashes(s, d))
 
