@@ -398,23 +398,16 @@ object Dedup {
         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
         |    AND $probeSqlA),
         |tokc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
-        |dict AS (SELECT t, row_number() OVER (ORDER BY t) AS idx
-        |         FROM (SELECT DISTINCT t FROM tokc)),
-        |docs AS (SELECT DISTINCT doc_id FROM tokc),
-        |cell AS (SELECT d.doc_id, dc.idx, coalesce(tc.c, 0) AS c
-        |         FROM docs d CROSS JOIN dict dc
-        |         LEFT JOIN tokc tc ON tc.doc_id = d.doc_id AND tc.t = dc.t),
-        |vec AS (SELECT doc_id, list(c ORDER BY idx) AS v, sum(c) AS n
-        |        FROM cell GROUP BY doc_id),
         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |         list_reduce(list_prepend(0::BIGINT,
-        |           list_transform(range(1, len(a.v)+1),
-        |                          i -> least(a.v[i], b.v[i]))),
-        |           (x,y) -> x + y) AS smin,
-        |         a.n + b.n AS ntot
-        |       FROM vec a JOIN vec b
-        |         ON a.doc_id < b.doc_id AND $probeSqlA),
-        |truth AS (SELECT doc_a, doc_b FROM pr WHERE smin * 8 >= ntot * 3),
+        |         sum(least(a.c, b.c)) AS smin
+        |       FROM tokc a JOIN tokc b ON b.t = a.t AND a.doc_id < b.doc_id
+        |       WHERE $probeSqlA
+        |       GROUP BY a.doc_id, b.doc_id),
+        |sz AS (SELECT doc_id, sum(c) AS n FROM tokc GROUP BY doc_id),
+        |truth AS (SELECT doc_a, doc_b FROM pr
+        |          JOIN sz sa ON sa.doc_id = doc_a
+        |          JOIN sz sb ON sb.doc_id = doc_b
+        |          WHERE smin * 8 >= (sa.n + sb.n) * 3),
         |tn AS (SELECT count(*) AS n_truth FROM truth),
         |cn AS (SELECT count(*) AS n_cand FROM cand),
         |hn AS (SELECT count(*) AS n_hits
@@ -427,58 +420,46 @@ object Dedup {
         // ONE cached token scan feeds signatures AND the bag-count truth
         val tok = spread(documents(s, d))
           .select(col("doc_id"), explode(toks).as("t")).cache()
+        // k = 1 deliberately at this radius: widening the combo key to
+        // k = 3 means C(11,3) = 165 combos — the ×165 explode and the
+        // 165-branch first-match dedup cost 5× more than the smaller
+        // buckets save (measured 25.8 s vs 5.6 s at sf3). The adaptive-k
+        // dial pays at small radii (q_simhash_pairs, maxDist 3); at
+        // radius 8 the 9-block single-key join is the right trade.
         val cand = graft.ops.HammingJoin
           .pairsWithin(simhashesFromTok(tok).cache(), "doc_id", "simhash", 60, 8)
           .filter(col("doc_a") < ProbeDocs) // probe-bounded measurement
           .select("doc_a", "doc_b").cache() // counted AND hit-joined
         val tokc = tok
           .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
-          .cache() // dictionary scan + vector build both read it
-        // global dictionary, driver-bounded (SetSimilarity's vocabCap
-        // discipline): at corpus scale the dense-vector truth would use a
-        // capped frequent dictionary + exact rare tail; this corpus's
-        // 31-word vocabulary fits outright, and the guard makes growth loud
-        val vocab = tokc.select("t").distinct().orderBy("t")
-          .limit(1025).collect().map(_.getString(0))
-        require(vocab.length <= 1024,
-          "token vocabulary exceeds the dense-truth dictionary cap")
-        val V = vocab.length
-        import s.implicits._
-        val dictDf = broadcast(
-          vocab.zipWithIndex.toSeq.toDF("t", "idx"))
-        // total under V=0 (empty corpus): sequence(0,-1) would descend, so
-        // the vector degenerates to an explicit empty array instead
-        val vecExpr =
-          if (V == 0) array().cast("array<bigint>")
-          else transform(sequence(lit(0), lit(V - 1)),
-            i => coalesce(element_at(col("m"), i), lit(0L)))
-        val vecs = tokc.join(dictDf, "t")
-          .groupBy("doc_id")
-          .agg(map_from_entries(collect_list(struct(col("idx"), col("c"))))
-            .as("m"), sum("c").as("n"))
-          .select(col("doc_id"), vecExpr.as("v"), col("n"))
-        // broadcast side = the probe vectors only — a CONSTANT-size frame
-        // (ProbeDocs rows), so the theta-join below is O(probe × N)
-        val a = vecs.filter(col("doc_id") < ProbeDocs)
-          .select(col("doc_id").as("doc_a"), col("v").as("va"),
-            col("n").as("na"))
-        val b = vecs.select(col("doc_id").as("doc_b"), col("v").as("vb"),
-          col("n").as("nb"))
-        // per-pair Σ min as a V-term codegen expression, NOT a zip_with HOF:
-        // the HOF allocates an intermediate array per pair — at 12.5M pairs
-        // that allocation dominates; element_at terms are pure arithmetic
-        val smin = (0 until V)
-          .map(i => least(col("va")(i), col("vb")(i)))
-          .foldLeft(lit(0L))(_ + _) // fold, not reduce: total under V=0
-        // length prefilter inside the join condition (classic prefix
-        // filtering): J ≤ min(na,nb)/max(na,nb), so J ≥ 0.6 is impossible
-        // unless 5·min ≥ 3·max — And short-circuits in codegen, so the
-        // V-term sum never evaluates for length-incompatible pairs
-        val lenOk = least(col("na"), col("nb")) * 5 >=
-          greatest(col("na"), col("nb")) * 3
-        val truth = broadcast(a).join(b,
-          col("doc_a") < col("doc_b") && lenOk &&
-            smin * 8 >= (col("na") + col("nb")) * 3)
+          .cache() // probe postings + candidate postings + sizes read it
+        // Sparse inverted-index truth kernel: the weighted intersection
+        // Σ min(ca, cb) comes from an EQUI-JOIN on the token — a probe
+        // token only ever reaches the documents that contain it, so the
+        // join volume is Σ_t (probe docs with t) × (docs with t), bounded
+        // by the probe side (ProbeDocs = 200, constant) times the posting
+        // lists it touches. (Round 7 used dense bag-count vectors over a
+        // GLOBAL driver-collected dictionary — a V-term sum per pair.
+        // That was fine while the synthetic corpus froze V at 31 words,
+        // but a Heaps-law vocabulary grows V with N, making the truth
+        // O(probe·N·V) — measured 117 s / exponent 1.85 at sf3 before
+        // this rewrite, 2.6 s after.) A pair sharing zero tokens yields
+        // no row — it cannot pass the ≥ 3/8 overlap threshold either way.
+        val a = tokc.filter(col("doc_id") < ProbeDocs)
+          .select(col("doc_id").as("doc_a"), col("t"), col("c").as("ca"))
+        val b = tokc.select(col("doc_id").as("doc_b"), col("t"),
+          col("c").as("cb"))
+        val pr = broadcast(a).join(b, Seq("t"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b")
+          .agg(sum(least(col("ca"), col("cb"))).as("smin"))
+        val sz = tokc.groupBy("doc_id").agg(sum("c").as("n"))
+        val truth = pr
+          .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")),
+            "doc_a")
+          .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+            "doc_b")
+          .filter(col("smin") * 8 >= (col("na") + col("nb")) * 3)
           .select("doc_a", "doc_b").cache() // counted AND hit-joined
         val nT = truth.agg(count(lit(1)).as("n_truth"))
         val nC = cand.agg(count(lit(1)).as("n_cand"))
