@@ -59,14 +59,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * as a timestamp. Read it as nanos-since-epoch (legacy.parquet.nanosAsLong)
-    * and FLOOR-divide to a µs TimestampType — exactly what DuckDB's
-    * TIMESTAMP_NS → TIMESTAMP cast does, so both engines see identical µs
-    * instants. Floor, not `div`: `div` truncates toward zero, which differs
-    * from DuckDB on pre-1970 instants with sub-µs nanos (−999 ns is −1 µs
-    * under floor but 0 under truncation); the pmod-based form is exact
-    * floor division on BIGINT with no double round-trip.
+  /** `events.ts` has shipped in two physical layouts across testdata
+    * generations, so the loader adapts to whichever the file declares and
+    * always yields a µs-precision `TimestampType` column:
+    *
+    *  - parquet TIMESTAMP(NANOS) (and ScaleGen's sf≥1 synthesis, which
+    *    writes raw BIGINT nanos): Spark 4 refuses to read NANOS as a
+    *    timestamp, so read it as nanos-since-epoch
+    *    (legacy.parquet.nanosAsLong) and FLOOR-divide to µs — exactly what
+    *    DuckDB's TIMESTAMP_NS → TIMESTAMP cast does, so both engines see
+    *    identical µs instants. Floor, not `div`: `div` truncates toward
+    *    zero, which differs from DuckDB on pre-1970 instants with sub-µs
+    *    nanos (−999 ns is −1 µs under floor but 0 under truncation); the
+    *    pmod-based form is exact floor division on BIGINT with no double
+    *    round-trip.
+    *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) (current testdata):
+    *    Spark reads TIMESTAMP_NTZ; cast to TimestampType. Sessions here run
+    *    with UTC session/JVM time zone, so the cast re-labels the same µs
+    *    value DuckDB reads natively — no instant shift.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     // The flag belongs in the session builder (Verify/Bench/tests set it
@@ -74,9 +84,16 @@ object Tables {
     // without re-mutating shared conf on every call.
     val k = "spark.sql.legacy.parquet.nanosAsLong"
     if (!s.conf.getOption(k).contains("true")) s.conf.set(k, "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) div 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw // already TimestampType
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
