@@ -35,9 +35,11 @@ import org.apache.spark.sql.functions._
   *  - `embeddings.embedding` is dimension-rotated by r for the same
   *    reason: norms and within-island cosine structure survive, while
   *    cross-island cosines stay at random-vector levels.
-  *  - `events.ts` is written as raw BIGINT nanos (the nanosAsLong read
-  *    shape), which `Tables.events` consumes identically to the
-  *    TIMESTAMP(NANOS) original.
+  *  - `events.ts` passes through in whatever layout the source declares
+  *    (BIGINT nanos under the nanosAsLong read of TIMESTAMP(NANOS)
+  *    sources; TIMESTAMP_NTZ for the current µs testdata) —
+  *    `Tables.events` type-dispatches on read, so either output layout
+  *    reaches queries as the same µs TimestampType.
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {

@@ -24,13 +24,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Per-query failures are COLLECTED, not just logged: round 8 proved a
+    // silent skip turns into a correctness artifact that omits the broken
+    // queries and reads all-green (ADVICE r8 #1). Every failure lands in
+    // outDir/errors.json with its exception text, and the run exits
+    // nonzero so the driver can't record the round as a clean pass.
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(3).mkString(" | ").take(500)}"
+        failures(name) = msg
+        System.err.println(s"[verify] $name failed: $msg")
       }
       finally // queries cache intermediates (bands, bitsets, norms); left in
         // place they pin memory for the rest of the 100+-query session
@@ -54,6 +62,16 @@ object Verify {
       .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Always written — {} on a clean run — so a comparator can distinguish
+    // "query errored, message here" from "query was never requested".
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     spark.stop()
+    if (failures.nonEmpty) {
+      System.err.println(
+        s"[verify] ${failures.size} quer${if (failures.size == 1) "y" else "ies"} FAILED: ${failures.keys.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -27,13 +27,18 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    try:  # written by Verify (round 9+): query -> exception text
+        verify_errs = json.load(open(f"{out_dir}/errors.json"))
+    except Exception:
+        verify_errs = {}
     n_ok = n_bad = 0
     for name, sql in sorted(oracles.items()):
         if only and name not in only:
             continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
-            print(f"FAIL {name}: no spark output")
+            why = verify_errs.get(name, "no spark output")
+            print(f"FAIL {name}: {why}")
             n_bad += 1
             continue
         try:
