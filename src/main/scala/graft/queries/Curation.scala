@@ -354,6 +354,159 @@ object Curation {
     //    independent hash channel ('smp:' prefix, so the sample is
     //    uncorrelated with the train/val/test split buckets). Pure map
     //    stage at any scale. ───────────────────────────────────────────────
+    // ── data-mixture construction: fill a global token budget (half the
+    //    corpus) with per-source allocations proportional to a per-source
+    //    weight, selecting documents deterministically (an independent
+    //    'mix:' hash channel) until each source's allocation is spent — the
+    //    "30% code / 50% web / 20% books" pass every pre-training run
+    //    starts with. Scale shape: the naive form (one running-sum window
+    //    per source) funnels each source through ONE task; here selection
+    //    is bucket-thresholded instead — per-(source, hash-bucket) token
+    //    sums (a 256-row-per-source aggregate) locate the cutoff bucket,
+    //    whole buckets below it are selected by a broadcast-joined filter,
+    //    and only the single cutoff bucket (1/256th of a source) pays a
+    //    window. Same discipline as q_range_partition: the corpus is never
+    //    globally ordered. Selection rule is greedy-prefix (a document is
+    //    taken if its start offset lies inside the allocation), matching
+    //    q_pack_sequences' spanning model; all arithmetic is exact BIGINT.
+    Q("q_mix_sources",
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
+        |    ('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 15))::BIGINT AS hv
+        |  FROM documents),
+        |tb AS (SELECT doc_id, source, n_tok, hv, hv % 256 AS bkt FROM t),
+        |tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) // 2 AS budget FROM tb),
+        |sw AS (SELECT source,
+        |    CAST(CAST(substr(source, 4) AS INT) % 4 + 1 AS BIGINT) AS w
+        |  FROM tb GROUP BY source),
+        |ww AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM sw),
+        |tgt AS (SELECT source, budget * w // tw AS target
+        |        FROM sw CROSS JOIN tot CROSS JOIN ww),
+        |bs AS (SELECT source, bkt, CAST(SUM(n_tok) AS BIGINT) AS btok
+        |       FROM tb GROUP BY source, bkt),
+        |br AS (SELECT source, bkt, btok,
+        |    SUM(btok) OVER (PARTITION BY source ORDER BY bkt
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM bs),
+        |cut AS (SELECT br.source, min(br.bkt) AS cutoff
+        |        FROM br JOIN tgt ON br.source = tgt.source
+        |        WHERE br.cum >= tgt.target GROUP BY br.source),
+        |info AS (SELECT tgt.source, coalesce(cut.cutoff, 256) AS cutoff,
+        |           coalesce(tgt.target - (br.cum - br.btok), 0) AS need
+        |         FROM tgt LEFT JOIN cut ON tgt.source = cut.source
+        |         LEFT JOIN br ON br.source = cut.source AND br.bkt = cut.cutoff),
+        |full_sel AS (SELECT tb.doc_id, tb.source, tb.n_tok
+        |             FROM tb JOIN info ON tb.source = info.source
+        |             WHERE tb.bkt < info.cutoff),
+        |part0 AS (SELECT tb.doc_id, tb.source, tb.n_tok, tb.hv, info.need
+        |          FROM tb JOIN info
+        |            ON tb.source = info.source AND tb.bkt = info.cutoff),
+        |part_sel AS (SELECT doc_id, source, n_tok FROM (
+        |    SELECT doc_id, source, n_tok, need,
+        |      coalesce(SUM(n_tok) OVER (PARTITION BY source
+        |        ORDER BY hv, doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        |    FROM part0) WHERE pre < need)
+        |SELECT doc_id, source, n_tok
+        |FROM (SELECT * FROM full_sel UNION ALL SELECT * FROM part_sel)
+        |ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        import org.apache.spark.sql.expressions.Window
+        val tb = spread(documents(s, d))
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"),
+            md5Long(concat(lit("mix:"), col("doc_id").cast("string"))).as("hv"))
+          .withColumn("bkt", col("hv") % 256)
+        // allocation dims: all driver-scale (1 row; |sources| rows) —
+        // every join against them broadcasts, the corpus never shuffles
+        val tot = tb.agg(expr("sum(n_tok) div 2").as("budget"))
+        val sw = tb.groupBy("source").agg(
+          expr("cast(cast(substr(source, 4) as int) % 4 + 1 as bigint)")
+            .as("w"))
+        val ww = sw.agg(sum("w").as("tw"))
+        val tgt = sw.crossJoin(tot).crossJoin(ww) // single-row sides
+          .select(col("source"), expr("budget * w div tw").as("target"))
+        val br = tb.groupBy("source", "bkt").agg(sum("n_tok").as("btok"))
+          .withColumn("cum", sum("btok").over(
+            Window.partitionBy("source").orderBy("bkt")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val cut = br.join(tgt, Seq("source"))
+          .filter(col("cum") >= col("target"))
+          .groupBy("source").agg(min("bkt").as("cutoff"))
+        // one row per source-with-cutoff: tokens consumed BEFORE the
+        // cutoff bucket → how much of the allocation the bucket must fill
+        val cutRow = br.join(cut, Seq("source"))
+          .filter(col("bkt") === col("cutoff"))
+          .select(col("source"), col("cutoff"),
+            (col("cum") - col("btok")).as("before"))
+        val info = tgt.join(cutRow, Seq("source"), "left")
+          .select(col("source"),
+            coalesce(col("cutoff"), lit(256L)).as("cutoff"),
+            coalesce(col("target") - col("before"), lit(0L)).as("need"))
+        val fullSel = tb.join(broadcast(info), Seq("source"))
+          .filter(col("bkt") < col("cutoff"))
+          .select("doc_id", "source", "n_tok")
+        // only the cutoff bucket (≈1/256th of a source) reaches the window
+        val pre = Window.partitionBy("source").orderBy("hv", "doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val partSel = tb.join(broadcast(info), Seq("source"))
+          .filter(col("bkt") === col("cutoff"))
+          .withColumn("pre", coalesce(sum("n_tok").over(pre), lit(0L)))
+          .filter(col("pre") < col("need"))
+          .select("doc_id", "source", "n_tok")
+        fullSel.union(partSel).orderBy("doc_id")
+    },
+
+    // ── PII redaction: replace e-mail addresses and IPv4 literals with
+    //    typed placeholders and report per-document match counts plus the
+    //    hash of the scrubbed text — the privacy-scrub pass between crawl
+    //    and training corpus. The PII is planted deterministically from
+    //    doc_id (the container has no real PII corpus), so both engines
+    //    scrub byte-identical inputs; the patterns stay inside the common
+    //    Java-regex/RE2 subset (classes, bounded repeats, \b) so the two
+    //    engines' regex dialects agree. Pure narrow map at any scale —
+    //    no shuffle, no UDF, codegen'd string ops end to end. ──────────────
+    Q("q_pii_scrub",
+      """WITH aug AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' || doc_id
+        |             || '@mail.example.com from 10.0.' || (doc_id % 256) || '.7'
+        |         WHEN doc_id % 7 = 2 THEN text || ' ip 192.168.1.' || (doc_id % 200)
+        |         ELSE text END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_email,
+        |  CAST(len(regexp_extract_all(t,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+        |  md5(regexp_replace(
+        |    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'))
+        |    AS scrub_hash
+        |FROM aug ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+        val ipRe = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+        val aug = when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@mail.example.com from 10.0."),
+            (col("doc_id") % 256).cast("string"), lit(".7")))
+          .when(col("doc_id") % 7 === 2,
+            concat(col("text"), lit(" ip 192.168.1."),
+              (col("doc_id") % 200).cast("string")))
+          .otherwise(col("text"))
+        spread(documents(s, d))
+          .select(col("doc_id"), aug.as("t"))
+          .select(col("doc_id"),
+            regexp_count(col("t"), lit(emailRe)).cast("long").as("n_email"),
+            regexp_count(col("t"), lit(ipRe)).cast("long").as("n_ip"),
+            md5(regexp_replace(
+              regexp_replace(col("t"), emailRe, "<EMAIL>"),
+              ipRe, "<IP>")).as("scrub_hash"))
+          .orderBy("doc_id")
+    },
+
     Q("q_sample_stratified",
       """WITH s AS (SELECT doc_id, lang,
         |    ('0x' || substr(md5('smp:' || doc_id::VARCHAR), 1, 15))::BIGINT

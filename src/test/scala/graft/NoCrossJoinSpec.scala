@@ -42,6 +42,7 @@ class NoCrossJoinSpec extends SparkTestBase {
     "q_join_cardinality", // one-row exact-count × estimate frames
     "q_bloom_filter", // one-row broadcast bit-set frame probed per key
     "q_length_outliers", // corpus-wide exact p95 threshold
+    "q_mix_sources", // one-row budget/weight-sum frames → per-source targets
     "q_minhash_recall", // n_cand/n_truth/n_hits one-row count frames
     "q_simhash_recall", // count frames + the PROBE-bounded truth kernel
     // (broadcast side = ProbeDocs=200 dense vectors — constant at any SF)
