@@ -417,6 +417,9 @@ object Curation {
             size(split(col("text"), " ")).cast("long").as("n_tok"),
             md5Long(concat(lit("mix:"), col("doc_id").cast("string"))).as("hv"))
           .withColumn("bkt", col("hv") % 256)
+          // five consumers (budget, weights, bucket sums, both selects) —
+          // uncached, each re-tokenizes the corpus
+          .cache()
         // allocation dims: all driver-scale (1 row; |sources| rows) —
         // every join against them broadcasts, the corpus never shuffles
         val tot = tb.agg(expr("sum(n_tok) div 2").as("budget"))
