@@ -61,7 +61,11 @@ object ScaleCheck {
     // convergence loops: per-round work linear, round count data-dependent
     // (diameter / assignment stability); q_bpe's budget is fixed (10
     // merges), so its growth is the pair-count aggregate's
-    "q_kmeans", "q_bfs", "q_bpe")
+    "q_kmeans", "q_bfs", "q_bpe",
+    // round-9 additions: the three-stage dedup compose (both candidate
+    // kernels + two CC loops in one plan) and the bucket-thresholded
+    // mixture selection
+    "q_dedup_chain", "q_mix_sources")
 
   /** query → its final-plan observe() node, for iteration capture. */
   val LoopMetric: Map[String, String] = Map(

@@ -198,6 +198,124 @@ object Dedup {
           .orderBy("doc_id")
     },
 
+    // ── the three-stage dedup chain END TO END, one oracle-hashed plan —
+    //    the order every production corpus-dedup runs: exact (normalization
+    //    key) → syntactic near-dup (MinHash banding + connected components)
+    //    → semantic near-dup (embedding-cosine signature pairs + connected
+    //    components), each stage operating only on the previous stage's
+    //    survivors. The per-stage operators are each oracle-proven in
+    //    isolation (q_dedup_exact / q_dedup_clusters / q_dedup_cosine_
+    //    clusters); this query proves the unbroken compose, with per-stage
+    //    drop attribution and the canonical survivor for every document —
+    //    exactly what q_curation_pipeline does for the quality gates.
+    //    Stage-restriction is pair-level semi-joins (banding/signatures are
+    //    per-doc deterministic, so filtering pairs to survivors ≡ running
+    //    the generator on the survivor corpus — no second candidate pass).
+    //    Docs without an embedding (vec space is smaller than doc space)
+    //    pass the semantic stage untouched, the honest semantics of a
+    //    partially-embedded corpus. (On THIS synthetic corpus the exact
+    //    prefix key subsumes the banding stage — every MinHash pair shares
+    //    its first two tokens, so stage 2 drops 0 at sf0.01 while exact
+    //    drops 143 and cosine 13; the stage still runs its full kernel and
+    //    the oracle proves the survivor-restriction logic either way.)
+    //    Scale: the two candidate generators are
+    //    the bounded bucketed kernels measured in scalecheck; both CC loops
+    //    are the pointer-doubling operator with bounded rounds; everything
+    //    else is semi/anti/left equi-joins. ─────────────────────────────────
+    Q("q_dedup_chain",
+      s"""WITH RECURSIVE $MinhashPairsCte,
+        |ex AS (SELECT doc_id,
+        |    md5(array_to_string((string_split(text,' '))[1:2], ' ')) AS k
+        |  FROM documents),
+        |exc AS (SELECT k, min(doc_id) AS canon FROM ex GROUP BY k),
+        |s1 AS (SELECT ex.doc_id, exc.canon FROM ex JOIN exc USING (k)),
+        |s1k AS (SELECT doc_id FROM s1 WHERE doc_id = canon),
+        |p2 AS (SELECT doc_a, doc_b FROM pairs
+        |       WHERE doc_a IN (SELECT doc_id FROM s1k)
+        |         AND doc_b IN (SELECT doc_id FROM s1k)),
+        |edges2 AS (SELECT doc_a AS u, doc_b AS v FROM p2
+        |           UNION SELECT doc_b, doc_a FROM p2),
+        |nodes2 AS (SELECT DISTINCT u AS node FROM edges2),
+        |reach2(node, lbl) AS (
+        |  SELECT node, node FROM nodes2
+        |  UNION
+        |  SELECT e.u, r.lbl FROM edges2 e JOIN reach2 r ON r.node = e.v),
+        |comp2 AS (SELECT node, min(lbl) AS component FROM reach2 GROUP BY node),
+        |s2d AS (SELECT node, component FROM comp2 WHERE node <> component),
+        |s2k AS (SELECT doc_id FROM s1k
+        |        WHERE doc_id NOT IN (SELECT node FROM s2d)),
+        |${graft.queries.Similarity.cosinePairsCte},
+        |cp2 AS (SELECT vec_a, vec_b FROM cp
+        |        WHERE vec_a IN (SELECT doc_id FROM s2k)
+        |          AND vec_b IN (SELECT doc_id FROM s2k)),
+        |edges3 AS (SELECT vec_a AS u, vec_b AS v FROM cp2
+        |           UNION SELECT vec_b, vec_a FROM cp2),
+        |nodes3 AS (SELECT DISTINCT u AS node FROM edges3),
+        |reach3(node, lbl) AS (
+        |  SELECT node, node FROM nodes3
+        |  UNION
+        |  SELECT e.u, r.lbl FROM edges3 e JOIN reach3 r ON r.node = e.v),
+        |comp3 AS (SELECT node, min(lbl) AS component FROM reach3 GROUP BY node),
+        |s3d AS (SELECT node, component FROM comp3 WHERE node <> component)
+        |SELECT d.doc_id,
+        |  CASE WHEN s1.canon <> d.doc_id THEN 'exact'
+        |       WHEN s2d.node IS NOT NULL THEN 'minhash'
+        |       WHEN s3d.node IS NOT NULL THEN 'cosine'
+        |       ELSE NULL END AS dropped_by,
+        |  CASE WHEN s1.canon <> d.doc_id THEN s1.canon
+        |       WHEN s2d.node IS NOT NULL THEN s2d.component
+        |       WHEN s3d.node IS NOT NULL THEN s3d.component
+        |       ELSE d.doc_id END AS canonical
+        |FROM documents d
+        |JOIN s1 ON s1.doc_id = d.doc_id
+        |LEFT JOIN s2d ON s2d.node = d.doc_id
+        |LEFT JOIN s3d ON s3d.node = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin) {
+      (s, d) =>
+        val keyed = documents(s, d).select(col("doc_id"),
+          md5(array_join(slice(toks, 1, 2), " ")).as("k"))
+        val exc = keyed.groupBy("k").agg(min("doc_id").as("canon"))
+        val s1 = keyed.join(exc, Seq("k")).select(col("doc_id"), col("canon"))
+        val s1k = s1.filter(col("doc_id") === col("canon"))
+          .select("doc_id").cache() // restricts both downstream generators
+        val p2 = minhashPairs(s, d)
+          .join(s1k.withColumnRenamed("doc_id", "doc_a"),
+            Seq("doc_a"), "left_semi")
+          .join(s1k.withColumnRenamed("doc_id", "doc_b"),
+            Seq("doc_b"), "left_semi")
+        val s2d = graft.ops.ConnectedComponents.components(
+          p2.select(col("doc_a").as("a"), col("doc_b").as("b")))
+          .filter(col("node") =!= col("component"))
+          .select(col("node"), col("component")).cache()
+        val s2k = s1k.join(s2d.select(col("node").as("doc_id")),
+          Seq("doc_id"), "left_anti").cache()
+        val cp2 = Similarity.cosinePairs(s, d)
+          .join(s2k.withColumnRenamed("doc_id", "vec_a"),
+            Seq("vec_a"), "left_semi")
+          .join(s2k.withColumnRenamed("doc_id", "vec_b"),
+            Seq("vec_b"), "left_semi")
+        val s3d = graft.ops.ConnectedComponents.components(
+          cp2.select(col("vec_a").as("a"), col("vec_b").as("b")))
+          .filter(col("node") =!= col("component"))
+          .select(col("node"), col("component"))
+        documents(s, d).select("doc_id")
+          .join(s1, Seq("doc_id"))
+          .join(s2d.select(col("node").as("doc_id"), col("component").as("c2")),
+            Seq("doc_id"), "left")
+          .join(s3d.select(col("node").as("doc_id"), col("component").as("c3")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("canon") =!= col("doc_id"), lit("exact"))
+              .when(col("c2").isNotNull, lit("minhash"))
+              .when(col("c3").isNotNull, lit("cosine"))
+              .otherwise(lit(null).cast("string")).as("dropped_by"),
+            when(col("canon") =!= col("doc_id"), col("canon"))
+              .when(col("c2").isNotNull, col("c2"))
+              .when(col("c3").isNotNull, col("c3"))
+              .otherwise(col("doc_id")).as("canonical"))
+          .orderBy("doc_id")
+    },
+
     // ── incremental dedup: a NEW batch checked against the PERSISTED band
     //    index of the existing corpus — the production shape at lake scale
     //    (nobody re-deduplicates 100 TB per ingest; the increment joins the

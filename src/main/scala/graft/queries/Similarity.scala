@@ -166,7 +166,9 @@ object Similarity {
        |  FROM proj GROUP BY vec_id),
        |nb AS (SELECT n.vec_id, n.e, n.nrm, bk.bucket FROM n JOIN bk USING (vec_id))""".stripMargin
 
-  private val cosinePairsCte =
+  // private[queries]: q_dedup_chain (Dedup.scala) composes the semantic
+  // stage from this exact kernel so chain and standalone results agree
+  private[queries] val cosinePairsCte =
     s"""$normsCte,
        |$adaptiveLshCte,
        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -190,7 +192,7 @@ object Similarity {
     * plan spec (SimilarityPlanSpec) pins BroadcastNestedLoopJoin out of
     * the plan.
     */
-  private def cosinePairs(s: org.apache.spark.sql.SparkSession, d: String) = {
+  private[queries] def cosinePairs(s: org.apache.spark.sql.SparkSession, d: String) = {
     val bits = adaptiveBits(embeddingCount(s, d))
     val nb = bucketsFrom(withNorms(s, d), bits).cache() // probe side + join-backs
     val masks: Seq[Long] = 0L +:
