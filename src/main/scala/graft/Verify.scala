@@ -30,19 +30,26 @@ object Verify {
     // outDir/errors.json with its exception text, and the run exits
     // nonzero so the driver can't record the round as a clean pass.
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // watchdog budget per query: a hung query must become a recorded
+    // timeout, not a stalled round (sf0.01 queries run well under a minute;
+    // the budget is deliberately generous for loaded driver boxes)
+    val timeoutSec =
+      sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "900").toLong
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(3).mkString(" | ").take(500)}"
-        failures(name) = msg
-        System.err.println(s"[verify] $name failed: $msg")
+      Watchdog.run(spark, name, timeoutSec) {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } match {
+        case Left(msg) =>
+          failures(name) = msg
+          System.err.println(s"[verify] $name failed: $msg")
+        case Right(_) => ()
       }
-      finally // queries cache intermediates (bands, bitsets, norms); left in
-        // place they pin memory for the rest of the 100+-query session
-        spark.sharedState.cacheManager.clearCache()
+      // queries cache intermediates (bands, bitsets, norms); left in
+      // place they pin memory for the rest of the 100+-query session
+      spark.sharedState.cacheManager.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
