@@ -125,13 +125,23 @@ object ScaleCheck {
         Option(seen.remove(m))
       }
 
+    // same watchdog as Verify/Bench: at the ×30 point a pathological plan
+    // could hang for hours — that must become a recorded failure for ONE
+    // query, not a stalled report
+    val timeoutSec =
+      sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "1800").toLong
     def once(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
+      val r = Watchdog.run(spark, s"$name@$dir", timeoutSec) {
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+      }
       val t = (System.nanoTime() - t0) / 1e9
       spark.sharedState.cacheManager.clearCache()
-      t
+      r match {
+        case Right(_) => t
+        case Left(msg) => throw new RuntimeException(s"$name@$dir: $msg")
+      }
     }
     def best(name: String, dir: String, n: Int): Double =
       (1 to n).map(_ => once(name, dir)).min

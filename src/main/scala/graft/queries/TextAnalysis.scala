@@ -246,6 +246,58 @@ object TextAnalysis {
             transform(tokens, w => md5Long(w) % 1000003L),
             lit(0L), (a, b) => (a * 131L + b) % 1000003L).as("fp"))
           .orderBy("doc_id")
+    },
+
+    // ── learned quality filter, inference shape: a linear classifier over
+    //    the hashing-trick feature space (the fastText-style model every
+    //    production quality gate runs after the heuristics). The 64 bucket
+    //    weights are md5-derived integer literals on both engines (a
+    //    trained model would broadcast its weight vector the same way);
+    //    score = bias + Σ_tokens weight[h(token)] computed entirely inside
+    //    one HOF fold over the token array — per-token weight lookup into
+    //    a literal array, exact BIGINT accumulation, keep ⇔ score > 0
+    //    (the sigmoid's 0.5 threshold without evaluating exp(), whose
+    //    last-ULP behavior differs across engines). Feature channel 'fh:'
+    //    matches q_feature_hash, so this IS inference over that encoder's
+    //    space. Scale: no hash-partitioned shuffle anywhere (the explode+
+    //    groupBy one-hot shape is exactly what the fold avoids) — scores
+    //    at parquet-scan speed at any corpus size; plan-pinned by
+    //    QualityClassifierSpec, which also re-derives every score through
+    //    the avoided explode+groupBy plan and matches. ──────────────────
+    Q("q_quality_classifier",
+      """WITH w AS (SELECT j,
+        |    (('0x' || substr(md5('qw:' || j::VARCHAR), 1, 15))::BIGINT
+        |      % 2001) - 1000 AS wt
+        |  FROM range(0, 64) r(j)),
+        |wl AS (SELECT list(wt ORDER BY j) AS wv FROM w),
+        |bias AS (SELECT (('0x' || substr(md5('qw:bias'), 1, 15))::BIGINT
+        |      % 2001) - 1000 AS b),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |sc AS (SELECT doc_id,
+        |    b + list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(ts, x ->
+        |        wv[((('0x' || substr(md5('fh:' || x), 1, 15))::BIGINT % 64)
+        |            + 1)::INT])),
+        |      (a, v) -> a + v) AS score
+        |  FROM t CROSS JOIN wl CROSS JOIN bias)
+        |SELECT doc_id, score, score > 0 AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val wts: Seq[Long] =
+          (0 until 64).map(j => (md5LongLocal(s"qw:$j") % 2001L) - 1000L)
+        val bias = md5LongLocal("qw:bias") % 2001L - 1000L
+        val wArr = array(wts.map(lit): _*)
+        spread(documents(s, d))
+          .select(col("doc_id"), tokens.as("ts"))
+          .select(col("doc_id"),
+            (lit(bias) + aggregate(
+              transform(col("ts"), x =>
+                element_at(wArr,
+                  (md5Long(concat(lit("fh:"), x)) % 64).cast("int") + 1)),
+              lit(0L), (a, v) => a + v)).as("score"))
+          .select(col("doc_id"), col("score"),
+            (col("score") > 0).as("keep"))
+          .orderBy("doc_id")
     }
   )
 }
