@@ -446,6 +446,9 @@ object Curation {
           .select(col("source"),
             coalesce(col("cutoff"), lit(256L)).as("cutoff"),
             coalesce(col("target") - col("before"), lit(0L)).as("need"))
+          // |sources| rows joined by BOTH selects below; uncached, each
+          // re-runs the whole budget/weight/cutoff aggregate chain
+          .cache()
         val fullSel = tb.join(broadcast(info), Seq("source"))
           .filter(col("bkt") < col("cutoff"))
           .select("doc_id", "source", "n_tok")
