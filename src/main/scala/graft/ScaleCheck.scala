@@ -63,9 +63,9 @@ object ScaleCheck {
     // merges), so its growth is the pair-count aggregate's
     "q_kmeans", "q_bfs", "q_bpe",
     // round-9 additions: the three-stage dedup compose (both candidate
-    // kernels + two CC loops in one plan) and the bucket-thresholded
-    // mixture selection
-    "q_dedup_chain", "q_mix_sources")
+    // kernels + two CC loops in one plan), the bucket-thresholded
+    // mixture selection, and the perceptual-hash pigeonhole join
+    "q_dedup_chain", "q_mix_sources", "q_phash_pairs")
 
   /** query → its final-plan observe() node, for iteration capture. */
   val LoopMetric: Map[String, String] = Map(

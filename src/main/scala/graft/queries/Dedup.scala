@@ -36,7 +36,9 @@ object Dedup {
   // most one counting job per corpus.
   private val corpusCount =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  private def docCount(s: org.apache.spark.sql.SparkSession,
+  // private[queries]: q_phash_pairs (Multimodal.scala) sizes its adaptive
+  // pigeonhole key from the same memoized corpus count
+  private[queries] def docCount(s: org.apache.spark.sql.SparkSession,
       d: String): Long =
     corpusCount.computeIfAbsent(d, dir => documents(s, dir).count())
 

@@ -156,6 +156,82 @@ object Multimodal {
           }
         }.toDF("doc_id", "n_bytes", "min_byte", "max_byte", "sum_byte")
           .orderBy("doc_id")
+    },
+
+    // ── perceptual-hash near-duplicate pairs over the media payloads —
+    //    image dedup, the multimodal counterpart of q_simhash_pairs. The
+    //    signature is a 60-bit BLOCK-MEAN hash (the aHash family): payload
+    //    split into 60 equal byte blocks, bit i = 1 iff block i's mean
+    //    exceeds the global mean — compared cross-multiplied in exact
+    //    BIGINT (bs·L > total·blen, no division; payloads ≤ ~190 KB keep
+    //    the products in range — larger media would switch both engines to
+    //    identical floor-divided means). Computed in the mapPartitions
+    //    decoder slot (a real pipeline hashes the DECODED image here;
+    //    60 bits, not 64: DuckDB raises on 1<<63). Near-dup pairs at
+    //    hamming ≤ 8 via the SAME adaptive pigeonhole kernel as SimHash —
+    //    an equi-join on packed block combos, never all-pairs; the oracle
+    //    verifies by theta join at its own scale. ─────────────────────────
+    Q("q_phash_pairs",
+      """WITH b AS (SELECT doc_id,
+        |    list_transform(range(1, length(text) + 1),
+        |                   i -> ascii(substr(text, i, 1))) AS bytes
+        |  FROM documents),
+        |t AS (SELECT doc_id, bytes, CAST(len(bytes) AS BIGINT) AS L,
+        |        CAST(list_sum(bytes) AS BIGINT) AS total
+        |      FROM b),
+        |blk AS (SELECT doc_id, L, total, i,
+        |        coalesce(list_sum(bytes[(i*L//60)+1:((i+1)*L//60)]), 0)::BIGINT AS bs,
+        |        ((i+1)*L//60) - (i*L//60) AS blen
+        |      FROM t CROSS JOIN range(0, 60) r(i)),
+        |sig AS (SELECT doc_id,
+        |        CAST(SUM(CASE WHEN bs * L > total * blen
+        |                      THEN 1::BIGINT << i::INT ELSE 0 END) AS BIGINT) AS sig
+        |        FROM blk GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+        |FROM sig a JOIN sig b
+        |  ON a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= 8
+        |ORDER BY doc_a, doc_b""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val Bits = 60
+        val MaxDist = 8
+        val ds = spread(documents(s, d))
+          .select(col("doc_id"), col("text").cast("binary").as("bin"))
+          .as[DocBin]
+        val sig = ds.mapPartitions { it =>
+          it.map { r =>
+            val L = r.bin.length.toLong
+            var total = 0L
+            var i = 0
+            while (i < r.bin.length) { total += (r.bin(i) & 0xff); i += 1 }
+            var sg = 0L
+            var blk = 0
+            while (blk < Bits) {
+              val from = (blk * L / Bits).toInt
+              val until = ((blk + 1) * L / Bits).toInt
+              var bs = 0L
+              var j = from
+              while (j < until) { bs += (r.bin(j) & 0xff); j += 1 }
+              if (bs * L > total * (until - from)) sg |= 1L << blk
+              blk += 1
+            }
+            (r.doc_id, sg)
+          }
+        }.toDF("doc_id", "sig")
+        // radius 8, not the looser 10: at radius 10 the k ≤ 3 combo key
+        // tops out at 12 bits (4096 buckets — saturates before sf1 and
+        // the bucket join turns quadratic), while escaping to k = 4 costs
+        // a C(14,4) = 1001-combo explode (measured 7× slower at sf0.1).
+        // At radius 8, k = 3 packs 15-bit keys (covers 32k docs) at
+        // C(11,3) = 165 combos — the standard pHash near-exact operating
+        // point, scale-sound without either blow-up. k stays purely
+        // physical: pairsWithin is exact for any k.
+        val k = graft.ops.HammingJoin.adaptiveRequiredMatches(
+          Dedup.docCount(s, d), Bits, MaxDist)
+        graft.ops.HammingJoin.pairsWithin(
+            sig, "doc_id", "sig", Bits, MaxDist, k)
+          .orderBy("doc_a", "doc_b")
     }
   )
 
