@@ -23,23 +23,30 @@ import org.apache.spark.sql.execution.window.WindowExec
   * Usage: sbt 'runMain graft.PlanCheck [sfDir]' (default sf0.001 — the
   * driver-loop queries execute their convergence loops eagerly at plan
   * construction, so the smallest SF keeps the sweep fast).
+  *
+  * Second mode (VERDICT r9 ask #5): `runMain graft.PlanCheck <sfDir> aqe`
+  * records the plans that actually matter at scale — AQE's runtime-replanned
+  * final plans. Each query is EXECUTED (collect, result discarded) so
+  * AdaptiveSparkPlanExec finalizes every stage, then the same shape audit
+  * runs over the materialized plan → `tools/plancheck_aqe.json`, diffable
+  * against the static sweep for join-strategy changes.
   */
 object PlanCheck extends AdaptiveSparkPlanHelper {
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val aqe = args.lift(1).contains("aqe")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // static plans: with AQE on, codegen collapse (and final join
+      // static mode: with AQE on, codegen collapse (and final join
       // strategy) happens per-stage at RUNTIME, so an unexecuted
-      // executedPlan reads zero codegen spans; the audit documents the
-      // deterministic static planner output instead (Verify/Bench still
-      // run with AQE)
-      .config("spark.sql.adaptive.enabled", "false")
+      // executedPlan reads zero codegen spans; the static audit documents
+      // the deterministic planner output, the aqe mode the runtime one
+      .config("spark.sql.adaptive.enabled", aqe.toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -73,7 +80,12 @@ object PlanCheck extends AdaptiveSparkPlanHelper {
           // AQE wrapper applied, NOT executed) — sparkPlan would read zero
           // codegen spans because CollapseCodegenStages runs in the
           // preparation phase
-          val s = shape(fn(spark, sf).queryExecution.executedPlan)
+          val df = fn(spark, sf)
+          // aqe mode: execute first so every AdaptiveSparkPlanExec stage is
+          // finalized; the helper's collectWithSubqueries then walks the
+          // runtime-chosen plan, not the initial guess
+          if (aqe) df.collect()
+          val s = shape(df.queryExecution.executedPlan)
           spark.sharedState.cacheManager.clearCache()
           s
         }
@@ -82,9 +94,17 @@ object PlanCheck extends AdaptiveSparkPlanHelper {
     def j(m: Map[String, Int]): String =
       m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }
         .mkString("{", ",", "}")
+    // full JSON string escape (ADVICE r9: quote-replacement alone let a
+    // backslash or control char in an exception message corrupt the artifact)
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val qjson = rows.map {
       case (n, Right(m)) => s""""$n":${j(m)}"""
-      case (n, Left(e)) => s""""$n":{"error":"${e.replace("\"", "'")}"}"""
+      case (n, Left(e)) => s""""$n":{"error":"${esc(e)}"}"""
     }.mkString("{", ",", "}")
     val ok = rows.collect { case (_, Right(m)) => m }
     def tot(k: String) = ok.map(_(k)).sum
@@ -95,9 +115,11 @@ object PlanCheck extends AdaptiveSparkPlanHelper {
       "bnlj_total" -> tot("bnlj"),
       "global_window_total" -> tot("global_window"),
       "codegen_spans_total" -> tot("codegen_spans")))
-    val record = s"""{"sf":"$sf","summary":$summary,"queries":$qjson}"""
+    val record =
+      s"""{"sf":"$sf","aqe":$aqe,"summary":$summary,"queries":$qjson}"""
     println(record)
-    val out = ToolPaths.resolve("tools/plancheck.json")
+    val out = ToolPaths.resolve(
+      if (aqe) "tools/plancheck_aqe.json" else "tools/plancheck.json")
     val w = new java.io.PrintWriter(out)
     try w.println(record) finally w.close()
     System.err.println(s"[plancheck] wrote $out")

@@ -33,11 +33,15 @@ object Watchdog {
     t.start()
     val r = result.poll(timeoutSec, TimeUnit.SECONDS)
     if (r == null) {
-      spark.sparkContext.cancelJobGroup(name)
-      // give the interrupted action a beat to unwind so the next query's
+      // ADVICE r9: cancelJobGroup only hits jobs active at that instant; a
+      // multi-action query caught between jobs (driver-side compute, loop
+      // bookkeeping) would keep submitting. The future-jobs variant keeps the
+      // group cancelled so the leaked thread can't schedule anything more.
+      spark.sparkContext.cancelJobGroupAndFutureJobs(name)
+      // wait (bounded) for the worker to actually unwind so the next query's
       // jobs don't overlap the dying ones; daemon thread, so a truly stuck
       // action can't block JVM exit either way
-      result.poll(10, TimeUnit.SECONDS)
+      t.join(10000L)
       Left(s"TIMEOUT after ${timeoutSec}s (job group cancelled)")
     } else r.left.map(describe(_))
   }

@@ -84,6 +84,12 @@ object Tables {
     // without re-mutating shared conf on every call.
     val k = "spark.sql.legacy.parquet.nanosAsLong"
     if (!s.conf.getOption(k).contains("true")) s.conf.set(k, "true")
+    // The NTZ→TimestampType cast below re-labels wall-clock µs as an instant
+    // through the SESSION time zone — instant-exact only under UTC. Every
+    // in-repo main/test sets UTC; force it here too so a library caller with
+    // a non-UTC session can't silently read shifted instants (ADVICE r9).
+    val tz = "spark.sql.session.timeZone"
+    if (!s.conf.getOption(tz).contains("UTC")) s.conf.set(tz, "UTC")
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = table(s, d, "events")

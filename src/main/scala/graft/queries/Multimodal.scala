@@ -170,7 +170,11 @@ object Multimodal {
     //    60 bits, not 64: DuckDB raises on 1<<63). Near-dup pairs at
     //    hamming ≤ 8 via the SAME adaptive pigeonhole kernel as SimHash —
     //    an equi-join on packed block combos, never all-pairs; the oracle
-    //    verifies by theta join at its own scale. ─────────────────────────
+    //    verifies by theta join at its own scale. Oracle reads bytes via
+    //    character-based ascii()/length() while Spark hashes UTF-8 bytes —
+    //    exact ONLY for ASCII payloads (the testdata's documents.text is
+    //    ASCII; a non-ASCII regen must switch the oracle to
+    //    octet_length/BLOB indexing like the n_bytes queries above). ──────
     Q("q_phash_pairs",
       """WITH b AS (SELECT doc_id,
         |    list_transform(range(1, length(text) + 1),
