@@ -37,7 +37,7 @@ object Similarity {
   private val Dims = 64
   // Near-dup candidate probing: pairs whose sign-buckets differ in ≤ 2
   // hyperplane bits. EVERY signature space in this file is sized
-  // adaptively — 2^bits ≥ N, so bucket occupancy stays ≤ 1 and candidate
+  // adaptively — 2^bits ≥ 2N, so bucket occupancy stays ≤ 0.5 and candidate
   // volume is O(N · bits²), never O(N²/2^bits) with a FIXED bucket space
   // (measured: a fixed 6-bit signature grew 21× on 10× data in
   // tools/scalecheck.json; the adaptive one is linear). Round 8's
@@ -46,7 +46,7 @@ object Similarity {
   // GROWS with the table (vec_id % 25 = 0 — declared semantics: "index
   // every 25th vector's neighbors"), so a fixed 64-bucket space made the
   // probe stage Q · N/64 = O(N²/1600) — exponent 1.78 on the sf1→sf3
-  // step. With 2^bits ≥ N each probe touches O(1) expected candidates and
+  // step. With 2^bits ≥ 2N each probe touches O(1) expected candidates and
   // the total stays linear; multi-probe's bit-flip fan-out grows only as
   // bits = O(log N), which is exactly how production multi-probe LSH
   // regains recall as spaces get finer.
@@ -61,10 +61,18 @@ object Similarity {
     graft.ops.Exprs.md5LongLocal(s"kmseed:$j") % 1000000000L
 
   // private[graft] so SimilarityPlanSpec can pin the width FORMULA itself
-  // (2^bits >= n, floor 6, cap 30): a future edit reintroducing a fixed
+  // (2^bits >= 2n, floor 6, cap 30): a future edit reintroducing a fixed
   // width would resurrect the measured 21.4x scalecheck defect silently.
+  // Round 10 moved the target from 2^bits ≥ N to 2^bits ≥ 2N: occupancy
+  // N/2^bits used to saw-tooth through (0.5, 1] as the corpus crossed
+  // powers of two (sf1 sat at 0.61, sf3 at 0.92 — a 1.5× step in candidate
+  // volume that read as exponent ~1.4 on the sf1→sf3 scalecheck leg even
+  // though the kernel is linear). Halving the ceiling pins occupancy to
+  // (0.25, 0.5] everywhere, so the measured exponent tracks N, not the
+  // corpus's phase within a power-of-two window. 2^b ≥ 2n ⇔ 2^(b−1) ≥ n —
+  // the shifted form can't overflow for any Long n.
   private[graft] def adaptiveBits(n: Long): Int =
-    (6 to 30).find(b => (1L << b) >= n).getOrElse(30)
+    (6 to 30).find(b => (1L << (b - 1)) >= n).getOrElse(30)
   // IVF coarse-quantizer size: centroids are the vectors with
   // vec_id % M = 1 where M = max(31, ⌊√N⌋), so nlist ≈ √N — the textbook
   // IVF sizing (cell size ≈ √N balances assignment cost N·nlist against
@@ -141,7 +149,7 @@ object Similarity {
 
   /** Shared DuckDB candidate stage of the embedding-dedup family
     * (q_dedup_cosine / _clusters / _keep): ADAPTIVE-width signature CTEs
-    * (2^bits ≥ N, floor 6 — the same data-derived width the Spark side
+    * (2^bits ≥ 2N, floor 6 — the same data-derived width the Spark side
     * computes, so both engines build identical planes) + hamming-≤2
     * bucket pairs + exact cosine verify at ≥ 0.4, ending in
     * `cp(vec_a, vec_b, sim)`. The oracle finds radius-≤2 pairs by theta
@@ -151,7 +159,7 @@ object Similarity {
   private val adaptiveLshCte =
     s"""nbits AS (SELECT coalesce(min(b), 30)::INT AS bits
        |  FROM range(6, 31) r(b)
-       |  WHERE (1::BIGINT << b::INT) >= (SELECT count(*) FROM embeddings)),
+       |  WHERE (1::BIGINT << b::INT) >= 2 * (SELECT count(*) FROM embeddings)),
        |hp AS (SELECT b, list(w ORDER BY d) AS wv FROM (
        |    SELECT b, d,
        |      ((('0x' || substr(md5(b::VARCHAR || ':' || d::VARCHAR), 1, 15))::BIGINT
@@ -181,7 +189,7 @@ object Similarity {
 
   /** Spark half of [[cosinePairsCte]] — the bounded near-dup pair generator
     * shared by the whole embedding-dedup family. The signature width is
-    * ADAPTIVE (2^bits ≥ N, floor 6): occupancy stays ≤ 1 vector/bucket in
+    * ADAPTIVE (2^bits ≥ 2N, floor 6): occupancy stays ≤ 0.5 vector/bucket in
     * expectation, so candidate volume is O(N · bits²) — the scalecheck-
     * measured fix for the fixed-width signature's O(N²/2^bits) growth.
     * Side A explodes its 1 + bits + C(bits,2) hamming-≤2 probe masks as
@@ -240,7 +248,7 @@ object Similarity {
     // ── LSH-bucketed ANN: random-hyperplane signs → bucket equi-join ────
     // Hyperplane weights are derived from md5Long(b:d) so both engines
     // build the identical planes: w = ((h % 2001) - 1000) / 1000.0.
-    // Signature width is ADAPTIVE (2^bits ≥ N): the query set grows with
+    // Signature width is ADAPTIVE (2^bits ≥ 2N): the query set grows with
     // the table, so per-query candidate volume must stay O(1) — see the
     // ProbeHamming comment at the top of this file.
     Q("q_ann_lsh",
@@ -857,14 +865,14 @@ object Similarity {
 
     // ── embedding-cosine near-duplicate pairs (dedup flavor) ────────────
     // Candidate generation is a hyperplane signature stage with
-    // ADAPTIVE width (2^bits ≥ N, floor 6 — both engines derive bits from
+    // ADAPTIVE width (2^bits ≥ 2N, floor 6 — both engines derive bits from
     // the corpus count), self-joined with a hamming-≤2 probe radius: side
     // A explodes its 1 + bits + C(bits,2) probe masks as SLIM (id, bucket)
     // rows, the equi-join on bucket finds each candidate pair exactly once
     // (the mask that matches is bucketA⊕bucketB, unique per pair — no
     // distinct needed), vectors join back for candidates only, and the
     // exact cosine filter verifies. The adaptive width keeps expected
-    // bucket occupancy ≤ 1, so candidate volume is O(N · bits²) — measured
+    // bucket occupancy ≤ 0.5, so candidate volume is O(N · bits²) — measured
     // linear in tools/scalecheck.json, where the previous FIXED 6-bit
     // space grew 21× on 10× data. The all-pairs BroadcastNestedLoopJoin
     // this replaces is O(N²) and unusable at corpus scale; a plan spec
@@ -1120,7 +1128,7 @@ object Similarity {
     * [[adaptiveLshCte]]): plane weights are driver-derived literals via the
     * same md5 formula the oracle uses, so the bucket id is one narrow map
     * stage — no cross join, no per-plane shuffle. Width is the adaptive
-    * 2^bits ≥ N (shared with the dedup-cosine family).
+    * 2^bits ≥ 2N (shared with the dedup-cosine family).
     */
   private def withBuckets(s: org.apache.spark.sql.SparkSession, d: String) =
     bucketsFrom(withNorms(s, d), adaptiveBits(embeddingCount(s, d)))

@@ -47,22 +47,28 @@ class SimilarityPlanSpec extends SparkTestBase {
   // Width-formula pins: the scalecheck loop caught q_dedup_cosine at 21.4x
   // growth on 10x data when the signature width was a CONSTANT 6 bits
   // (candidate volume O(N²/2^bits)); the fix derives the width from the
-  // corpus (2^bits >= N, floor 6, cap 30 → occupancy ≤ 1 vector/bucket in
-  // expectation, candidates O(N·bits²), re-measured 3.0x). These exact
-  // values fail on any regression back to a constant width.
-  test("adaptive cosine signature width follows 2^bits >= N (floor 6, cap 30)") {
+  // corpus. Round 10 tightened the target from 2^bits >= N to
+  // 2^bits >= 2N (floor 6, cap 30): at >= N, occupancy N/2^bits
+  // saw-tooths through (0.5, 1] as the corpus crosses powers of two
+  // (sf1 0.61 vs sf3 0.92 — a 1.5x candidate-volume step that read as
+  // exponent ~1.4 on a linear kernel); at >= 2N occupancy is pinned to
+  // (0.25, 0.5] everywhere. These exact values fail on any regression to
+  // a constant width OR back to the saw-toothing >= N ceiling.
+  test("adaptive cosine signature width follows 2^bits >= 2N (floor 6, cap 30)") {
     import graft.queries.Similarity.adaptiveBits
     assert(adaptiveBits(0L) == 6)
-    assert(adaptiveBits(64L) == 6)     // floor: tiny corpora keep 6 bits
-    assert(adaptiveBits(65L) == 7)     // first width step
-    assert(adaptiveBits(5000L) == 13)  // sf0.1 regime
-    assert(adaptiveBits(50000L) == 16) // sf1 regime
-    assert(adaptiveBits(1L << 30) == 30)
+    assert(adaptiveBits(32L) == 6)     // floor: tiny corpora keep 6 bits
+    assert(adaptiveBits(33L) == 7)     // first width step
+    assert(adaptiveBits(5000L) == 14)  // sf0.1 regime
+    assert(adaptiveBits(50000L) == 17) // sf1 regime
+    assert(adaptiveBits(1L << 29) == 30)
     assert(adaptiveBits(Long.MaxValue) == 30) // cap: signatures stay packable
-    // the formula property itself, not just samples: minimal b with 2^b >= n
+    // the formula property itself, not just samples: minimal b with
+    // 2^b >= 2n (computed as 2^(b-1) >= n so Long.MaxValue can't overflow)
     for (n <- Seq(100L, 1000L, 123456L, 10000000L)) {
       val b = adaptiveBits(n)
-      assert((1L << b) >= n && (b == 6 || (1L << (b - 1)) < n), s"n=$n b=$b")
+      assert((1L << (b - 1)) >= n && (b == 6 || (1L << (b - 2)) < n),
+        s"n=$n b=$b")
     }
   }
 
