@@ -62,21 +62,24 @@ object Snapshots {
     StructField("date", StringType),
     StructField("_corrupt_record", StringType)))
 
+  /** Reads go through the DataSourceV2 connector ([[SnapshotSource]]):
+    * partition-per-page scans with connector-level iso/monitor/mobile
+    * filter pushdown — the reference's server-side query surface made
+    * literal. Parse semantics are bit-compatible with the PERMISSIVE JSON
+    * reader these methods previously used (`q_flagship`'s oracle hash is
+    * pinned on it).
+    */
   def readLocations(spark: SparkSession, path: String): DataFrame =
-    spark.read.schema(locationSchema)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .json(path)
+    spark.read.format("graft-snapshot").schema(locationSchema)
+      .load(path)
       .drop("_corrupt_record")
 
   /** Latest-measurement snapshot, flattened to the pipeline's input shape
     * (`AirQuality.run` expects `datetime_utc`/`datetime_local` columns).
     */
   def readLatest(spark: SparkSession, path: String): DataFrame =
-    spark.read.schema(latestSchema)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .json(path)
+    spark.read.format("graft-snapshot").schema(latestSchema)
+      .load(path)
       .select(col("location_id"), col("sensorsId"), col("value"), col("unit"),
         col("datetime.utc").as("datetime_utc"),
         col("datetime.local").as("datetime_local"),
