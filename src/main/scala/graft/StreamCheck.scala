@@ -83,12 +83,157 @@ object StreamCheck {
         s""""wall_sec":${fmt(wall)},"total_input_rows":$totalIn,""" +
         s""""final_state_rows":$lastState,"batches":$bj}"""
     }
-    val record = records.mkString("[", ",", "]")
+    // ── failure injection (VERDICT r9 ask #7): kill mid-batch, resume from
+    //    the checkpoint, compare post-resume state to the uninterrupted
+    //    run. Driven at the LARGEST dir (1M events when tmp/sf1 exists). ───
+    val recovery = recoveryRuns(spark, dirs.last)
+
+    val record =
+      s"""{"runs":${records.mkString("[", ",", "]")},""" +
+        s""""recovery":$recovery}"""
     println(record)
     val out = ToolPaths.resolve("tools/streamcheck.json")
     val w = new java.io.PrintWriter(out)
     try w.println(record) finally w.close()
     System.err.println(s"[streamcheck] wrote $out")
     spark.stop()
+  }
+
+  /** Kill-mid-batch + checkpoint-resume for the two durable-state shapes:
+    * the generation-ledger MERGE (q_stream_upsert's discipline, via
+    * Streams.recoverableMergeLeg) and transformWithState RocksDB state
+    * (q_stream_tws's processor). Each: run uninterrupted → truth; then a
+    * fresh checkpoint, kill after K batches (stop() interrupts the
+    * in-flight micro-batch), resume with a NEW query object on the same
+    * checkpoint; final state must equal the uninterrupted run exactly.
+    */
+  private def recoveryRuns(spark: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    val killAfter = 4
+    val staging = java.nio.file.Files.createTempDirectory("graft-recovery")
+    try {
+      // 16 files → 16 micro-batches at maxFilesPerTrigger=1: enough room
+      // for a mid-run kill at batch 4-5
+      graft.model.Tables.events(spark, dir)
+        .repartition(16).write.mode("overwrite").parquet(staging.toString)
+      val events = spark.read.parquet(staging.toString)
+      val nEvents = events.count()
+
+      // ── MERGE ledger ────────────────────────────────────────────────────
+      def hashOf(df: DataFrame): String = {
+        val h = df.orderBy("user_id")
+          .select(concat_ws("|", col("user_id"), col("event_id"),
+            col("event_type"), col("value"), col("ts").cast("string")))
+          .collect().map(_.getString(0)).mkString("\n")
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(h.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }
+      def freshDirs() = (
+        java.nio.file.Files.createTempDirectory("graft-rec-ckpt").toString,
+        java.nio.file.Files.createTempDirectory("graft-rec-gen").toString)
+      val (ck0, gen0) = freshDirs()
+      val t0 = System.nanoTime()
+      val plainBatches = graft.streaming.Streams.recoverableMergeLeg(
+        spark, staging.toString, ck0, gen0, None)
+      val plainWall = (System.nanoTime() - t0) / 1e9
+      val truthHash = hashOf(graft.streaming.Streams.mergedGenTable(spark, gen0))
+      val (ck1, gen1) = freshDirs()
+      val t1 = System.nanoTime()
+      val killedBatches = graft.streaming.Streams.recoverableMergeLeg(
+        spark, staging.toString, ck1, gen1, Some(killAfter))
+      val resumedBatches = graft.streaming.Streams.recoverableMergeLeg(
+        spark, staging.toString, ck1, gen1, None)
+      val recWall = (System.nanoTime() - t1) / 1e9
+      val recHash = hashOf(graft.streaming.Streams.mergedGenTable(spark, gen1))
+      val mergeEqual = recHash == truthHash
+      System.err.println(
+        f"[streamcheck] recovery merge  $dir%-22s events=$nEvents%7d " +
+          f"killed_after=$killedBatches resumed=$resumedBatches " +
+          f"equal=$mergeEqual")
+
+      // ── transformWithState (RocksDB ValueState) ────────────────────────
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = spark.conf.getOption(provKey)
+      spark.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val (twsEqual, twsKilled, twsResumed, twsWall) = try {
+        // final state per key = the update with max n (n is monotone per
+        // key, so batch replays after the kill are absorbed by the max)
+        val state = new java.util.concurrent.ConcurrentHashMap[Long, (Long, String)]()
+        def leg(ckpt: String, stopAfter: Option[Int]): Int = {
+          import spark.implicits._
+          val schema = events.schema
+          val src = spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(staging.toString)
+          val q = src.select(col("user_id").cast("long"),
+              col("value").cast("decimal(18,2)").cast("string"))
+            .as[(Long, String)]
+            .groupByKey(_._1)
+            .transformWithState(new graft.streaming.Streams.RunningTotalsProcessor,
+              org.apache.spark.sql.streaming.TimeMode.None(),
+              org.apache.spark.sql.streaming.OutputMode.Update())
+            .toDF("user_id", "n", "total")
+            .writeStream.outputMode("update")
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              b.collect().foreach { r =>
+                val (u, n, t) = (r.getLong(0), r.getLong(1), r.getString(2))
+                state.merge(u, (n, t),
+                  (old, nw) => if (nw._1 > old._1) nw else old)
+              }
+              ()
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          stopAfter.foreach { k =>
+            while (q.isActive &&
+                q.recentProgress.map(_.batchId).distinct.length < k)
+              Thread.sleep(20)
+            if (q.isActive) q.stop()
+          }
+          q.awaitTermination()
+          q.recentProgress.map(_.batchId).distinct.length
+        }
+        val ckU = java.nio.file.Files.createTempDirectory("graft-tws-u").toString
+        leg(ckU, None)
+        val truth = Map.from(scala.jdk.CollectionConverters
+          .ConcurrentMapHasAsScala(state).asScala)
+        state.clear()
+        val ckR = java.nio.file.Files.createTempDirectory("graft-tws-r").toString
+        val tws0 = System.nanoTime()
+        val k = leg(ckR, Some(killAfter))
+        val r = leg(ckR, None)
+        val wall = (System.nanoTime() - tws0) / 1e9
+        val resumed = Map.from(scala.jdk.CollectionConverters
+          .ConcurrentMapHasAsScala(state).asScala)
+        (resumed == truth, k, r, wall)
+      } finally {
+        prevProv match {
+          case Some(v) => spark.conf.set(provKey, v)
+          case None => spark.conf.unset(provKey)
+        }
+      }
+      System.err.println(
+        f"[streamcheck] recovery tws    $dir%-22s events=$nEvents%7d " +
+          f"killed_after=$twsKilled resumed=$twsResumed equal=$twsEqual")
+      def fmt(d: Double) = f"$d%.1f"
+      s"""{"dir":"$dir","events":$nEvents,"kill_after_batches":$killAfter,""" +
+        s""""merge":{"uninterrupted_batches":$plainBatches,""" +
+        s""""uninterrupted_wall_sec":${fmt(plainWall)},""" +
+        s""""killed_run_batches":$killedBatches,""" +
+        s""""resumed_run_batches":$resumedBatches,""" +
+        s""""recovery_wall_sec":${fmt(recWall)},""" +
+        s""""state_equal":$mergeEqual},""" +
+        s""""tws":{"killed_run_batches":$twsKilled,""" +
+        s""""resumed_run_batches":$twsResumed,""" +
+        s""""recovery_wall_sec":${fmt(twsWall)},""" +
+        s""""state_equal":$twsEqual}}"""
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(staging).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 }

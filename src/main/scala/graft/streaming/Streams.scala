@@ -277,6 +277,16 @@ object Streams {
       sfDir: String): DataFrame =
     mergeFromSnapshot(spark, sfDir, tombstones = true)
 
+  /** Latest row per user as (user_id, pk) where pk's leading fields are
+    * the ordering key — max(pk) IS latest-wins; (ts, event_id) is unique
+    * (event_id alone is), so fields after it never affect the max.
+    */
+  private def reduceLatest(df: DataFrame): DataFrame =
+    df.select(col("user_id"), struct(col("ts"), col("event_id"),
+        (col("event_id") % 17 === 0).as("del"),
+        col("event_type"), col("value")).as("pk"))
+      .groupBy("user_id").agg(max(col("pk")).as("pk"))
+
   private def mergeFromSnapshot(spark: org.apache.spark.sql.SparkSession,
       sfDir: String, tombstones: Boolean): DataFrame = {
     val staging = java.nio.file.Files.createTempDirectory("graft-stream-upsert")
@@ -287,14 +297,6 @@ object Streams {
       val schema = spark.read.parquet(staging.toString).schema
       val src = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(staging.toString)
-      // latest row per user as (user_id, pk) where pk's leading fields are
-      // the ordering key — max(pk) IS latest-wins; (ts, event_id) is unique
-      // (event_id alone is), so fields after it never affect the max
-      def reduceLatest(df: DataFrame): DataFrame =
-        df.select(col("user_id"), struct(col("ts"), col("event_id"),
-            (col("event_id") % 17 === 0).as("del"),
-            col("event_type"), col("value")).as("pk"))
-          .groupBy("user_id").agg(max(col("pk")).as("pk"))
       val current = new java.util.concurrent.atomic.AtomicReference[String](null)
       val batchSeq = new java.util.concurrent.atomic.AtomicLong(0L)
       val q = src.writeStream
@@ -498,6 +500,80 @@ object Streams {
         case None => spark.conf.unset(key)
       }
     }
+  }
+
+  /** Recovery-capable form of the streaming MERGE ingest — the
+    * failure-injection path StreamCheck drives (VERDICT r9 ask #7). Same
+    * latest-wins fold as [[upsertFromSnapshot]], with two changes that make
+    * the run checkpointable and crash-idempotent:
+    *
+    *  - the generation ledger is keyed by BATCH ID and derived from the
+    *    generation directory itself (never from driver memory): each
+    *    foreachBatch merges its batch into the newest generation with
+    *    id < batchId and OVERWRITES `gen-<batchId>` — so a batch replayed
+    *    after a crash (its offsets never committed) rewrites its own
+    *    generation identically, and a half-written generation from a kill
+    *    is never read (reads only touch ids strictly below the batch
+    *    being processed, all of which committed their offsets);
+    *  - the query runs under a real `checkpointLocation`, so a fresh query
+    *    object on the same checkpoint resumes from saved source offsets.
+    *
+    * `stopAfterBatches = Some(k)` injects the failure: a poller stops the
+    * query — interrupting the in-flight micro-batch — once k batches have
+    * reported progress. Run one leg with the kill, then a second leg with
+    * `None` on the same checkpoint/genRoot; [[mergedGenTable]] reads the
+    * final table for comparison against an uninterrupted run.
+    */
+  def recoverableMergeLeg(spark: org.apache.spark.sql.SparkSession,
+      staged: String, ckpt: String, genRoot: String,
+      stopAfterBatches: Option[Int]): Int = {
+    val schema = spark.read.parquet(staged).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    def gens(): Seq[(Long, String)] = {
+      val d = new java.io.File(genRoot)
+      Option(d.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+        .map(f => (f.getName.stripPrefix("gen-").toLong, f.getPath))
+    }
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val prior = gens().filter(_._1 < batchId).sortBy(-_._1).headOption
+        val bl = reduceLatest(batch)
+        val merged = prior match {
+          case Some((_, p)) => spark.read.parquet(p).unionByName(bl)
+            .groupBy("user_id").agg(max(col("pk")).as("pk"))
+          case None => bl
+        }
+        merged.write.mode("overwrite").parquet(s"$genRoot/gen-$batchId")
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    stopAfterBatches.foreach { k =>
+      while (q.isActive &&
+          q.recentProgress.map(_.batchId).distinct.length < k)
+        Thread.sleep(20)
+      if (q.isActive) q.stop() // interrupts the in-flight batch
+    }
+    q.awaitTermination()
+    q.recentProgress.map(_.batchId).distinct.length
+  }
+
+  /** Final table of a [[recoverableMergeLeg]] run: the max-id generation,
+    * projected like the declared upsert result.
+    */
+  def mergedGenTable(spark: org.apache.spark.sql.SparkSession,
+      genRoot: String): DataFrame = {
+    val d = new java.io.File(genRoot)
+    val last = Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+      .maxBy(_.getName.stripPrefix("gen-").toLong)
+    spark.read.parquet(last.getPath)
+      .select(col("user_id"), col("pk.event_id").as("event_id"),
+        col("pk.event_type").as("event_type"), col("pk.value").as("value"),
+        col("pk.ts").as("ts"))
   }
 
   /** Per-key running state carried across micro-batches. Sums are exact
