@@ -74,6 +74,28 @@ object ScaleCheck {
     // mixture selection, and the perceptual-hash pigeonhole join
     "q_dedup_chain", "q_mix_sources", "q_phash_pairs")
 
+  /** query → DECLARED growth model, recorded next to the measured exponent
+    * so a reading is judged against the design instead of against a blanket
+    * "linear or bust". The IVF family is the honest super-linear case: with
+    * the textbook nlist = √N sizing, the index-BUILD stage (every vector ×
+    * every centroid, map-side over the broadcast centroid array) is
+    * Θ(N^1.5) compute by construction — embarrassingly parallel, zero
+    * shuffle, amortized once per index in production (q_ann_incremental is
+    * the serve shape: increments probe the persisted lists without ever
+    * re-assigning the corpus) — while the probe side is Θ(Q·√N). A
+    * measured exponent at or below the model's is the design working;
+    * only an exponent ABOVE its model is a defect.
+    */
+  val Model: Map[String, String] = Map(
+    "q_ann_ivf" -> "1.5: N*sqrt(N) ivf build (map-side broadcast assignment, amortized per index)",
+    "q_ann_persisted" -> "1.5: same ivf build + parquet index round-trip",
+    "q_ann_recall" -> "1.5: embeds the ivf build; exact-truth side is Q*N with constant Q",
+    "q_ann_incremental" -> "1.5: corpus index build dominates; the increment's own cost is batch*sqrt(N)",
+    "q_kmeans" -> "1.0 per iteration: assignment is N*K with fixed K",
+    "q_dedup_ngram_jaccard" -> "1.0 + banding floor: random-pair collisions E[J^rows]*N^2 at fixed 6x3 banding (~2e-5); production re-tunes bands*rows with corpus size",
+    "q_dedup_cosine" -> "1.0: candidates O(N*bits^2) at occupancy <= 0.5 (2^bits >= 2N)",
+    "q_copurchase" -> "1.0: pairs bounded by C(items/order,2) per order")
+
   /** query → its final-plan observe() node, for iteration capture. */
   val LoopMetric: Map[String, String] = Map(
     "q_pagerank" -> "pagerank_convergence",
@@ -242,10 +264,12 @@ object ScaleCheck {
             f(ratio / (i1.toDouble / i0))
           case _ => "null"
         }
+        val model = Model.get(n)
+          .map(m => s""","model":"${m.replace("\"", "'")}"""").getOrElse("")
         s""""$n":{"times":${times.map(f).mkString("[", ",", "]")},""" +
           s""""spread":${spreads.map(f).mkString("[", ",", "]")},""" +
           s""""ratio":${f(ratio)},"exponent":${f(expo)},""" +
-          s""""iters":$itArr,"per_iter_ratio":$perIter}"""
+          s""""iters":$itArr,"per_iter_ratio":$perIter$model}"""
       }
     }.mkString("{", ",", "}")
     val errs = results.collect {

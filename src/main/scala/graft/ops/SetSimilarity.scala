@@ -167,15 +167,26 @@ object SetSimilarity {
     val cand = ba.join(bb, Seq("band", "sig"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+      .cache() // candidate-id semi-join build + the verify join both read it
     val sz = h.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pa = h.select(col("doc_id").as("doc_a"), col("hv"))
-    val pb = h.select(col("doc_id").as("doc_b"), col("hv"))
-    // exact shared-element counts for CANDIDATES ONLY: restricting the
-    // inverted-index join to the candidate pairs is what keeps the
-    // verification O(candidates × set size) instead of the all-pairs
-    // frontier; a candidate sharing zero elements simply yields no row
-    // (J = 0 < threshold — excluded either way, and the denominator below
-    // is never 0 because every emitted row has shared >= 1)
+    // exact shared-element counts for CANDIDATES ONLY: both posting sides
+    // are first semi-joined down to the docs that appear in ANY candidate
+    // pair — a map-side filter against the (bounded) candidate id set — so
+    // the count join below shuffles O(candidate-docs × set size) posting
+    // rows, not the full corpus's N × set size. (Round 9 shuffled the full
+    // posting table into the doc_b side and materialized |cand| × set-size
+    // rows on the doc_a side before the hv match — the dominant cost of
+    // the whole query at the ×30 scalecheck point, 16.9 s.) Restricting
+    // the join to candidate pairs keeps the verification O(candidates ×
+    // set size) instead of the all-pairs frontier; a candidate sharing
+    // zero elements simply yields no row (J = 0 < threshold — excluded
+    // either way, and the denominator below is never 0 because every
+    // emitted row has shared >= 1).
+    val candIds = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val hc = h.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    val pa = hc.select(col("doc_id").as("doc_a"), col("hv"))
+    val pb = hc.select(col("doc_id").as("doc_b"), col("hv"))
     val pr = cand.join(pa, "doc_a").join(pb, Seq("doc_b", "hv"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
     val jacc = col("shared").cast("double") /

@@ -920,11 +920,19 @@ object Analytics {
 
     // ── co-purchase affinity (the collaborative-filtering primitive):
     //    item pairs sharing an order, with Jaccard affinity over each
-    //    item's order sets. The self-join is keyed on l_orderkey, so pair
-    //    fan-out is bounded by items-per-order (~7 → ≤21 pairs/order) at
-    //    ANY corpus size — the market-basket join shape, never item×item.
-    //    Counts are exact; affinity is one correctly-rounded division;
-    //    top-30 by (support, affinity) plans as TakeOrderedAndProject. ─────
+    //    item's order sets. Pair generation is ONE shuffle by l_orderkey:
+    //    groupBy(ok) + collect_set dedupes the (order, part) pairs AND
+    //    yields each order's sorted item array, whose ≤ C(items,2)
+    //    combinations explode map-side (items/order ~7 → ≤21 pairs/order,
+    //    bounded at ANY corpus size — the market-basket join shape, never
+    //    item×item). Round 9 spent three more shuffles here — a (ok,pk)
+    //    distinct, then BOTH self-join sides re-shuffled by ok — and its
+    //    support filter sat above the degree joins; the ×30 scalecheck
+    //    read exponent 1.295 on that plan. Now the n_co ≥ 3 filter runs
+    //    BEFORE the degree joins (support-3 pairs are the rare tail), so
+    //    the joins see only survivors. Counts are exact; affinity is one
+    //    correctly-rounded division; top-30 by (support, affinity) plans
+    //    as TakeOrderedAndProject. ─────────────────────────────────────────
     Q("q_copurchase",
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |            FROM lineitem),
@@ -938,19 +946,28 @@ object Analytics {
         |SELECT * FROM scored WHERE n_co >= 3
         |ORDER BY n_co DESC, jacc DESC, pa, pb LIMIT 30""".stripMargin) {
       (s, d) =>
-        val li = lineitem(s, d)
+        // sorted distinct item array per order: ascending order makes
+        // every emitted combination satisfy pa < pb by construction
+        val byOrder = lineitem(s, d)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val pairs = li.as("a")
-          .join(li.as("b"),
-            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-          .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+          .groupBy("ok")
+          .agg(sort_array(collect_set(col("pk"))).as("ps"))
+          .cache() // pair explode + degree counts both read it
+        // all C(items, 2) ordered combinations of the per-order array —
+        // map-side, ≤ ~21 structs per order; the per-order HOF cost is
+        // trivial next to the shuffle it replaces
+        val combos = flatten(transform(col("ps"), (x, i) =>
+          transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+            y => struct(x.as("pa"), y.as("pb")))))
+        val pairs = byOrder.select(explode(combos).as("pr"))
+          .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
           .agg(count(lit(1)).as("n_co"))
-        val deg = li.groupBy("pk").agg(count(lit(1)).as("n_ord"))
+        val deg = byOrder.select(explode(col("ps")).as("pk"))
+          .groupBy("pk").agg(count(lit(1)).as("n_ord"))
         pairs
-          .join(deg.select(col("pk").as("pa"), col("n_ord").as("na")), "pa")
-          .join(deg.select(col("pk").as("pb"), col("n_ord").as("nb")), "pb")
           .filter(col("n_co") >= 3)
+          .join(broadcast(deg.select(col("pk").as("pa"), col("n_ord").as("na"))), "pa")
+          .join(broadcast(deg.select(col("pk").as("pb"), col("n_ord").as("nb"))), "pb")
           .select(col("pa"), col("pb"), col("n_co"), col("na"), col("nb"),
             round(col("n_co") /
               (col("na") + col("nb") - col("n_co")).cast("double"), 6)

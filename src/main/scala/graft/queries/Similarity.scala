@@ -1119,7 +1119,7 @@ object Similarity {
   )
 
   /** embeddings with double-cast vectors and precomputed norms. */
-  private def withNorms(s: org.apache.spark.sql.SparkSession, d: String) =
+  private[graft] def withNorms(s: org.apache.spark.sql.SparkSession, d: String) =
     spread(embeddings(s, d))
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
       .withColumn("nrm", dotProduct(col("e"), col("e")))
@@ -1231,7 +1231,31 @@ object Similarity {
     * cosSim's zero-norm NULL never fires on this corpus).
     * Output: (vec_id, ccid, crk) with crk = 1..k.
     */
-  private def assignTopK(n: DataFrame, cent: DataFrame, k: Int): DataFrame = {
+  /** assignTopK: the IVF build kernel — every vector's k nearest centroids
+    * (rank-ordered) against the broadcast centroid array, as a pure map
+    * stage (one single-row broadcast, no N×nlist row materialization, no
+    * window shuffle). The per-row loop is the codegen
+    * [[graft.functions.CellAssign]] expression; `assignTopKHof` below is
+    * the original HOF formulation, kept as the bit-equality reference
+    * (CellAssignSpec) — the HOF chain evaluates its sort COMPARATOR as an
+    * interpreted Catalyst expression per comparison, which dominated the
+    * whole IVF family's wall at nlist = √N.
+    */
+  private[graft] def assignTopK(n: DataFrame, cent: DataFrame, k: Int): DataFrame = {
+    val cents = cent
+      .agg(collect_list(struct(col("ccid"), col("ce"), col("cn"))).as("cents"))
+    n.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        posexplode(graft.functions.VectorExprs.cellAssign(
+          col("e"), col("nrm"), col("cents"), k)).as(Seq("p", "ccid")))
+      .select(col("vec_id"), col("ccid"), (col("p") + 1).as("crk"))
+  }
+
+  /** Reference HOF formulation of [[assignTopK]] (slice-of-sorted with an
+    * expression comparator) — used only by the equivalence regression spec.
+    */
+  private[graft] def assignTopKHof(n: DataFrame, cent: DataFrame,
+      k: Int): DataFrame = {
     val cents = cent
       .agg(collect_list(struct(col("ccid"), col("ce"), col("cn"))).as("cents"))
     val scored = transform(col("cents"), c =>
