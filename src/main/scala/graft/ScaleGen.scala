@@ -18,12 +18,13 @@ import org.apache.spark.sql.functions._
   *    total join/agg work scales linearly with the replica count.
   *  - `region`/`nation` stay single-copy (dimensions don't scale with fact
   *    data; nationkey references remain valid in every island).
-  *  - `documents.text` is token-TAGGED per replica (token w → "w~r" for
-  *    r > 0): a bijective token rename preserves lengths and the
-  *    within-island near-dup structure EXACTLY (shingle equality is
-  *    invariant under a bijection), while islands get disjoint
-  *    vocabularies — cross-island Jaccard is 0 for every document, so
-  *    replicas can NEVER become artificial near-duplicates. (Round 7
+  *  - `documents.text` is token-TAGGED per replica (token w →
+  *    "w~r" + 4 md5(w:r)-derived suffix chars for r > 0): a bijective
+  *    token rename preserves the within-island near-dup structure
+  *    EXACTLY (shingle equality is invariant under a bijection), while
+  *    islands get disjoint vocabularies — cross-island Jaccard is 0 for
+  *    every document, so replicas can NEVER become artificial
+  *    near-duplicates for any SHINGLE-based family. (Round 7
   *    used token ROTATION by 7·r, which collides mod document length:
   *    an L-token doc has only L distinct rotations, so at ≥ 10 replicas
   *    short docs formed identical cross-island texts — 30-member
@@ -32,6 +33,17 @@ import org.apache.spark.sql.functions._
   *    poisoning this transform exists to avoid. Tagging also grows the
   *    vocabulary with the corpus, which is the Heaps-law behavior a real
   *    crawl exhibits, where rotation froze it at ~930 shingles.)
+  *    The md5 suffix (round 10) decorrelates BYTE statistics too: a
+  *    constant "~r" tag shifts every block's byte mean by the same
+  *    amount, so the byte-level block-mean signature of q_phash_pairs
+  *    saw replicas as hamming-≤8 near-dups of their original — measured
+  *    1858 of 2250 replica pairs colliding at sf1, a quadratic pair
+  *    explosion (375 s at the ×30 point) of exactly the artificial-
+  *    near-dup class the shingle families were already protected from.
+  *    A per-(word, replica) pseudorandom suffix shifts each hash block's
+  *    mean independently, so cross-island byte signatures land at
+  *    random-pair hamming distances while the bijection (and hence every
+  *    shingle measurement) is untouched.
   *  - `embeddings.embedding` is dimension-rotated by r for the same
   *    reason: norms and within-island cosine structure survive, while
   *    cross-island cosines stay at random-vector levels.
@@ -104,12 +116,24 @@ object ScaleGen {
     // rename — within-island shingle structure is EXACTLY preserved,
     // cross-island vocabularies are disjoint (see the header for why
     // rotation was wrong)
+    // Suffix chars alternate between a LOW single-byte char (35..122) and a
+    // HIGH two-byte-UTF-8 code point (161..254) on the hash parity: the
+    // per-char byte-sum then swings between ~35 and ~330, which is what
+    // moves block means past their sign margins (an all-hex or all-high
+    // suffix has far too little byte variance — measured le8 collision
+    // rates 8–63% vs 0/9000 for this mix at 4 chars).
+    def sufChar(j: Int): String = {
+      val v = s"cast(conv(substr(md5(concat(w, ':', cast(__r as string)))," +
+        s" ${j * 2 - 1}, 2), 16, 10) as int)"
+      s"chr(CASE WHEN $v % 2 = 0 THEN 35 + $v % 88 ELSE 161 + $v % 94 END)"
+    }
     val tagText = expr(
-      """CASE WHEN __r = 0 THEN text
-        |ELSE array_join(
-        |  transform(split(text, ' '),
-        |    w -> concat(w, '~', cast(__r as string))), ' ')
-        |END""".stripMargin)
+      s"""CASE WHEN __r = 0 THEN text
+         |ELSE array_join(
+         |  transform(split(text, ' '),
+         |    w -> concat(w, '~', cast(__r as string),
+         |      ${(1 to 4).map(sufChar).mkString(", ")})), ' ')
+         |END""".stripMargin)
     write(rep(raw("documents")).select(off("doc_id", sd),
       tagText.as("text"), col("lang"), col("source"), col("n_chars")),
       "documents", 8)
