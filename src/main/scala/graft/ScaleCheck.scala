@@ -53,7 +53,7 @@ object ScaleCheck {
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_clusters", "q_dedup_keep",
     "q_dedup_incremental", "q_dedup_simhash", "q_simhash_pairs",
     "q_dedup_ngram_jaccard", "q_dedup_cosine", "q_dedup_cosine_clusters",
-    "q_dedup_cosine_keep",
+    "q_dedup_cosine_keep", "q_semdedup",
     // recall truths: probe-bounded exact sides
     "q_minhash_recall", "q_simhash_recall", "q_ann_recall", "q_ann_quant",
     "q_dedup_cosine_recall",
@@ -94,6 +94,7 @@ object ScaleCheck {
     "q_kmeans" -> "1.0 per iteration: assignment is N*K with fixed K",
     "q_dedup_ngram_jaccard" -> "1.0 + banding floor: random-pair collisions E[J^rows]*N^2 at fixed 6x3 banding (~2e-5); production re-tunes bands*rows with corpus size",
     "q_dedup_cosine" -> "1.0: candidates O(N*bits^2) at occupancy <= 0.5 (2^bits >= 2N)",
+    "q_semdedup" -> "1.5: sqrt(N) ivf build + within-cell exact pairs sum(|cell|^2) at cell size sqrt(N)",
     "q_copurchase" -> "1.0: pairs bounded by C(items/order,2) per order")
 
   /** query → its final-plan observe() node, for iteration capture. */

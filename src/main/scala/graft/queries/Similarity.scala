@@ -1115,6 +1115,70 @@ object Similarity {
         embeddings(s, d).select("vec_id")
           .join(dupes, Seq("vec_id"), "left_anti")
           .orderBy("vec_id")
+    },
+
+    // ── SemDeDup-style cluster-scoped semantic dedup: coarse-quantize the
+    //    corpus into ≈√N IVF cells (the q_ann_ivf assignment — map-side
+    //    over the broadcast centroid array, no N×nlist rows), then compare
+    //    EXACT cosine only WITHIN a cell and greedily drop any vector with
+    //    a lower-id same-cell neighbor at sim ≥ 0.4 (the published
+    //    cluster-then-compare recipe: the quadratic compare never sees the
+    //    corpus, only a cell). The within-cell pair stage is an equi-join
+    //    on cell id — Σᵢ|cellᵢ|² ≈ N·√N worst case at cell size √N, the
+    //    same declared 1.5 family as the IVF build, and fully
+    //    partition-parallel. Contrast q_dedup_cosine_keep: that surfaces
+    //    pairs through the hamming-probe SIGNATURE join (recall set by the
+    //    probe radius); this one is exact within its cells (recall set by
+    //    the quantizer) — the two published scale paths to the same end
+    //    product. Output: every vector with its cell, the min-id duplicate
+    //    source when dropped (NULL when kept), and the kept flag as 0/1.
+    Q("q_semdedup",
+      s"""WITH $normsCte,
+         |$ivfmCte,
+         |cent AS (SELECT vec_id AS ccid, e AS ce, nrm AS cn FROM n
+         |         WHERE vec_id % $ivfModSql = 1),
+         |asg AS (SELECT n.vec_id, cent.ccid,
+         |        ${dotSqlIdx("n.e", "cent.ce")} / sqrt(n.nrm * cent.cn) AS csim
+         |      FROM n CROSS JOIN cent),
+         |rkd AS (SELECT vec_id, ccid,
+         |        row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY csim DESC, ccid) AS crk
+         |      FROM asg),
+         |m AS (SELECT r.vec_id, r.ccid AS cell, n.e, n.nrm
+         |      FROM rkd r JOIN n ON n.vec_id = r.vec_id WHERE r.crk = 1),
+         |p AS (SELECT a.vec_id AS va, b.vec_id AS vb
+         |      FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |      WHERE ${dotSqlIdx("a.e", "b.e")} / sqrt(a.nrm * b.nrm) >= 0.4),
+         |dup AS (SELECT vb, min(va) AS dup_of FROM p GROUP BY vb)
+         |SELECT m.vec_id, m.cell, dup.dup_of,
+         |  CAST(CASE WHEN dup.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         |    AS kept
+         |FROM m LEFT JOIN dup ON m.vec_id = dup.vb
+         |ORDER BY m.vec_id""".stripMargin) {
+      (s, d) =>
+        val n = withNorms(s, d).cache() // assignment + two pair sides
+        val cent = n
+          .filter(col("vec_id") % ivfModulus(embeddingCount(s, d)) === 1)
+          .select(col("vec_id").as("ccid"), col("e").as("ce"),
+            col("nrm").as("cn"))
+        val m = assignTopK(n, cent, 1).join(n, "vec_id")
+          .select(col("vec_id"), col("ccid").as("cell"), col("e"),
+            col("nrm"))
+          .cache() // pair sides + final projection
+        val a = m.select(col("cell"), col("vec_id").as("va"),
+          col("e").as("ea"), col("nrm").as("na"))
+        val b = m.select(col("cell"), col("vec_id").as("vb"),
+          col("e").as("eb"), col("nrm").as("nb"))
+        val dup = a.join(b, Seq("cell"))
+          .filter(col("va") < col("vb") &&
+            cosSim(dotProduct(col("ea"), col("eb")),
+              col("na") * col("nb")) >= 0.4)
+          .groupBy("vb").agg(min(col("va")).as("dup_of"))
+        // no broadcast hint on dup: sized by the corpus duplication rate
+        m.join(dup, col("vec_id") === col("vb"), "left")
+          .select(col("vec_id"), col("cell"), col("dup_of"),
+            when(col("dup_of").isNull, 1L).otherwise(0L).as("kept"))
+          .orderBy("vec_id")
     }
   )
 

@@ -44,6 +44,34 @@ class SimilarityPlanSpec extends SparkTestBase {
     assert(equiJoins.size >= 2, s"expected bucket join + vector join-back, got: ${equiJoins.map(_.nodeName)}")
   }
 
+  test("q_semdedup pair stage is a cell equi-join, not all-pairs") {
+    val df = SparkEntry.queries("q_semdedup")(spark, sfDir)
+    val plan = finalPlan(df)
+    // the one tolerated nested-loop is assignTopK's single-row broadcast
+    // centroid-array frame (collect_list -> crossJoin(broadcast)); any
+    // OTHER BNLJ/cartesian means the within-cell compare degenerated to
+    // all-pairs over the corpus
+    val allPairs = collectAll(plan) {
+      case j: BroadcastNestedLoopJoinExec if j.condition.isDefined => j.nodeName
+      case j: CartesianProductExec => j.nodeName
+    }
+    assert(allPairs.isEmpty, s"unbounded all-pairs join in plan: $allPairs")
+    val equiJoins = collectAll(plan) { case j: BaseJoinExec => j }
+    assert(equiJoins.exists(_.isInstanceOf[BaseJoinExec]),
+      s"expected cell equi-join in plan, got: ${equiJoins.map(_.nodeName)}")
+    // semantics smoke: kept + dropped partitions the corpus, and every
+    // dropped vector names a LOWER-id duplicate source
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val kept = r.getAs[Long]("kept")
+      val dupOf = if (r.isNullAt(r.fieldIndex("dup_of"))) None
+        else Some(r.getAs[Long]("dup_of"))
+      (kept == 1L) == dupOf.isEmpty &&
+        dupOf.forall(_ < r.getAs[Long]("vec_id"))
+    })
+  }
+
   // Width-formula pins: the scalecheck loop caught q_dedup_cosine at 21.4x
   // growth on 10x data when the signature width was a CONSTANT 6 bits
   // (candidate volume O(N²/2^bits)); the fix derives the width from the
