@@ -205,6 +205,53 @@ object Curation {
           .orderBy("source")
     },
 
+    // ── sliding-window chunking: split each document into 256-token
+    //    chunks at stride 192 (64-token overlap) — the context-window
+    //    prep pass for embedding/retrieval pipelines, where overlap
+    //    preserves cross-boundary context. Chunk count is
+    //    1 + ceil((n-256)/192) so the tail window always lands inside the
+    //    document; chunk k covers tokens [k·192+1, min(k·192+256, n)].
+    //    Each chunk is declared by its 60-bit content fingerprint (md5 of
+    //    the re-joined token span — the q_fingerprint convention) rather
+    //    than its text, keeping the output slim. Scale: one explode over
+    //    a per-row sequence, zero shuffles — a pure map stage whose
+    //    output is ~n_tok/192 rows per document, linear at any corpus
+    //    size; the per-chunk arithmetic is exact BIGINT. ─────────────────
+    Q("q_chunk_overlap",
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS ts,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |x AS (SELECT doc_id, ts, n,
+        |    unnest(range(0, CASE WHEN n <= 256 THEN 1
+        |                         ELSE (n - 256 + 191) // 192 + 1 END)) AS k
+        |  FROM t),
+        |c AS (SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+        |    CAST(k * 192 + 1 AS BIGINT) AS start,
+        |    ts[k*192+1 : least(k*192+256, n)] AS ck
+        |  FROM x)
+        |SELECT doc_id, chunk_id, start,
+        |  CAST(len(ck) AS BIGINT) AS n_tok,
+        |  ('0x' || substr(md5(array_to_string(ck, ' ')), 1, 15))::BIGINT
+        |    AS fp
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin) {
+      (s, d) =>
+        val t = documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("ts"))
+          .withColumn("n", size(col("ts")).cast("long"))
+        t.withColumn("k",
+            explode(sequence(lit(0L), when(col("n") <= 256, 0L)
+              .otherwise(expr("(n - 256 + 191) div 192")))))
+          .select(col("doc_id"), col("k").as("chunk_id"),
+            (col("k") * 192 + 1).as("start"),
+            slice(col("ts"), (col("k") * 192 + 1).cast("int"),
+              least(lit(256L), col("n") - col("k") * 192).cast("int"))
+              .as("ck"))
+          .select(col("doc_id"), col("chunk_id"), col("start"),
+            size(col("ck")).cast("long").as("n_tok"),
+            md5Long(array_join(col("ck"), " ")).as("fp"))
+          .orderBy("doc_id", "chunk_id")
+    },
+
     // ── length-outlier gate: drop documents above the corpus-wide exact
     //    p95 token count — the global-statistic curation pattern (compute
     //    one corpus statistic, broadcast it back as a filter threshold).

@@ -227,12 +227,25 @@ object Multimodal {
         // tops out at 12 bits (4096 buckets — saturates before sf1 and
         // the bucket join turns quadratic), while escaping to k = 4 costs
         // a C(14,4) = 1001-combo explode (measured 7× slower at sf0.1).
-        // At radius 8, k = 3 packs 15-bit keys (covers 32k docs) at
-        // C(11,3) = 165 combos — the standard pHash near-exact operating
-        // point, scale-sound without either blow-up. k stays purely
-        // physical: pairsWithin is exact for any k.
+        // At radius 8, k = 3 packs 15-bit keys (C(11,3) = 165 combos) —
+        // but 2^15 covers only 32k docs: the 10×/30× scale points (50k /
+        // 150k docs) SATURATE it, occupancy hits 1.5–4.6 and the bucket
+        // join goes quadratic (measured exponent 1.59, 128 s at 30× —
+        // tools/scalecheck.json round 10). So this full self-join query
+        // lets the adaptive k escape to 4: C(12,4) = 495 combos at 20-bit
+        // keys covers 1M docs, explode grows 3× but stays LINEAR while
+        // the candidate stage it buys down is the quadratic term. k = 5
+        // would add combos without key bits (5·(60÷13) = 20) — 4 is the
+        // ceiling of this 60-bit/radius-8 geometry; past 2^20 docs a
+        // production deployment widens the signature itself (128-bit
+        // pHash in two words). Contrast q_simhash_recall, which keeps
+        // k = 1 at this radius: its candidate join is probe-side bounded
+        // (doc_a < ProbeDocs pushes into the join), so small buckets buy
+        // nothing there. k stays purely physical: pairsWithin is exact
+        // for any k, so declared pairs are identical at every k and the
+        // small-SF plans (k ≤ 3 below 32k docs) don't move.
         val k = graft.ops.HammingJoin.adaptiveRequiredMatches(
-          Dedup.docCount(s, d), Bits, MaxDist)
+          Dedup.docCount(s, d), Bits, MaxDist, maxK = 4)
         graft.ops.HammingJoin.pairsWithin(
             sig, "doc_id", "sig", Bits, MaxDist, k)
           .orderBy("doc_a", "doc_b")

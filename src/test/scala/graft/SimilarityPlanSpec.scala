@@ -144,4 +144,18 @@ class SimilarityPlanSpec extends SparkTestBase {
     assert(adaptiveRequiredMatches((1L << 24) + 1, 60, 3) == 3)
     assert(adaptiveRequiredMatches(Long.MaxValue, 60, 3) == 3)  // cap
   }
+
+  // The q_phash_pairs geometry (bits=60, maxDist=8, maxK=4): k=3's 15-bit
+  // key space saturates at 32k docs — the 10×/30× scale points (50k/150k)
+  // must escape to k=4 (20-bit keys, C(12,4)=495 combos) or the bucket
+  // join goes quadratic (measured exponent 1.59, 128 s at 30× before the
+  // escape). Small SFs stay at k ≤ 3, so their plans don't move.
+  test("phash pigeonhole escapes to k=4 past the 15-bit key space") {
+    import graft.ops.HammingJoin.adaptiveRequiredMatches
+    assert(adaptiveRequiredMatches(5000L, 60, 8, maxK = 4) == 3)
+    assert(adaptiveRequiredMatches(1L << 15, 60, 8, maxK = 4) == 3)
+    assert(adaptiveRequiredMatches(50000L, 60, 8, maxK = 4) == 4)  // sf1
+    assert(adaptiveRequiredMatches(150000L, 60, 8, maxK = 4) == 4) // sf3
+    assert(adaptiveRequiredMatches(Long.MaxValue, 60, 8, maxK = 4) == 4)
+  }
 }
