@@ -80,22 +80,49 @@ object HammingJoin {
       val (lo, len) = blocks(b)
       shiftrightunsigned(col(c), lo).bitwiseAND(lit(maskOf(len)))
     }
-    // combo key: the k chosen blocks' values packed into ONE long — the
-    // blocks are disjoint sub-ranges of `bits` <= 64, so the packed key
-    // always fits
-    def keyOf(c: String, cbs: Seq[Int]) =
-      cbs.foldLeft(lit(0L): org.apache.spark.sql.Column) {
-        case (acc, b) => shiftleft(acc, blocks(b)._2).bitwiseOR(blockOf(c, b))
-      }
     val s0 = sig.select(col(idCol).as("id"), col(sigCol).as("sig"))
-    // One row per (id, combo): combo index + packed key as the join key.
-    // The explode is ×C(maxDist+k, k), not ×n.
-    val bk = explode(array(combos.map { case (ci, cbs) =>
-      struct(lit(ci).as("cmb"), keyOf("sig", cbs).as("key"))
-    }: _*)).as("bk")
-    val ex = s0.select(col("id"), col("sig"), bk)
+    // One row per (id, combo): combo index + the k chosen blocks' values
+    // packed into ONE long (blocks are disjoint sub-ranges of bits <= 64,
+    // so the packed key always fits; the packing is acc·2^len + v —
+    // identical bits to shift-and-or for disjoint ranges). The explode is
+    // ×C(maxDist+k, k), not ×n. CODE SHAPE matters as much as row counts
+    // here: the obvious explode(array(<one struct per combo, key folded
+    // inline>)) is a single expression tree with thousands of nodes at
+    // C(12,4) = 495 combos — it breaches Janino's 64 KB method ceiling,
+    // throws the whole Generate stage back to interpreted evaluation, and
+    // was measured as the bulk of q_phash_pairs' 128 s at the 30× point
+    // (~1000 interpreted node-visits × n rows even at k = 3). Instead the
+    // fan-out is a plain explode(sequence(0, nCombos-1)) followed by a
+    // broadcast EQUI-join against a tiny combo table carrying each slot's
+    // (shift, mask, multiplier); the key is then k unrolled arithmetic
+    // ops on attributes — every stage stays inside whole-stage codegen at
+    // any combo count. (shiftrightunsigned must come via expr(): the
+    // Scala functions variant takes only literal shift amounts, and
+    // arithmetic div would sign-break on a bits = 64 signature.)
+    val nC = combos.size
+    val comboTable = {
+      val rows = combos.map { case (ci, cbs) =>
+        val lo = cbs.map(b => blocks(b)._1.toLong)
+        val mask = cbs.map(b => maskOf(blocks(b)._2))
+        // multiplier = 2^(total len of the slots packed to the right)
+        val mul = cbs.indices.map(j =>
+          1L << cbs.drop(j + 1).map(b => blocks(b)._2).sum)
+        (ci, lo, mask, mul)
+      }
+      val ss = sig.sparkSession
+      import ss.implicits._
+      rows.toDF("cmb", "klo", "kmask", "kmul")
+    }
+    val keyExpr = (0 until k).map { j =>
+      expr(s"shiftrightunsigned(sig, element_at(klo, ${j + 1}))")
+        .bitwiseAND(element_at(col("kmask"), j + 1)) *
+        element_at(col("kmul"), j + 1)
+    }.reduce(_ + _)
+    val ex = s0
       .select(col("id"), col("sig"),
-        col("bk.cmb").as("cmb"), col("bk.key").as("key"))
+        explode(sequence(lit(0), lit(nC - 1))).as("cmb"))
+      .join(broadcast(comboTable), "cmb")
+      .select(col("id"), col("sig"), col("cmb"), keyExpr.as("key"))
     val a = ex.select(col("id").as("doc_a"), col("sig").as("sig_a"),
       col("cmb"), col("key"))
     val b = ex.select(col("id").as("doc_b"), col("sig").as("sig_b"),
@@ -104,13 +131,31 @@ object HammingJoin {
     // combo; rather than a distinct() shuffle afterwards, keep each pair
     // only in its FIRST matching combo — pure bit math on the two
     // signatures already present in the joined row, exact by construction.
-    // (Whole-stage codegen's subexpression elimination shares the per-block
-    // equality tests across the C(maxDist+k, k) conjunctions.)
-    val eqB = (0 until nBlocks).map(b =>
-      blockOf("sig_a", b) === blockOf("sig_b", b))
-    val firstMatch = coalesce(combos.map { case (ci, cbs) =>
-      when(cbs.map(eqB).reduce(_ && _), lit(ci))
-    }: _*)
+    // HOW matters at scale: the obvious encoding — a C(nBlocks, k)-branch
+    // coalesce of per-combo conjunctions — blows past Janino's 64 KB
+    // method ceiling at 165+ branches, dropping the whole join stage out
+    // of codegen and evaluating thousands of interpreted expression nodes
+    // per candidate row (measured: the entire q_phash_pairs 30× budget,
+    // 128 s, sat in this filter). Instead: pack the per-block equality
+    // tests into ONE nBlocks-bit mask, and resolve "first combo whose
+    // blocks are all equal" through a driver-built 2^nBlocks lookup table
+    // (a literal int array — element_at is O(1) and codegen-trivial).
+    // nBlocks is maxDist + k ≤ ~12 in every deployed geometry, so the
+    // table is ≤ 4096 entries built once on the driver.
+    require(nBlocks <= 20,
+      s"first-match LUT sized 2^nBlocks: nBlocks=$nBlocks > 20")
+    val eqMask = (0 until nBlocks).map(b =>
+      when(blockOf("sig_a", b) === blockOf("sig_b", b), lit(1 << b))
+        .otherwise(lit(0))).reduce(_ + _)
+    // lut(mask) = first combo index fully contained in the equal set, or
+    // -1 (unreachable for joined rows: the matched combo is contained by
+    // construction, so SOME combo always is)
+    val lut: Seq[Int] = (0 until (1 << nBlocks)).map { m =>
+      combos.collectFirst {
+        case (ci, cbs) if cbs.forall(b => ((m >> b) & 1) == 1) => ci
+      }.getOrElse(-1)
+    }
+    val firstMatch = element_at(typedLit(lut), eqMask + 1)
     a.join(b, Seq("cmb", "key"))
       .filter(col("doc_a") < col("doc_b") && col("cmb") === firstMatch)
       .withColumn("hamming", bit_count(expr("sig_a ^ sig_b")).cast("long"))

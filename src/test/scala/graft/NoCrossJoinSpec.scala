@@ -54,6 +54,7 @@ class NoCrossJoinSpec extends SparkTestBase {
     "q_cosine_topk", "q_ann_recall", "q_ann_quant", "q_ann_ivf",
     "q_dedup_cosine_recall", // vec_id<20 probe truth kernel + count frames
     "q_ann_persisted", // same broadcast-centroid assignment as q_ann_ivf
+    "q_semdedup", // same broadcast-centroid assignment (cell quantizer)
     "q_ann_incremental", // broadcast-centroid assignment of the increment
     "q_kmeans_step", // same broadcast-centroid assignment (Lloyd refine)
     "q_zorder", // one-row skipping-count frames cross-joined at the end
