@@ -72,7 +72,12 @@ object ScaleCheck {
     // round-9 additions: the three-stage dedup compose (both candidate
     // kernels + two CC loops in one plan), the bucket-thresholded
     // mixture selection, and the perceptual-hash pigeonhole join
-    "q_dedup_chain", "q_mix_sources", "q_phash_pairs")
+    "q_dedup_chain", "q_mix_sources", "q_phash_pairs",
+    // round-10 additions: rolling-window substring dedup (corpus-token
+    // explode + fingerprint groupBy) and the cross-corpus LM gate
+    // (bigram joins against reference counts); q_semdedup is listed with
+    // the dedup family above
+    "q_dedup_substring", "q_perplexity_filter")
 
   /** query → DECLARED growth model, recorded next to the measured exponent
     * so a reading is judged against the design instead of against a blanket
@@ -95,6 +100,8 @@ object ScaleCheck {
     "q_dedup_ngram_jaccard" -> "1.0 + banding floor: random-pair collisions E[J^rows]*N^2 at fixed 6x3 banding (~2e-5); production re-tunes bands*rows with corpus size",
     "q_dedup_cosine" -> "1.0: candidates O(N*bits^2) at occupancy <= 0.5 (2^bits >= 2N)",
     "q_semdedup" -> "1.5: sqrt(N) ivf build + within-cell exact pairs sum(|cell|^2) at cell size sqrt(N)",
+    "q_dedup_substring" -> "1.0: one row per corpus token position, hash groupBy on the span fingerprint",
+    "q_perplexity_filter" -> "1.0: one pass over corpus bigrams, 1:1 equi-joins against reference counts",
     "q_copurchase" -> "1.0: pairs bounded by C(items/order,2) per order")
 
   /** query → its final-plan observe() node, for iteration capture. */

@@ -252,6 +252,77 @@ object Curation {
           .orderBy("doc_id", "chunk_id")
     },
 
+    // ── cross-corpus perplexity gate: train an add-one-smoothed bigram LM
+    //    on the REFERENCE slice (source = 'src0') and score every
+    //    out-of-domain document's average log-probability under it — the
+    //    KenLM-style quality filter a pretraining pipeline runs against a
+    //    trusted corpus, where q_bigram_lm is the in-domain scoring
+    //    primitive. Unseen bigrams/contexts take the smoothed floor
+    //    1/(0 + V) via LEFT joins + coalesce(0). The gate is a declared
+    //    CONSTANT threshold (avg_logp ≥ −3.6 → keep = 1); both the score
+    //    and the flag are in the output, so the result is informative at
+    //    any corpus. Float discipline = q_bigram_lm's: each term rounds
+    //    ln() to 6 decimals then accumulates in DECIMAL(18,6) —
+    //    order-independent, engine-exact. Scale: LM counts are plain
+    //    groupBys over the (smaller) reference slice; the score side is
+    //    one pass over corpus bigrams with two equi-joins against the
+    //    count tables and one single-row broadcast (V) — linear, no
+    //    sampling needed because the fan-out is 1:1 per bigram
+    //    occurrence. ─────────────────────────────────────────────────────
+    Q("q_perplexity_filter",
+      """WITH t AS (SELECT doc_id, source, string_split(text,' ') AS ts
+        |  FROM documents),
+        |big AS (SELECT doc_id, source, unnest(list_transform(
+        |          generate_series(1, len(ts)-1),
+        |          i -> ts[i] || ' ' || ts[i+1])) AS bg
+        |        FROM t WHERE len(ts) >= 2),
+        |trn AS (SELECT bg FROM big WHERE source = 'src0'),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM trn GROUP BY bg),
+        |c1 AS (SELECT string_split(bg,' ')[1] AS w, count(*) AS c1
+        |       FROM trn GROUP BY 1),
+        |uw AS (SELECT unnest(string_split(bg,' ')) AS w FROM trn),
+        |v AS (SELECT count(DISTINCT w) AS v FROM uw),
+        |scored AS (SELECT b.doc_id,
+        |    CAST(round(ln((coalesce(c2.c2, 0) + 1) /
+        |                  CAST(coalesce(c1.c1, 0) + v.v AS DOUBLE)), 6)
+        |         AS DECIMAL(18,6)) AS lp
+        |  FROM big b LEFT JOIN c2 ON b.bg = c2.bg
+        |  LEFT JOIN c1 ON string_split(b.bg,' ')[1] = c1.w CROSS JOIN v
+        |  WHERE b.source <> 'src0')
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(SUM(lp) AS DOUBLE) / count(*), 6) AS avg_logp,
+        |  CAST(CASE WHEN round(CAST(SUM(lp) AS DOUBLE) / count(*), 6)
+        |              >= -3.6 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val t = documents(s, d)
+          .select(col("doc_id"), col("source"), split(col("text"), " ").as("ts"))
+        val big = t.filter(size(col("ts")) >= 2)
+          .select(col("doc_id"), col("source"), explode(transform(
+            sequence(lit(1), size(col("ts")) - 1),
+            i => concat(element_at(col("ts"), i), lit(" "),
+              element_at(col("ts"), i + 1)))).as("bg"))
+        val trn = big.filter(col("source") === "src0").select("bg")
+        val c2 = trn.groupBy("bg").agg(count(lit(1)).as("c2"))
+        val c1 = trn.select(element_at(split(col("bg"), " "), 1).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c1"))
+        val v = trn.select(explode(split(col("bg"), " ")).as("w"))
+          .agg(count_distinct(col("w")).as("v"))
+        val avg = round(sum(col("lp")).cast("double") / count(lit(1)), 6)
+        big.filter(col("source") =!= "src0")
+          .join(c2, Seq("bg"), "left")
+          .join(c1, element_at(split(col("bg"), " "), 1) === col("w"), "left")
+          .crossJoin(broadcast(v))
+          .select(col("doc_id"),
+            round(log((coalesce(col("c2"), lit(0L)) + 1) /
+              (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")), 6)
+              .cast("decimal(18,6)").as("lp"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), avg.as("avg_logp"),
+            when(avg >= -3.6, 1L).otherwise(0L).as("keep"))
+          .orderBy("doc_id")
+    },
+
     // ── length-outlier gate: drop documents above the corpus-wide exact
     //    p95 token count — the global-statistic curation pattern (compute
     //    one corpus statistic, broadcast it back as a filter threshold).

@@ -640,6 +640,53 @@ object Dedup {
             explode(array_distinct(wordShingles(toks, 2))).as("g"))
         graft.ops.SetSimilarity.bandedJaccardPairs(e, "doc_id", "g", 0.28)
           .orderBy("doc_a", "doc_b")
+    },
+
+    // ── cross-document substring dedup: every 20-token rolling window is
+    //    fingerprinted (md5Long of the re-joined span) and a span that
+    //    appears in ≥ 2 DISTINCT documents is reported with its occurrence
+    //    counts and first (doc, pos) site — the copy-paste/boilerplate
+    //    signal substring-level training-data dedup acts on (exact
+    //    repeated spans across documents, which document-level near-dup
+    //    measures dilute away). The window is a dial: production corpora
+    //    use ~50 tokens; 20 fits this testdata's 10–99-token documents.
+    //    Scale: the explode is one row per token position (linear in
+    //    corpus tokens), the groupBy is a hash shuffle on the 60-bit
+    //    fingerprint with partial aggregation, and only duplicated spans
+    //    survive the HAVING — the suffix-array construction the exact
+    //    method needs is replaced by a fixed-width shingle hash, which IS
+    //    exact for spans of the declared width. ──────────────────────────
+    Q("q_dedup_substring",
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS ts
+        |  FROM documents),
+        |w AS (SELECT doc_id, ts,
+        |        unnest(generate_series(1, len(ts) - 19)) AS pos
+        |      FROM t WHERE len(ts) >= 20),
+        |f AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |        ('0x' || substr(md5(array_to_string(ts[pos:pos+19], ' ')),
+        |                        1, 15))::BIGINT AS fp
+        |      FROM w)
+        |SELECT fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  count(*) AS n_occ, min(doc_id) AS first_doc,
+        |  min(pos) AS first_pos
+        |FROM f GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY first_doc, first_pos, fp""".stripMargin) {
+      (s, d) =>
+        spread(documents(s, d))
+          .select(col("doc_id"), toks.as("ts"))
+          .withColumn("n", size(col("ts")))
+          .filter(col("n") >= 20)
+          .select(col("doc_id"), col("ts"),
+            explode(sequence(lit(1), col("n") - 19)).as("pos"))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"),
+            md5Long(array_join(slice(col("ts"), col("pos"), lit(20)), " "))
+              .as("fp"))
+          .groupBy("fp")
+          .agg(count_distinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_occ"), min(col("doc_id")).as("first_doc"),
+            min(col("pos")).as("first_pos"))
+          .filter(col("n_docs") >= 2)
+          .orderBy("first_doc", "first_pos", "fp")
     }
   )
 

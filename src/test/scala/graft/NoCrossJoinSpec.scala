@@ -33,6 +33,7 @@ class NoCrossJoinSpec extends SparkTestBase {
     "q_heavy_hitters", // corpus token count N (CMS error bound ε·N)
     "q_pagerank_step", // node count N (uniform-rank denominator)
     "q_bigram_lm", // vocabulary size V (add-one smoothing denominator)
+    "q_perplexity_filter", // the same one-row V frame (cross-corpus gate)
     "q_range_partition", // 7-element boundary array from the sample
     "q_mv_refresh", // data-derived 90-day cutoff (base/delta split point)
     "q_mv_refresh_cdc", // same cutoff broadcast on base/insert/retract channels
