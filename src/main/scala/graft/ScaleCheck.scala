@@ -97,7 +97,7 @@ object ScaleCheck {
     "q_ann_recall" -> "1.5: embeds the ivf build; exact-truth side is Q*N with constant Q",
     "q_ann_incremental" -> "1.5: corpus index build dominates; the increment's own cost is batch*sqrt(N)",
     "q_kmeans" -> "1.0 per iteration: assignment is N*K with fixed K",
-    "q_dedup_ngram_jaccard" -> "1.0 + banding floor: random-pair collisions E[J^rows]*N^2 at fixed 6x3 banding (~2e-5); production re-tunes bands*rows with corpus size",
+    "q_dedup_ngram_jaccard" -> "1.0: adaptive bands*rows (rows += 1 per decade past 1e4 docs, bands resized to hold recall at the 6x3 design point) pins the random-collision floor E[J^rows]*N^2 subquadratic",
     "q_dedup_cosine" -> "1.0: candidates O(N*bits^2) at occupancy <= 0.5 (2^bits >= 2N)",
     "q_semdedup" -> "1.5: sqrt(N) ivf build + within-cell exact pairs sum(|cell|^2) at cell size sqrt(N)",
     "q_dedup_substring" -> "1.0: one row per corpus token position, hash groupBy on the span fingerprint",

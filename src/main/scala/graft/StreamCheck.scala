@@ -99,9 +99,11 @@ object StreamCheck {
     spark.stop()
   }
 
-  /** Kill-mid-batch + checkpoint-resume for the two durable-state shapes:
+  /** Kill-mid-batch + checkpoint-resume for the three durable-state shapes:
     * the generation-ledger MERGE (q_stream_upsert's discipline, via
-    * Streams.recoverableMergeLeg) and transformWithState RocksDB state
+    * Streams.recoverableMergeLeg), its CDC tombstone view (q_stream_cdc's
+    * read-time delete rule over the same ledger, killed at a different
+    * batch), and transformWithState RocksDB state
     * (q_stream_tws's processor). Each: run uninterrupted → truth; then a
     * fresh checkpoint, kill after K batches (stop() interrupts the
     * in-flight micro-batch), resume with a NEW query object on the same
@@ -151,6 +153,35 @@ object StreamCheck {
         f"[streamcheck] recovery merge  $dir%-22s events=$nEvents%7d " +
           f"killed_after=$killedBatches resumed=$resumedBatches " +
           f"equal=$mergeEqual")
+
+      // ── CDC tombstone path (VERDICT r10 ask #2): the delete semantics
+      //    across a checkpoint resume. Same ledger fold — the tombstone
+      //    flag is DATA inside the max'd ordering struct — so a tombstone
+      //    processed pre-kill must still suppress its user post-resume no
+      //    matter which micro-batch replays. Truth = the CDC view of the
+      //    UNINTERRUPTED ledger (gen0); the injected run kills at a
+      //    DIFFERENT batch than the merge leg so a different replay
+      //    boundary is exercised; tombstoned-user counts are recorded so
+      //    the comparison is visibly non-vacuous. ─────────────────────────
+      val killAfterCdc = killAfter + 3
+      val cdcTruthHash =
+        hashOf(graft.streaming.Streams.mergedGenTable(spark, gen0,
+          tombstones = true))
+      val (ck2, gen2) = freshDirs()
+      val t2 = System.nanoTime()
+      val cdcKilled = graft.streaming.Streams.recoverableMergeLeg(
+        spark, staging.toString, ck2, gen2, Some(killAfterCdc))
+      val cdcResumed = graft.streaming.Streams.recoverableMergeLeg(
+        spark, staging.toString, ck2, gen2, None)
+      val cdcWall = (System.nanoTime() - t2) / 1e9
+      val cdcHash = hashOf(graft.streaming.Streams.mergedGenTable(spark, gen2,
+        tombstones = true))
+      val cdcEqual = cdcHash == cdcTruthHash
+      val nTomb = graft.streaming.Streams.tombstonedUsers(spark, gen2)
+      System.err.println(
+        f"[streamcheck] recovery cdc    $dir%-22s events=$nEvents%7d " +
+          f"killed_after=$cdcKilled resumed=$cdcResumed " +
+          f"tombstoned=$nTomb equal=$cdcEqual")
 
       // ── transformWithState (RocksDB ValueState) ────────────────────────
       val provKey = "spark.sql.streaming.stateStore.providerClass"
@@ -225,6 +256,12 @@ object StreamCheck {
         s""""resumed_run_batches":$resumedBatches,""" +
         s""""recovery_wall_sec":${fmt(recWall)},""" +
         s""""state_equal":$mergeEqual},""" +
+        s""""cdc":{"kill_after_batches":$killAfterCdc,""" +
+        s""""killed_run_batches":$cdcKilled,""" +
+        s""""resumed_run_batches":$cdcResumed,""" +
+        s""""recovery_wall_sec":${fmt(cdcWall)},""" +
+        s""""tombstoned_users":$nTomb,""" +
+        s""""state_equal":$cdcEqual},""" +
         s""""tws":{"killed_run_batches":$twsKilled,""" +
         s""""resumed_run_batches":$twsResumed,""" +
         s""""recovery_wall_sec":${fmt(twsWall)},""" +

@@ -135,4 +135,51 @@ object Exprs {
     val n2 = dotProduct(ad, ad) * dotProduct(bd, bd)
     when(n2 > 0, dotProduct(ad, bd) / sqrt(n2))
   }
+
+  /** Floor division of two non-negative BIGINTs without ever leaving exact
+    * arithmetic: `(a - pmod(a, b)) / b` — the numerator is an exact multiple
+    * of b, so the DECIMAL division has remainder 0 and the cast back to
+    * long is exact at any magnitude (a plain `/` would detour through
+    * DOUBLE and lose bits past 2^53). Callers guarantee a >= 0, b > 0.
+    */
+  private def intDivFloor(a: Column, b: Column): Column =
+    ((a - pmod(a, b)).cast("decimal(38,0)") / b.cast("decimal(38,0)"))
+      .cast("long")
+
+  /** EXACT half-away-from-zero rounding of the rational a/b at `scale`
+    * decimal digits, computed entirely in integer arithmetic:
+    * `sign(a) * floor((2|a|·10^scale + b) / (2b)) / 10^scale` (b > 0).
+    *
+    * This closes SURVEY §5.3's `round(double, n)` residual for declared
+    * ratios whose inputs are exact integers/DECIMALs: `round()` on a DOUBLE
+    * quotient rounds the double's shortest-decimal REPRESENTATION (Spark)
+    * or its binary value (DuckDB), so a quotient landing on (or within one
+    * ulp of) a representable .5 tie can diverge between engines. Here the
+    * tie is resolved on the true rational before any float exists; the one
+    * remaining float op — BIGINT / 10^scale — is a single IEEE division
+    * both engines perform identically. [[roundDivSql]] is the
+    * character-equivalent oracle form; keep the two in lockstep.
+    *
+    * Overflow bound: |a|·10^scale must fit a BIGINT (|a| ≤ 4.6e18/10^scale)
+    * — every declared call site is a count or a scaled DECIMAL sum orders
+    * of magnitude below that.
+    */
+  def roundDiv(num: Column, den: Column, scale: Int): Column = {
+    val p = math.pow(10, scale).toLong
+    val a = num.cast("long")
+    val b = den.cast("long")
+    val mag = intDivFloor(abs(a) * lit(2L) * lit(p) + b, b * lit(2L))
+    (when(a < 0, -mag).otherwise(mag)).cast("double") / lit(p.toDouble)
+  }
+
+  /** DuckDB oracle rendering of [[roundDiv]] — same integer formula, same
+    * final BIGINT/10^scale float division. `a`/`b` are SQL expressions of
+    * BIGINT type, b > 0.
+    */
+  def roundDivSql(a: String, b: String, scale: Int): String = {
+    val p = math.pow(10, scale).toLong
+    s"((CASE WHEN ($a) < 0 THEN -1 ELSE 1 END) * " +
+      s"((2*abs(CAST(($a) AS BIGINT))*$p + CAST(($b) AS BIGINT)) // " +
+      s"(2*CAST(($b) AS BIGINT))) / $p.0)"
+  }
 }

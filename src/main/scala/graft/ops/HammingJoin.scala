@@ -140,10 +140,15 @@ object HammingJoin {
     // tests into ONE nBlocks-bit mask, and resolve "first combo whose
     // blocks are all equal" through a driver-built 2^nBlocks lookup table
     // (a literal int array — element_at is O(1) and codegen-trivial).
-    // nBlocks is maxDist + k ≤ ~12 in every deployed geometry, so the
-    // table is ≤ 4096 entries built once on the driver.
-    require(nBlocks <= 20,
-      s"first-match LUT sized 2^nBlocks: nBlocks=$nBlocks > 20")
+    // nBlocks is maxDist + k ≤ 12 in every deployed geometry, so the
+    // table is ≤ 4096 entries built once on the driver. The guard caps at
+    // 14 (16384 entries, still trivially broadcastable) rather than the
+    // r10 value of 20: at 2^20 entries the LUT build scans up to
+    // C(20,k) combos per entry on the driver and the ~1M-element literal
+    // array would ride into every task (ADVICE r10) — a geometry this
+    // kernel is not designed for and must refuse loudly.
+    require(nBlocks <= 14,
+      s"first-match LUT sized 2^nBlocks: nBlocks=$nBlocks > 14")
     val eqMask = (0 until nBlocks).map(b =>
       when(blockOf("sig_a", b) === blockOf("sig_b", b), lit(1 << b))
         .otherwise(lit(0))).reduce(_ + _)

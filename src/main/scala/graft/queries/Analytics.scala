@@ -361,7 +361,7 @@ object Analytics {
     //    6 decimals per term, then accumulates in DECIMAL(18,6) —
     //    order-independent, engine-exact. ─────────────────────────────────
     Q("q_bigram_lm",
-      """WITH t AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
         |big AS (SELECT doc_id, unnest(list_transform(
         |          generate_series(1, len(ts)-1),
         |          i -> ts[i] || ' ' || ts[i+1])) AS bg
@@ -377,7 +377,8 @@ object Analytics {
         |  JOIN c1 ON string_split(b.bg, ' ')[1] = c1.w CROSS JOIN v
         |  WHERE b.doc_id % 97 = 0)
         |SELECT doc_id, count(*) AS n_bigrams,
-        |  round(CAST(SUM(lp) AS DOUBLE) / count(*), 6) AS avg_logp
+        |  ${graft.ops.Exprs.roundDivSql("SUM(lp)*1000000",
+             "count(*)*1000000", 6)} AS avg_logp
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
       (s, d) =>
         val t = documents(s, d)
@@ -401,8 +402,11 @@ object Analytics {
               .cast("decimal(18,6)").as("lp"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_bigrams"),
-            round(sum(col("lp")).cast("double") / count(lit(1)), 6)
-              .as("avg_logp"))
+            // exact integer-arithmetic rounding of the DECIMAL(18,6)-sum /
+            // count quotient (SURVEY §5.3 residual): scale both by 10^6 so
+            // the numerator is an exact BIGINT
+            graft.ops.Exprs.roundDiv(sum(col("lp")) * lit(1000000L),
+              count(lit(1)) * lit(1000000L), 6).as("avg_logp"))
           .orderBy("doc_id")
     },
 
@@ -791,7 +795,7 @@ object Analytics {
     //    declared ratio (1.009 at sf0.01) is the measurement a cost-based
     //    planner lives on; both sides are exact integer arithmetic. ─────────
     Q("q_join_cardinality",
-      """WITH ha AS (SELECT
+      s"""WITH ha AS (SELECT
         |    ('0x' || substr(md5('jc:' || l_orderkey::VARCHAR),1,15))::BIGINT
         |      % 32 AS b,
         |    count(*) AS ca, count(DISTINCT l_orderkey) AS da
@@ -808,7 +812,8 @@ object Analytics {
         |       JOIN orders o ON l.l_orderkey = o.o_orderkey
         |       WHERE o.o_orderstatus = 'F')
         |SELECT exact, est, n_buckets,
-        |  round(est / CAST(exact AS DOUBLE), 6) AS est_ratio
+        |  CASE WHEN exact > 0 THEN
+        |    ${graft.ops.Exprs.roundDivSql("est", "exact", 6)} END AS est_ratio
         |FROM ex CROSS JOIN est""".stripMargin) {
       (s, d) =>
         def hist(df: org.apache.spark.sql.DataFrame, key: String,
@@ -828,9 +833,10 @@ object Analytics {
           .agg(count(lit(1)).as("exact"))
         exact.crossJoin(broadcast(est))
           .select(col("exact"), col("est"), col("n_buckets"),
-            // zero exact matches -> NULL on both engines (ANSI guard)
+            // zero exact matches -> NULL on both engines (ANSI guard);
+            // exact integer-arithmetic rounding (SURVEY §5.3 residual)
             when(col("exact") > 0,
-              round(col("est") / col("exact").cast("double"), 6))
+              graft.ops.Exprs.roundDiv(col("est"), col("exact"), 6))
               .as("est_ratio"))
     },
 
@@ -848,7 +854,7 @@ object Analytics {
     //    construction (no false negatives — the property the asserting
     //    spec pins), and fp_rate is the measured cost of the shortcut. ─────
     Q("q_bloom_filter",
-      """WITH keys AS (SELECT DISTINCT o_orderkey AS k FROM orders
+      s"""WITH keys AS (SELECT DISTINCT o_orderkey AS k FROM orders
         |              WHERE o_orderkey % 100 = 0),
         |bitpos AS (SELECT DISTINCT
         |    ('0x' || substr(md5('b' || h || ':' || k::VARCHAR),1,15))::BIGINT
@@ -876,8 +882,10 @@ object Analytics {
         |  count(*) FILTER (bloom_pass) AS n_pass,
         |  count(*) FILTER (bloom_pass AND NOT is_member) AS n_fp,
         |  count(*) FILTER (is_member AND NOT bloom_pass) AS n_fn,
-        |  round(count(*) FILTER (bloom_pass AND NOT is_member) /
-        |    CAST(count(*) FILTER (NOT is_member) AS DOUBLE), 6) AS fp_rate
+        |  CASE WHEN count(*) FILTER (NOT is_member) > 0 THEN
+        |    ${graft.ops.Exprs.roundDivSql(
+             "count(*) FILTER (bloom_pass AND NOT is_member)",
+             "count(*) FILTER (NOT is_member)", 6)} END AS fp_rate
         |FROM t""".stripMargin) {
       (s, d) =>
         def bucket(h: Int, k: org.apache.spark.sql.Column) =
@@ -911,10 +919,12 @@ object Analytics {
           count(when(col("bloom_pass"), 1)).as("n_pass"),
           count(when(col("bloom_pass") && !col("is_member"), 1)).as("n_fp"),
           count(when(col("is_member") && !col("bloom_pass"), 1)).as("n_fn"),
-          // all-member probe set -> NULL on both engines (ANSI guard)
+          // all-member probe set -> NULL on both engines (ANSI guard);
+          // exact integer-arithmetic rounding (SURVEY §5.3 residual)
           when(count(when(!col("is_member"), 1)) > 0,
-            round(count(when(col("bloom_pass") && !col("is_member"), 1)) /
-              count(when(!col("is_member"), 1)).cast("double"), 6))
+            graft.ops.Exprs.roundDiv(
+              count(when(col("bloom_pass") && !col("is_member"), 1)),
+              count(when(!col("is_member"), 1)), 6))
             .as("fp_rate"))
     },
 
@@ -934,13 +944,14 @@ object Analytics {
     //    correctly-rounded division; top-30 by (support, affinity) plans
     //    as TakeOrderedAndProject. ─────────────────────────────────────────
     Q("q_copurchase",
-      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |            FROM lineitem),
         |pairs AS (SELECT a.pk AS pa, b.pk AS pb, count(*) AS n_co
         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
         |deg AS (SELECT pk, count(*) AS n_ord FROM li GROUP BY pk),
         |scored AS (SELECT p.pa, p.pb, p.n_co, da.n_ord AS na, db.n_ord AS nb,
-        |    round(p.n_co / CAST(da.n_ord + db.n_ord - p.n_co AS DOUBLE), 6)
+        |    ${graft.ops.Exprs.roundDivSql("p.n_co",
+             "da.n_ord + db.n_ord - p.n_co", 6)}
         |      AS jacc
         |  FROM pairs p JOIN deg da ON p.pa = da.pk JOIN deg db ON p.pb = db.pk)
         |SELECT * FROM scored WHERE n_co >= 3
@@ -969,9 +980,10 @@ object Analytics {
           .join(broadcast(deg.select(col("pk").as("pa"), col("n_ord").as("na"))), "pa")
           .join(broadcast(deg.select(col("pk").as("pb"), col("n_ord").as("nb"))), "pb")
           .select(col("pa"), col("pb"), col("n_co"), col("na"), col("nb"),
-            round(col("n_co") /
-              (col("na") + col("nb") - col("n_co")).cast("double"), 6)
-              .as("jacc"))
+            // exact integer-arithmetic rounding (SURVEY §5.3 residual);
+            // denominator >= n_co >= 3 > 0 by the support filter
+            graft.ops.Exprs.roundDiv(col("n_co"),
+              col("na") + col("nb") - col("n_co"), 6).as("jacc"))
           .orderBy(col("n_co").desc, col("jacc").desc, col("pa"), col("pb"))
           .limit(30)
     },
@@ -982,7 +994,7 @@ object Analytics {
     //    the user-journey model every product warehouse fits. Counts are
     //    exact; each probability is one correctly-rounded division. ────────
     Q("q_markov",
-      """WITH e AS (SELECT user_id, event_id, event_type,
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
         |             ts::TIMESTAMP AS ts FROM events),
         |s AS (SELECT user_id, event_type AS cur,
         |        lead(event_type) OVER (PARTITION BY user_id
@@ -991,7 +1003,8 @@ object Analytics {
         |c AS (SELECT cur, nxt, count(*) AS n FROM s WHERE nxt IS NOT NULL
         |      GROUP BY 1, 2),
         |t AS (SELECT cur, SUM(n)::BIGINT AS tot FROM c GROUP BY cur)
-        |SELECT c.cur, c.nxt, c.n, round(c.n / CAST(t.tot AS DOUBLE), 6) AS p
+        |SELECT c.cur, c.nxt, c.n,
+        |  ${graft.ops.Exprs.roundDivSql("c.n", "t.tot", 6)} AS p
         |FROM c JOIN t ON c.cur = t.cur ORDER BY c.cur, c.nxt""".stripMargin) {
       (s, d) =>
         val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1003,7 +1016,9 @@ object Analytics {
         val t = c.groupBy("cur").agg(sum(col("n")).as("tot"))
         c.join(t, "cur")
           .select(col("cur"), col("nxt"), col("n"),
-            round(col("n") / col("tot").cast("double"), 6).as("p"))
+            // exact integer-arithmetic rounding (SURVEY §5.3 residual);
+            // tot >= n >= 1 so the denominator is never 0
+            graft.ops.Exprs.roundDiv(col("n"), col("tot"), 6).as("p"))
           .orderBy("cur", "nxt")
     },
 
@@ -1221,7 +1236,7 @@ object Analytics {
     //    aggregations. skew_ratio = max/median group size; l_suppkey's
     //    ~1.1 says uniform, a hot key would spike it. ──────────────────────
     Q("q_skew_metrics",
-      """WITH lk AS (SELECT 'l_orderkey' AS key_col, l_orderkey AS k
+      s"""WITH lk AS (SELECT 'l_orderkey' AS key_col, l_orderkey AS k
         |            FROM lineitem
         |  UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
         |  UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem),
@@ -1232,7 +1247,8 @@ object Analytics {
         |       FROM g GROUP BY 1)
         |SELECT key_col, n_keys, n_rows, max_group,
         |  round(p50_group, 6) AS p50_group, round(p99_group, 6) AS p99_group,
-        |  round(max_group / p50_group, 6) AS skew_ratio
+        |  ${graft.ops.Exprs.roundDivSql("2*max_group",
+             "CAST(2*p50_group AS BIGINT)", 6)} AS skew_ratio
         |FROM st ORDER BY key_col""".stripMargin) {
       (s, d) =>
         val lk = lineitem(s, d).select(explode(array(
@@ -1251,7 +1267,11 @@ object Analytics {
             col("max_group"),
             round(col("p50"), 6).as("p50_group"),
             round(col("p99"), 6).as("p99_group"),
-            round(col("max_group") / col("p50"), 6).as("skew_ratio"))
+            // exact integer-arithmetic rounding (SURVEY §5.3 residual):
+            // the median of integer group sizes is k or k+0.5, so 2·p50
+            // is an exact integer — max/p50 = 2·max / 2·p50 exactly
+            graft.ops.Exprs.roundDiv(col("max_group") * 2,
+              (col("p50") * 2).cast("long"), 6).as("skew_ratio"))
           .orderBy("key_col")
     },
 
@@ -1276,7 +1296,7 @@ object Analytics {
         |  FROM src s JOIN stot st ON s.source = st.source
         |  JOIN gw g ON s.w = g.w CROSS JOIN gtot gt)
         |SELECT source, count(*) AS n_terms,
-        |  round(CAST(SUM(t) AS DOUBLE), 6) AS kl
+        |  CAST(round(SUM(t), 6) AS DOUBLE) AS kl
         |FROM terms GROUP BY source ORDER BY source""".stripMargin) {
       (s, d) =>
         val tok = documents(s, d)
@@ -1292,7 +1312,10 @@ object Analytics {
             round(pS * log(pS / pG), 9).cast("decimal(18,9)").as("t"))
           .groupBy("source")
           .agg(count(lit(1)).as("n_terms"),
-            round(sum(col("t")).cast("double"), 6).as("kl"))
+            // round the DECIMAL sum directly (HALF_UP is exact on decimals
+            // in both engines), THEN cast — rounding the double detour is
+            // the §5.3 .5-tie residual
+            round(sum(col("t")), 6).cast("double").as("kl"))
           .orderBy("source")
     },
 

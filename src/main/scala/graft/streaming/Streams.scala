@@ -563,17 +563,41 @@ object Streams {
 
   /** Final table of a [[recoverableMergeLeg]] run: the max-id generation,
     * projected like the declared upsert result.
+    *
+    * `tombstones = true` serves the CDC view instead ([[cdcFromSnapshot]]'s
+    * read-time rule): a user whose LATEST operation is a delete
+    * (`pk.del`, riding inside the ordering struct the ledger maxes over)
+    * is absent from the served table. The ledger itself is identical for
+    * both views — the tombstone flag survives every intermediate merge and
+    * every checkpoint replay because it is DATA under the same
+    * associative latest-wins fold, which is exactly what StreamCheck's
+    * CDC failure-injection leg verifies.
     */
   def mergedGenTable(spark: org.apache.spark.sql.SparkSession,
-      genRoot: String): DataFrame = {
+      genRoot: String, tombstones: Boolean = false): DataFrame = {
     val d = new java.io.File(genRoot)
     val last = Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
       .maxBy(_.getName.stripPrefix("gen-").toLong)
-    spark.read.parquet(last.getPath)
+    val table = spark.read.parquet(last.getPath)
+    (if (tombstones) table.filter(!col("pk.del")) else table)
       .select(col("user_id"), col("pk.event_id").as("event_id"),
         col("pk.event_type").as("event_type"), col("pk.value").as("value"),
         col("pk.ts").as("ts"))
+  }
+
+  /** Count of users suppressed by the tombstone rule in a ledger's final
+    * generation — StreamCheck records it so the CDC recovery comparison is
+    * visibly non-vacuous (a corpus with zero tombstoned users would make
+    * the upsert and CDC views identical).
+    */
+  def tombstonedUsers(spark: org.apache.spark.sql.SparkSession,
+      genRoot: String): Long = {
+    val d = new java.io.File(genRoot)
+    val last = Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+      .maxBy(_.getName.stripPrefix("gen-").toLong)
+    spark.read.parquet(last.getPath).filter(col("pk.del")).count()
   }
 
   /** Per-key running state carried across micro-batches. Sums are exact

@@ -233,6 +233,42 @@ class PushdownSpec extends SparkTestBase {
     assert(paged.count() == 20L)
   }
 
+  test("snapshot source: LIMIT plans only the pages that cover it") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.functions.col
+    val base = new java.io.File("fixtures/snapshots").getAbsolutePath
+    val schema = graft.sources.Snapshots.locationSchema
+    // 20 non-blank lines at pageSize=7 → 3 pages; limit 8 needs pages 1-2
+    // (7 + 7 ≥ 8), so the third page must never be planned — the
+    // reference's "stop issuing page requests once you have your rows"
+    // (main.py:126-127) at the connector layer
+    val limited = spark.read.format("graft-snapshot").schema(schema)
+      .option("pageSize", "7").load(s"$base/locations.jsonl")
+      .limit(8)
+    val scans = limited.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b
+    }
+    assert(scans.size == 1, s"expected one snapshot scan, got ${scans.size}")
+    assert(scans.head.scan.description().contains("pushedLimit=8"),
+      s"limit not pushed into the snapshot scan: ${scans.head.scan.description()}")
+    assert(scans.head.inputRDD.getNumPartitions == 2,
+      s"expected 2 planned pages, got ${scans.head.inputRDD.getNumPartitions}")
+    // Spark's own Limit still bounds the result (isPartiallyPushed)
+    assert(limited.count() == 8L)
+    // with a pushed FILTER the per-page yield is unknowable → the limit
+    // must be declined and every page planned
+    val filtered = spark.read.format("graft-snapshot").schema(schema)
+      .option("pageSize", "7").load(s"$base/locations.jsonl")
+      .filter(col("city") === "Warsaw").limit(2)
+    val fscan = filtered.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b
+    }.head
+    assert(!fscan.scan.description().contains("pushedLimit"),
+      s"limit must not push past a pushed filter: ${fscan.scan.description()}")
+    assert(fscan.inputRDD.getNumPartitions == 3,
+      s"filtered scan must keep all 3 pages: ${fscan.inputRDD.getNumPartitions}")
+  }
+
   test("q_join_cardinality: histogram join is broadcast, estimate join is single-row") {
     val plan = finalPlan(SparkEntry.queries("q_join_cardinality")(spark, sfDir))
     // ha ⋈ hb on the 32-value bucket column: both sides are fixed-width

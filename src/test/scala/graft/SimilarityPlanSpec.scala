@@ -56,8 +56,11 @@ class SimilarityPlanSpec extends SparkTestBase {
       case j: CartesianProductExec => j.nodeName
     }
     assert(allPairs.isEmpty, s"unbounded all-pairs join in plan: $allPairs")
+    // a genuine hash/sort-merge equi-join, NOT the tolerated condition-less
+    // BNLJ above (ADVICE r10: BroadcastNestedLoopJoinExec extends
+    // BaseJoinExec, so an exists-on-BaseJoinExec was tautological)
     val equiJoins = collectAll(plan) { case j: BaseJoinExec => j }
-    assert(equiJoins.exists(_.isInstanceOf[BaseJoinExec]),
+    assert(equiJoins.exists(j => !j.isInstanceOf[BroadcastNestedLoopJoinExec]),
       s"expected cell equi-join in plan, got: ${equiJoins.map(_.nodeName)}")
     // semantics smoke: kept + dropped partitions the corpus, and every
     // dropped vector names a LOWER-id duplicate source
@@ -143,6 +146,32 @@ class SimilarityPlanSpec extends SparkTestBase {
     assert(adaptiveRequiredMatches(1L << 24, 60, 3) == 2)
     assert(adaptiveRequiredMatches((1L << 24) + 1, 60, 3) == 3)
     assert(adaptiveRequiredMatches(Long.MaxValue, 60, 3) == 3)  // cap
+  }
+
+  // q_dedup_ngram_jaccard's MinHash geometry must ADAPT too (round 11):
+  // at fixed 6×3 banding the random-collision floor E[J^rows]·N²·bands is
+  // quadratic — the largest ×30 scalecheck cost of round 10. rows grows
+  // one per decade past 10⁴ docs; bands is the smallest count holding the
+  // catch rate at the 6×3 design point (miss ≤ 0.0082 at J = 0.82). The
+  // verify SFs (≤ 10⁴ docs) sit on the 6×3 point, so oracle hashes never
+  // moved. The DuckDB oracle ladder (`prm` CTE) must mirror these values.
+  test("adaptive jaccard banding: rows +1 per decade past 1e4, recall-preserving bands") {
+    import graft.ops.SetSimilarity.adaptiveBanding
+    assert(adaptiveBanding(0L) == (6, 3))
+    assert(adaptiveBanding(10000L) == (6, 3))      // verify SFs: design point
+    assert(adaptiveBanding(10001L) == (8, 4))      // first decade step
+    assert(adaptiveBanding(60000L) == (8, 4))      // sf1 regime
+    assert(adaptiveBanding(180000L) == (11, 5))    // sf3/sf10 regime
+    assert(adaptiveBanding(2000000L) == (14, 6))
+    assert(adaptiveBanding(Long.MaxValue) == (22, 8)) // ladder cap
+    // the recall property itself: every geometry keeps P(miss J=0.82)
+    // at or below the 6×3 design point
+    val designMiss = math.pow(1 - math.pow(0.82, 3), 6)
+    for (n <- Seq(1L, 10001L, 200000L, 5000000L, 50000000L, 500000000L)) {
+      val (b, r) = adaptiveBanding(n)
+      val miss = math.pow(1 - math.pow(0.82, r), b)
+      assert(miss <= designMiss * 1.001, s"n=$n bands=$b rows=$r miss=$miss")
+    }
   }
 
   // The q_phash_pairs geometry (bits=60, maxDist=8, maxK=4): k=3's 15-bit
