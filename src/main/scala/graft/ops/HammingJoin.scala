@@ -48,6 +48,14 @@ object HammingJoin {
     * Exact for any `requiredMatches` >= 1 (candidates are a superset of
     * the true pairs by the pigeonhole argument above; the hamming filter
     * is exact).
+    *
+    * `aPred` — a predicate over the output column `doc_a` (write it as
+    * `col("doc_a") < …`) — optionally restricts the SMALLER-id side of
+    * each emitted pair BEFORE the bucket join: the `naiveJaccardPairs`
+    * aPred discipline. A probe-bounded measurement (doc_a < probe) then
+    * joins probe×corpus bucket rows instead of corpus×corpus and filtering
+    * afterwards. Exact because doc_a < doc_b makes "pairs whose smaller id
+    * satisfies aPred" precisely "pairs whose A-side row satisfies aPred".
     */
   def pairsWithin(
       sig: DataFrame,
@@ -55,7 +63,8 @@ object HammingJoin {
       sigCol: String,
       bits: Int,
       maxDist: Int,
-      requiredMatches: Int = 1): DataFrame = {
+      requiredMatches: Int = 1,
+      aPred: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     val k = requiredMatches
     require(k >= 1, "requiredMatches >= 1")
     require(maxDist >= 0 && bits > maxDist, "need bits > maxDist >= 0")
@@ -124,7 +133,8 @@ object HammingJoin {
       .join(broadcast(comboTable), "cmb")
       .select(col("id"), col("sig"), col("cmb"), keyExpr.as("key"))
     val a = ex.select(col("id").as("doc_a"), col("sig").as("sig_a"),
-      col("cmb"), col("key"))
+        col("cmb"), col("key"))
+      .filter(aPred)
     val b = ex.select(col("id").as("doc_b"), col("sig").as("sig_b"),
       col("cmb"), col("key"))
     // A pair matching in several combos would appear once per matching

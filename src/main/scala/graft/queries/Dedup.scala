@@ -546,9 +546,14 @@ object Dedup {
         // buckets save (measured 25.8 s vs 5.6 s at sf3). The adaptive-k
         // dial pays at small radii (q_simhash_pairs, maxDist 3); at
         // radius 8 the 9-block single-key join is the right trade.
+        // probe-bounded measurement, bounded BEFORE the bucket join: the
+        // aPred restricts the smaller-id side to the probe prefix, so the
+        // candidate stage joins probe×corpus bucket rows instead of
+        // generating the full corpus×corpus candidate set and discarding
+        // 97% of it (round 11 — the query's largest avoidable cost)
         val cand = graft.ops.HammingJoin
-          .pairsWithin(simhashesFromTok(tok).cache(), "doc_id", "simhash", 60, 8)
-          .filter(col("doc_a") < ProbeDocs) // probe-bounded measurement
+          .pairsWithin(simhashesFromTok(tok).cache(), "doc_id", "simhash",
+            60, 8, aPred = col("doc_a") < ProbeDocs)
           .select("doc_a", "doc_b").cache() // counted AND hit-joined
         val tokc = tok
           .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
