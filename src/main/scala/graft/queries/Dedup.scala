@@ -66,6 +66,49 @@ object Dedup {
       |  FROM bands a JOIN bands b
       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** The adaptive-banded n-gram Jaccard pipeline as a DuckDB CTE chain
+    * ending in `jp(doc_a, doc_b, jacc)` — shared by the pair query and the
+    * recall query so both oracles derive from the identical candidate
+    * graph AND the identical bands×rows ladder
+    * ([[graft.ops.SetSimilarity.adaptiveBanding]]'s `prm` CTE — keep the
+    * two in lockstep).
+    */
+  private val NgramBandedCte: String =
+    """tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(
+      |    CASE WHEN len(ts) >= 2
+      |         THEN list_transform(range(1, len(ts)),
+      |                             i -> array_to_string(ts[i:i+1], ' '))
+      |         ELSE [array_to_string(ts, ' ')] END) AS gs
+      |  FROM tok),
+      |nn AS (SELECT count(*) AS n FROM documents),
+      |prm AS (SELECT r, CASE r WHEN 3 THEN 6 WHEN 4 THEN 8 WHEN 5 THEN 11
+      |                         WHEN 6 THEN 14 WHEN 7 THEN 17 ELSE 22 END AS b
+      |  FROM (SELECT 3 + (n > 10000)::INT + (n > 100000)::INT
+      |               + (n > 1000000)::INT + (n > 10000000)::INT
+      |               + (n > 100000000)::INT AS r FROM nn)),
+      |e AS (SELECT doc_id, unnest(gs) AS g FROM sh),
+      |h AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS hv FROM e),
+      |hs AS (SELECT doc_id, j,
+      |    min(xor(hv, ('0x' || substr(md5('jperm:' || j::VARCHAR), 1, 15))::BIGINT)) AS mh
+      |  FROM h CROSS JOIN (SELECT unnest(range((SELECT r*b FROM prm))) AS j) rj
+      |  GROUP BY doc_id, j),
+      |bands AS (SELECT doc_id, j // (SELECT r FROM prm) AS band,
+      |    string_agg(mh::VARCHAR, '-' ORDER BY j) AS sig
+      |  FROM hs GROUP BY doc_id, j // (SELECT r FROM prm)),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+      |sz AS (SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id),
+      |pr AS (SELECT doc_a, doc_b, count(*) AS shared
+      |  FROM cand JOIN h a ON a.doc_id = doc_a
+      |             JOIN h b ON b.doc_id = doc_b AND b.hv = a.hv
+      |  GROUP BY doc_a, doc_b),
+      |jp AS (SELECT doc_a, doc_b,
+      |    CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jacc
+      |  FROM pr JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+      |  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.28)""".stripMargin
+
   /** MinHash + LSH banding candidate pairs (doc_a < doc_b, distinct).
     *
     * 16 min-aggregate COLUMNS over the shingle rows (not a ×16 row
@@ -619,40 +662,8 @@ object Dedup {
     //    — measured lossless at sf0.001/0.01/0.1 (28/28, 25/25, 256/256
     //    vs the exact all-pairs kernel). ───────────────────────────────────
     Q("q_dedup_ngram_jaccard",
-      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
-        |sh AS (SELECT doc_id, list_distinct(
-        |    CASE WHEN len(ts) >= 2
-        |         THEN list_transform(range(1, len(ts)),
-        |                             i -> array_to_string(ts[i:i+1], ' '))
-        |         ELSE [array_to_string(ts, ' ')] END) AS gs
-        |  FROM tok),
-        |nn AS (SELECT count(*) AS n FROM documents),
-        |prm AS (SELECT r, CASE r WHEN 3 THEN 6 WHEN 4 THEN 8 WHEN 5 THEN 11
-        |                         WHEN 6 THEN 14 WHEN 7 THEN 17 ELSE 22 END AS b
-        |  FROM (SELECT 3 + (n > 10000)::INT + (n > 100000)::INT
-        |               + (n > 1000000)::INT + (n > 10000000)::INT
-        |               + (n > 100000000)::INT AS r FROM nn)),
-        |e AS (SELECT doc_id, unnest(gs) AS g FROM sh),
-        |h AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS hv FROM e),
-        |hs AS (SELECT doc_id, j,
-        |    min(xor(hv, ('0x' || substr(md5('jperm:' || j::VARCHAR), 1, 15))::BIGINT)) AS mh
-        |  FROM h CROSS JOIN (SELECT unnest(range((SELECT r*b FROM prm))) AS j) rj
-        |  GROUP BY doc_id, j),
-        |bands AS (SELECT doc_id, j // (SELECT r FROM prm) AS band,
-        |    string_agg(mh::VARCHAR, '-' ORDER BY j) AS sig
-        |  FROM hs GROUP BY doc_id, j // (SELECT r FROM prm)),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b
-        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-        |sz AS (SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id),
-        |pr AS (SELECT doc_a, doc_b, count(*) AS shared
-        |  FROM cand JOIN h a ON a.doc_id = doc_a
-        |             JOIN h b ON b.doc_id = doc_b AND b.hv = a.hv
-        |  GROUP BY doc_a, doc_b)
-        |SELECT doc_a, doc_b,
-        |  CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jacc
-        |FROM pr JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
-        |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.28
+      s"""WITH $NgramBandedCte
+        |SELECT doc_a, doc_b, jacc FROM jp
         |ORDER BY doc_a, doc_b""".stripMargin) {
       (s, d) =>
         val e = spread(documents(s, d))
@@ -663,6 +674,62 @@ object Dedup {
         graft.ops.SetSimilarity.bandedJaccardPairs(e, "doc_id", "g", 0.28,
             bands, rows)
           .orderBy("doc_a", "doc_b")
+    },
+
+    // ── adaptive-banding quality as a declared, hash-checked number
+    //    (round 11, closing ask #5 the way every approximate family
+    //    closes): of the EXACT 2-gram Jaccard ≥ 0.28 pairs whose smaller
+    //    id is in the constant probe prefix, how many does the
+    //    adaptive-banded kernel emit? Emitted pairs are exactly verified
+    //    at the same threshold, so found ⊆ truth by construction and
+    //    recall = found ∕ truth — this row keeps the recall-preserving
+    //    claim of the bands×rows ladder honest at EVERY corpus size, not
+    //    just the 6×3 design point the ≥ 0.992 guarantee was derived at.
+    //    Scale: truth is the inverted-index join with its left side
+    //    probe-bounded (O(probe × sharing), linear); found/candidates stay
+    //    band-bounded. ─────────────────────────────────────────────────────
+    Q("q_dedup_ngram_recall",
+      s"""WITH $NgramBandedCte,
+        |pr2 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         count(*) AS shared
+        |       FROM h a JOIN h b ON b.hv = a.hv AND a.doc_id < b.doc_id
+        |       WHERE $probeSqlA
+        |       GROUP BY 1, 2),
+        |tr AS (SELECT doc_a, doc_b FROM pr2
+        |       JOIN sz sa ON sa.doc_id = doc_a
+        |       JOIN sz sb ON sb.doc_id = doc_b
+        |       WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.28),
+        |ap AS (SELECT doc_a, doc_b FROM jp WHERE doc_a < $ProbeDocs)
+        |SELECT 'ngram_adaptive' AS method,
+        |  (SELECT count(*) FROM tr) AS n_truth,
+        |  (SELECT count(*) FROM ap) AS n_found,
+        |  CASE WHEN (SELECT count(*) FROM tr) > 0 THEN
+        |    ${graft.ops.Exprs.roundDivSql("(SELECT count(*) FROM ap)",
+             "(SELECT count(*) FROM tr)", 6)} END AS recall""".stripMargin) {
+      (s, d) =>
+        // one scan+shingle pass feeds banding AND truth (the
+        // q_minhash_recall staging discipline)
+        val e = spread(documents(s, d))
+          .select(col("doc_id"),
+            explode(array_distinct(wordShingles(toks, 2))).as("g"))
+          .cache()
+        val (bands, rows) =
+          graft.ops.SetSimilarity.adaptiveBanding(docCount(s, d))
+        val found = graft.ops.SetSimilarity
+          .bandedJaccardPairs(e, "doc_id", "g", 0.28, bands, rows)
+          .filter(col("doc_a") < ProbeDocs)
+          .agg(count(lit(1)).as("n_found"))
+        val h = e.select(col("doc_id"), md5Long(col("g")).as("g"))
+        val truth = graft.ops.SetSimilarity
+          .naiveJaccardPairs(h, "doc_id", "g", 0.28,
+            aPred = col("doc_id") < ProbeDocs)
+          .agg(count(lit(1)).as("n_truth"))
+        truth.crossJoin(broadcast(found))
+          .select(lit("ngram_adaptive").as("method"),
+            col("n_truth"), col("n_found"),
+            when(col("n_truth") > 0,
+              graft.ops.Exprs.roundDiv(col("n_found"), col("n_truth"), 6))
+              .as("recall"))
     },
 
     // ── cross-document substring dedup: every 20-token rolling window is

@@ -45,6 +45,8 @@ class NoCrossJoinSpec extends SparkTestBase {
     "q_length_outliers", // corpus-wide exact p95 threshold
     "q_mix_sources", // one-row budget/weight-sum frames → per-source targets
     "q_minhash_recall", // n_cand/n_truth/n_hits one-row count frames
+    "q_dedup_ngram_recall", // n_truth/n_found one-row count frames +
+    // the ProbeDocs-bounded inverted-index truth kernel
     "q_simhash_recall", // count frames + the PROBE-bounded truth kernel
     // (broadcast side = ProbeDocs=200 dense vectors — constant at any SF)
     // constant-size literal dims (the two reference cities):
