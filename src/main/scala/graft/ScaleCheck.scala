@@ -294,7 +294,10 @@ object ScaleCheck {
       s"""{"points":$pjson,"ratio_total":${f(sums.last / sums.head)},""" +
         s""""errors":$errs,"queries":$qjson}"""
     println(record)
-    val out = ToolPaths.resolve("tools/scalecheck.json")
+    // SPARK_GRAFT_SCALE_OUT: replicate runs write beside the primary
+    // artifact (the two-same-code-runs discipline of rounds 10/11)
+    val out = ToolPaths.resolve(
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "tools/scalecheck.json"))
     val w = new java.io.PrintWriter(out)
     try w.println(record) finally w.close()
     System.err.println(s"[scalecheck] wrote $out")

@@ -785,6 +785,69 @@ object Dedup {
             col("first.doc_id").as("first_doc"),
             col("first.pos").as("first_pos"))
           .orderBy("first_doc", "first_pos", "fp")
+    },
+
+    // ── maximal duplicated spans (round 11): the ACTIONABLE form of
+    //    q_dedup_substring — consecutive duplicated 20-token windows in a
+    //    document merge into one maximal [span_start, span_end] interval,
+    //    which is exactly what substring-level training-data dedup strips
+    //    (a 60-token boilerplate block is one span to remove, not 41
+    //    overlapping window hits). Islands via the classic gaps-and-
+    //    islands key pos − row_number() (pos is unique per doc, so equal
+    //    keys ⟺ consecutive positions); all arithmetic is integer.
+    //    Scale: the duplicated-fp semi-join shuffles on the 60-bit
+    //    fingerprint; the window partitions BY DOCUMENT — it shards per
+    //    key across executors, never a global sort; span merge is one
+    //    partial-aggregating groupBy. ──────────────────────────────────────
+    Q("q_dedup_spans",
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS ts
+        |  FROM documents),
+        |w AS (SELECT doc_id, ts,
+        |        unnest(generate_series(1, len(ts) - 19)) AS pos
+        |      FROM t WHERE len(ts) >= 20),
+        |f AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |        ('0x' || substr(md5(array_to_string(ts[pos:pos+19], ' ')),
+        |                        1, 15))::BIGINT AS fp
+        |      FROM w),
+        |dup AS (SELECT fp FROM f GROUP BY fp
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |dp AS (SELECT f.doc_id, f.pos FROM f JOIN dup USING (fp)),
+        |g AS (SELECT doc_id, pos,
+        |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+        |          AS grp
+        |      FROM dp)
+        |SELECT doc_id, min(pos) AS span_start,
+        |  max(pos) + 19 AS span_end,
+        |  count(*) AS n_windows,
+        |  max(pos) - min(pos) + 20 AS span_tokens
+        |FROM g GROUP BY doc_id, grp
+        |ORDER BY doc_id, span_start""".stripMargin) {
+      (s, d) =>
+        val f = spread(documents(s, d))
+          .select(col("doc_id"), toks.as("ts"))
+          .withColumn("n", size(col("ts")))
+          .filter(col("n") >= 20)
+          .select(col("doc_id"), col("ts"),
+            explode(sequence(lit(1), col("n") - 19)).as("pos"))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"),
+            md5Long(array_join(slice(col("ts"), col("pos"), lit(20)), " "))
+              .as("fp"))
+          .cache() // duplicated-fp build side + the probe side read it
+        val dup = f.groupBy("fp")
+          .agg(count_distinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2).select("fp")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")
+        f.join(dup, Seq("fp"), "left_semi")
+          .withColumn("grp", col("pos") - row_number().over(w))
+          .groupBy("doc_id", "grp")
+          .agg(min(col("pos")).as("span_start"),
+            max(col("pos")).as("span_end_pos"),
+            count(lit(1)).as("n_windows"))
+          .select(col("doc_id"), col("span_start"),
+            (col("span_end_pos") + 19).as("span_end"), col("n_windows"),
+            (col("span_end_pos") - col("span_start") + 20).as("span_tokens"))
+          .orderBy("doc_id", "span_start")
     }
   )
 

@@ -31,6 +31,28 @@ object TextAnalysis {
   private val M2 = Seq("table", "row", "query")   // "db" jargon
   private val M3 = Seq("join", "filter", "sort")  // "ops" jargon
 
+  /** The hashing-trick linear classifier's score CTEs (`w`/`wl`/`bias`/
+    * `t`/`sc`, ending in `sc(doc_id, score)`) — shared by the inference
+    * query and the AUC evaluator so both oracles score identically.
+    * Declared BEFORE `all`, which interpolates it at object init.
+    */
+  private val ClassifierScoreCte: String =
+    """w AS (SELECT j,
+      |    (('0x' || substr(md5('qw:' || j::VARCHAR), 1, 15))::BIGINT
+      |      % 2001) - 1000 AS wt
+      |  FROM range(0, 64) r(j)),
+      |wl AS (SELECT list(wt ORDER BY j) AS wv FROM w),
+      |bias AS (SELECT (('0x' || substr(md5('qw:bias'), 1, 15))::BIGINT
+      |      % 2001) - 1000 AS b),
+      |t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |sc AS (SELECT doc_id,
+      |    b + list_reduce(list_prepend(0::BIGINT,
+      |      list_transform(ts, x ->
+      |        wv[((('0x' || substr(md5('fh:' || x), 1, 15))::BIGINT % 64)
+      |            + 1)::INT])),
+      |      (a, v) -> a + v) AS score
+      |  FROM t CROSS JOIN wl CROSS JOIN bias)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ── language-ID: argmax over marker-set hit counts, fixed tie order ──
@@ -265,39 +287,91 @@ object TextAnalysis {
     //    QualityClassifierSpec, which also re-derives every score through
     //    the avoided explode+groupBy plan and matches. ──────────────────
     Q("q_quality_classifier",
-      """WITH w AS (SELECT j,
-        |    (('0x' || substr(md5('qw:' || j::VARCHAR), 1, 15))::BIGINT
-        |      % 2001) - 1000 AS wt
-        |  FROM range(0, 64) r(j)),
-        |wl AS (SELECT list(wt ORDER BY j) AS wv FROM w),
-        |bias AS (SELECT (('0x' || substr(md5('qw:bias'), 1, 15))::BIGINT
-        |      % 2001) - 1000 AS b),
-        |t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-        |sc AS (SELECT doc_id,
-        |    b + list_reduce(list_prepend(0::BIGINT,
-        |      list_transform(ts, x ->
-        |        wv[((('0x' || substr(md5('fh:' || x), 1, 15))::BIGINT % 64)
-        |            + 1)::INT])),
-        |      (a, v) -> a + v) AS score
-        |  FROM t CROSS JOIN wl CROSS JOIN bias)
+      s"""WITH $ClassifierScoreCte
         |SELECT doc_id, score, score > 0 AS keep
         |FROM sc ORDER BY doc_id""".stripMargin) {
       (s, d) =>
-        val wts: Seq[Long] =
-          (0 until 64).map(j => (md5LongLocal(s"qw:$j") % 2001L) - 1000L)
-        val bias = md5LongLocal("qw:bias") % 2001L - 1000L
-        val wArr = array(wts.map(lit): _*)
-        spread(documents(s, d))
-          .select(col("doc_id"), tokens.as("ts"))
-          .select(col("doc_id"),
-            (lit(bias) + aggregate(
-              transform(col("ts"), x =>
-                element_at(wArr,
-                  (md5Long(concat(lit("fh:"), x)) % 64).cast("int") + 1)),
-              lit(0L), (a, v) => a + v)).as("score"))
+        classifierScores(s, d)
           .select(col("doc_id"), col("score"),
             (col("score") > 0).as("keep"))
           .orderBy("doc_id")
+    },
+
+    // ── classifier evaluation, exact ROC-AUC (round 11): the measurement
+    //    a production quality gate runs before trusting a filter — the
+    //    probability a random positive outranks a random negative, with
+    //    the standard half-credit for score ties (Mann-Whitney U). The
+    //    declared label is `lang = 'en'` (binary, data-derived, ~40/60 at
+    //    every SF); the statistic's value is incidental — what this row
+    //    pins is the EVALUATOR's arithmetic. Everything is integer-exact:
+    //    scores GROUP to (score, n_pos, n_neg), a running negative count
+    //    orders the groups, twice-the-credit 2·nb+ng keeps the tie term
+    //    integral, and AUC = Σ pos·(2·nb+ng) ∕ (2·P·N) rounds through
+    //    roundDiv. Scale: per-doc scoring is the classifier's scan-speed
+    //    fold; the ONLY window runs over DISTINCT SCORES, whose count is
+    //    bounded by the score range (|bias| + 1000·max_tokens — a
+    //    model-geometry constant, not a corpus size), so the global
+    //    ordering never sees N rows. BIGINT bound: the numerator is
+    //    ≤ 2·P·N ≤ N²/2 — exact to ~4M docs, past which the sums need
+    //    DECIMAL(38) (documented, not silently wrong: Spark long sums
+    //    would wrap, DuckDB HUGEINT would not — widen both if ever
+    //    deployed beyond that). ────────────────────────────────────────────
+    Q("q_quality_auc",
+      s"""WITH $ClassifierScoreCte,
+        |lab AS (SELECT doc_id, lang = 'en' AS pos FROM documents),
+        |s2 AS (SELECT sc.score, lab.pos FROM sc JOIN lab USING (doc_id)),
+        |g AS (SELECT score, count(*) FILTER (pos) AS p,
+        |        count(*) FILTER (NOT pos) AS ng
+        |      FROM s2 GROUP BY score),
+        |c AS (SELECT score, p, ng,
+        |        CAST(SUM(ng) OVER (ORDER BY score) - ng AS BIGINT) AS nb
+        |      FROM g),
+        |agg AS (SELECT CAST(SUM(p * (2*nb + ng)) AS BIGINT) AS num2,
+        |          CAST(SUM(p) AS BIGINT) AS n_pos,
+        |          CAST(SUM(ng) AS BIGINT) AS n_neg
+        |        FROM c)
+        |SELECT n_pos, n_neg,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    ${graft.ops.Exprs.roundDivSql("num2", "2*n_pos*n_neg", 6)}
+        |  END AS auc
+        |FROM agg""".stripMargin) {
+      (s, d) =>
+        val lab = documents(s, d)
+          .select(col("doc_id"), (col("lang") === "en").as("pos"))
+        val g = classifierScores(s, d).join(lab, "doc_id")
+          .groupBy("score")
+          .agg(count(when(col("pos"), 1)).as("p"),
+            count(when(!col("pos"), 1)).as("ng"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("score")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        g.withColumn("nb", sum(col("ng")).over(w) - col("ng"))
+          .agg(sum(col("p") * (col("nb") * 2 + col("ng"))).as("num2"),
+            sum(col("p")).as("n_pos"), sum(col("ng")).as("n_neg"))
+          .select(col("n_pos"), col("n_neg"),
+            when(col("n_pos") > 0 && col("n_neg") > 0,
+              graft.ops.Exprs.roundDiv(col("num2"),
+                col("n_pos") * col("n_neg") * 2, 6)).as("auc"))
     }
   )
+
+  /** (doc_id, score) under the 64-bucket hashing-trick linear model —
+    * the Spark side of [[ClassifierScoreCte]]: per-token weight lookup
+    * into a literal array folded entirely inside one HOF over the token
+    * array (no explode, no shuffle — scores at parquet-scan speed).
+    */
+  private def classifierScores(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val wts: Seq[Long] =
+      (0 until 64).map(j => (md5LongLocal(s"qw:$j") % 2001L) - 1000L)
+    val bias = md5LongLocal("qw:bias") % 2001L - 1000L
+    val wArr = array(wts.map(lit): _*)
+    spread(documents(s, d))
+      .select(col("doc_id"), tokens.as("ts"))
+      .select(col("doc_id"),
+        (lit(bias) + aggregate(
+          transform(col("ts"), x =>
+            element_at(wArr,
+              (md5Long(concat(lit("fh:"), x)) % 64).cast("int") + 1)),
+          lit(0L), (a, v) => a + v)).as("score"))
+  }
 }

@@ -153,24 +153,30 @@ private[sources] class SnapshotScan(fullSchema: StructType,
           .sortBy(_.getName)
       else Seq(root)
     // Pages per file on RAW line indices (the reader's seek unit); the
-    // per-page NON-BLANK count is tallied in the same pass — with no
-    // pushed filters every non-blank line emits exactly one row, so a
-    // pushed LIMIT stops planning pages once the cumulative non-blank
-    // count covers it (pushLimit declines when filters are pushed, so a
-    // set `limit` implies the one-row-per-non-blank-line regime).
+    // per-page NON-BLANK count is tallied in the same streaming pass —
+    // O(pages) planner memory, never O(lines). With no pushed filters
+    // every non-blank line emits exactly one row, so a pushed LIMIT stops
+    // planning pages once the cumulative non-blank count covers it
+    // (pushLimit declines when filters are pushed, so a set `limit`
+    // implies the one-row-per-non-blank-line regime).
     val all: Seq[(SnapshotPage, Long)] = files.flatMap { f =>
       val in = new java.io.BufferedReader(
         new java.io.InputStreamReader(fs.open(f), "UTF-8"))
-      val perLine: Seq[Boolean] =
-        try Iterator.continually(in.readLine()).takeWhile(_ != null)
-          .map(_.trim.nonEmpty).toSeq
-        finally in.close()
-      val n = perLine.size.toLong
-      (0L until n by pageSize.toLong).map { s =>
-        val e = math.min(s + pageSize, n)
-        (SnapshotPage(f.toString, s, e),
-          perLine.slice(s.toInt, e.toInt).count(identity).toLong)
-      }
+      val pages = scala.collection.mutable.ArrayBuffer.empty[(SnapshotPage, Long)]
+      try {
+        var idx = 0L; var pageStart = 0L; var nonBlank = 0L
+        Iterator.continually(in.readLine()).takeWhile(_ != null).foreach { l =>
+          if (l.trim.nonEmpty) nonBlank += 1
+          idx += 1
+          if (idx - pageStart == pageSize) {
+            pages += ((SnapshotPage(f.toString, pageStart, idx), nonBlank))
+            pageStart = idx; nonBlank = 0L
+          }
+        }
+        if (idx > pageStart)
+          pages += ((SnapshotPage(f.toString, pageStart, idx), nonBlank))
+      } finally in.close()
+      pages
     }
     limit match {
       case None => all.map(_._1).toArray
