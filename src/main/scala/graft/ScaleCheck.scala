@@ -77,7 +77,12 @@ object ScaleCheck {
     // explode + fingerprint groupBy) and the cross-corpus LM gate
     // (bigram joins against reference counts); q_semdedup is listed with
     // the dedup family above
-    "q_dedup_substring", "q_perplexity_filter")
+    "q_dedup_substring", "q_perplexity_filter",
+    // round-11 additions: span merge/strip over the corpus-token window
+    // explode (fp-keyed joins + per-document interval windows) and the
+    // classifier evaluators (distinct-score window; 10-bin calibration)
+    "q_dedup_spans", "q_span_strip", "q_quality_auc",
+    "q_quality_calibration")
 
   /** query → DECLARED growth model, recorded next to the measured exponent
     * so a reading is judged against the design instead of against a blanket
@@ -181,6 +186,13 @@ object ScaleCheck {
       }
     }
     val Reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
+    // SPARK_GRAFT_SCALE_QUERIES: comma list restricting the run — for
+    // adding scale evidence for NEW operators without re-paying the full
+    // ~105-min 4-point sweep (merge the focused artifact by hand)
+    val heavy: Seq[String] = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Heavy)
+    heavy.foreach(n => require(Heavy.contains(n), s"not in Heavy: $n"))
     val dirs: Seq[(String, Double)] = (small, 1.0) +: points
     val failed = scala.collection.mutable.Set[String]()
     // (query, pointIdx) -> rep times / first-rep iteration count
@@ -189,7 +201,7 @@ object ScaleCheck {
     val itersAt = scala.collection.mutable.Map[(String, Int), Option[Long]]()
 
     // warm-up pass: codegen/classload paid once per query, results discarded
-    Heavy.foreach { name =>
+    heavy.foreach { name =>
       try once(name, warm)
       catch {
         // NonFatal only: an OutOfMemoryError (or any fatal JVM error)
@@ -206,7 +218,7 @@ object ScaleCheck {
     // times round-robin — consecutive reps of one query never share one
     // ambient-load episode
     for ((pointIdx, (dir, _)) <- dirs.indices.zip(dirs); rep <- 1 to Reps) {
-      for (name <- Heavy if !failed(name)) {
+      for (name <- heavy if !failed(name)) {
         seen.clear()
         try {
           val t = once(name, dir)
@@ -225,7 +237,7 @@ object ScaleCheck {
 
     // per query: times = per-point min, spreads = per-point (max-min)/min
     val results: Seq[(String, Seq[Double], Seq[Double], Seq[Option[Long]])] =
-      Heavy.map { name =>
+      heavy.map { name =>
         val perPoint = dirs.indices.map(pi => raw.get((name, pi)))
         if (failed(name) || perPoint.exists(_.isEmpty))
           (name, Seq.empty[Double], Seq.empty[Double],

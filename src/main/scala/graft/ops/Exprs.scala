@@ -142,7 +142,7 @@ object Exprs {
     * long is exact at any magnitude (a plain `/` would detour through
     * DOUBLE and lose bits past 2^53). Callers guarantee a >= 0, b > 0.
     */
-  private def intDivFloor(a: Column, b: Column): Column =
+  def intDivFloor(a: Column, b: Column): Column =
     ((a - pmod(a, b)).cast("decimal(38,0)") / b.cast("decimal(38,0)"))
       .cast("long")
 

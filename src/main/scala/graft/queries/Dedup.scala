@@ -848,6 +848,92 @@ object Dedup {
             (col("span_end_pos") + 19).as("span_end"), col("n_windows"),
             (col("span_end_pos") - col("span_start") + 20).as("span_tokens"))
           .orderBy("doc_id", "span_start")
+    },
+
+    // ── span strip (round 11): the APPLY step after span detection — the
+    //    per-document token budget of keep-first substring dedup. A window
+    //    occurrence is REDUNDANT when its fingerprint occurs at ≥ 2 sites
+    //    anywhere in the corpus (count(*), not distinct docs: a block
+    //    pasted twice in ONE document is just as strippable) and the site
+    //    is not the corpus-first (lexicographic (doc, pos) arg-min — one
+    //    surviving copy). removed = union length of the redundant
+    //    [pos, pos+19] intervals, computed WITHOUT a second grouping
+    //    level: running max(pos+19) over strictly-preceding rows per doc,
+    //    each row contributes max(0, pos+19 − max(prev_end, pos−1)).
+    //    All integer. Scale: the occurrence→first-site join shuffles on
+    //    the 60-bit fingerprint; the interval-union window partitions BY
+    //    DOCUMENT; the left join back to `documents` keeps zero-removal
+    //    docs (the common case) without scanning text twice. ──────────────
+    Q("q_span_strip",
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS ts
+        |  FROM documents),
+        |w AS (SELECT doc_id, ts,
+        |        unnest(generate_series(1, len(ts) - 19)) AS pos
+        |      FROM t WHERE len(ts) >= 20),
+        |f AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |        ('0x' || substr(md5(array_to_string(ts[pos:pos+19], ' ')),
+        |                        1, 15))::BIGINT AS fp
+        |      FROM w),
+        |g AS (SELECT fp, min({'d': doc_id, 'p': pos}) AS first
+        |      FROM f GROUP BY fp HAVING count(*) >= 2),
+        |r AS (SELECT f.doc_id, f.pos
+        |      FROM f JOIN g USING (fp)
+        |      WHERE NOT (f.doc_id = g.first.d AND f.pos = g.first.p)),
+        |c AS (SELECT doc_id, pos,
+        |        max(pos + 19) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          AS prev_end
+        |      FROM r),
+        |rm AS (SELECT doc_id,
+        |        CAST(sum(greatest(0, pos + 19 -
+        |          greatest(coalesce(prev_end, 0), pos - 1))) AS BIGINT)
+        |          AS removed
+        |      FROM c GROUP BY doc_id),
+        |n AS (SELECT doc_id,
+        |        CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+        |      FROM documents)
+        |SELECT n.doc_id, n.n_tokens,
+        |  coalesce(rm.removed, 0) AS removed_tokens,
+        |  n.n_tokens - coalesce(rm.removed, 0) AS kept_tokens
+        |FROM n LEFT JOIN rm ON n.doc_id = rm.doc_id
+        |ORDER BY n.doc_id""".stripMargin) {
+      (s, d) =>
+        val f = spread(documents(s, d))
+          .select(col("doc_id"), toks.as("ts"))
+          .withColumn("n", size(col("ts")))
+          .filter(col("n") >= 20)
+          .select(col("doc_id"), col("ts"),
+            explode(sequence(lit(1), col("n") - 19)).as("pos"))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"),
+            md5Long(array_join(slice(col("ts"), col("pos"), lit(20)), " "))
+              .as("fp"))
+          .cache() // first-site build side + the occurrence probe read it
+        val g = f.groupBy("fp")
+          .agg(count(lit(1)).as("n_occ"),
+            min(struct(col("doc_id"), col("pos"))).as("first"))
+          .filter(col("n_occ") >= 2)
+          .select(col("fp"), col("first.doc_id").as("fd"),
+            col("first.pos").as("fpos"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val rm = f.join(g, "fp")
+          .filter(!(col("doc_id") === col("fd") && col("pos") === col("fpos")))
+          .select("doc_id", "pos")
+          .withColumn("prev_end", max(col("pos") + 19).over(w))
+          .groupBy("doc_id")
+          .agg(sum(greatest(lit(0L), col("pos") + 19 -
+            greatest(coalesce(col("prev_end"), lit(0L)), col("pos") - 1)))
+            .as("removed"))
+        documents(s, d)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .join(rm, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("removed"), lit(0L)).as("removed_tokens"),
+            (col("n_tokens") - coalesce(col("removed"), lit(0L)))
+              .as("kept_tokens"))
+          .orderBy("doc_id")
     }
   )
 

@@ -336,9 +336,7 @@ object TextAnalysis {
         |  END AS auc
         |FROM agg""".stripMargin) {
       (s, d) =>
-        val lab = documents(s, d)
-          .select(col("doc_id"), (col("lang") === "en").as("pos"))
-        val g = classifierScores(s, d).join(lab, "doc_id")
+        val g = labeledScores(s, d)
           .groupBy("score")
           .agg(count(when(col("pos"), 1)).as("p"),
             count(when(!col("pos"), 1)).as("ng"))
@@ -351,27 +349,95 @@ object TextAnalysis {
             when(col("n_pos") > 0 && col("n_neg") > 0,
               graft.ops.Exprs.roundDiv(col("num2"),
                 col("n_pos") * col("n_neg") * 2, 6)).as("auc"))
+    },
+
+    // ── classifier calibration (round 11): the OTHER half of evaluating a
+    //    quality filter — AUC says the ranking is right, calibration says
+    //    the scores MEAN something (does bin 9 actually contain mostly
+    //    positives?). Scores land in 10 fixed-width integer bins over
+    //    [min, max]: bin = least(9, (score−mn)·10 ÷ (mx−mn+1)), floor
+    //    division on non-negative BIGINTs — no quantiles, because ntile
+    //    over tied scores is ORDER-DEPENDENT across engines while the
+    //    fixed-width edge is a pure function of (score, mn, mx). Per bin:
+    //    volume, positive count/rate, mean score (both ratios through
+    //    roundDiv — §5.3). Scale: scoring is the classifier's shuffle-free
+    //    scan fold; the (mn, mx) extremes are a 1-row broadcast (no second
+    //    shuffle); the final groupBy has AT MOST 10 groups with map-side
+    //    partial aggregation — at 100 TB this is two scans and a
+    //    10-row exchange. ─────────────────────────────────────────────────
+    Q("q_quality_calibration",
+      s"""WITH $ClassifierScoreCte,
+        |lab AS (SELECT doc_id, lang = 'en' AS pos FROM documents),
+        |ext AS (SELECT min(score) AS mn, max(score) AS mx FROM sc),
+        |b AS (SELECT sc.doc_id, sc.score,
+        |        least(9::BIGINT, ((sc.score - ext.mn) * 10)
+        |          // (ext.mx - ext.mn + 1)) AS bin
+        |      FROM sc CROSS JOIN ext),
+        |j AS (SELECT b.bin, b.score, lab.pos
+        |      FROM b JOIN lab USING (doc_id))
+        |SELECT bin, count(*) AS n,
+        |  CAST(count(*) FILTER (pos) AS BIGINT) AS n_pos,
+        |  ${graft.ops.Exprs.roundDivSql(
+             "count(*) FILTER (pos)", "count(*)", 6)} AS pos_rate,
+        |  ${graft.ops.Exprs.roundDivSql(
+             "sum(score)", "count(*)", 6)} AS mean_score
+        |FROM j GROUP BY bin ORDER BY bin""".stripMargin) {
+      (s, d) =>
+        val sc0 = labeledScores(s, d)
+        val ext = sc0.agg(min(col("score")).as("mn"), max(col("score")).as("mx"))
+        sc0.crossJoin(broadcast(ext))
+          .select(col("score"), col("pos"),
+            least(lit(9L), graft.ops.Exprs.intDivFloor(
+              (col("score") - col("mn")) * 10,
+              col("mx") - col("mn") + 1)).as("bin"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"),
+            count(when(col("pos"), 1)).as("n_pos"),
+            sum(col("score")).as("ssum"))
+          .select(col("bin"), col("n"), col("n_pos"),
+            graft.ops.Exprs.roundDiv(col("n_pos"), col("n"), 6)
+              .as("pos_rate"),
+            graft.ops.Exprs.roundDiv(col("ssum"), col("n"), 6)
+              .as("mean_score"))
+          .orderBy("bin")
     }
   )
 
-  /** (doc_id, score) under the 64-bucket hashing-trick linear model —
-    * the Spark side of [[ClassifierScoreCte]]: per-token weight lookup
-    * into a literal array folded entirely inside one HOF over the token
-    * array (no explode, no shuffle — scores at parquet-scan speed).
+  /** The hashing-trick linear model's score as a Column over a projected
+    * token-array column `ts` — per-token weight lookup into a literal
+    * array folded entirely inside one HOF (no explode, no shuffle —
+    * scores at parquet-scan speed). Spark side of [[ClassifierScoreCte]].
     */
-  private def classifierScores(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
+  private def scoreOf(ts: Column): Column = {
     val wts: Seq[Long] =
       (0 until 64).map(j => (md5LongLocal(s"qw:$j") % 2001L) - 1000L)
     val bias = md5LongLocal("qw:bias") % 2001L - 1000L
     val wArr = array(wts.map(lit): _*)
+    lit(bias) + aggregate(
+      transform(ts, x =>
+        element_at(wArr,
+          (md5Long(concat(lit("fh:"), x)) % 64).cast("int") + 1)),
+      lit(0L), (a, v) => a + v)
+  }
+
+  /** (doc_id, score) for the inference query. */
+  private def classifierScores(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
     spread(documents(s, d))
       .select(col("doc_id"), tokens.as("ts"))
-      .select(col("doc_id"),
-        (lit(bias) + aggregate(
-          transform(col("ts"), x =>
-            element_at(wArr,
-              (md5Long(concat(lit("fh:"), x)) % 64).cast("int") + 1)),
-          lit(0L), (a, v) => a + v)).as("score"))
-  }
+      .select(col("doc_id"), scoreOf(col("ts")).as("score"))
+
+  /** (doc_id, score, pos) for the evaluators — the `lang='en'` label is
+    * computed IN THE SAME SCAN as the score: both derive from one
+    * `documents` row, so joining a separate label frame back on doc_id
+    * (the obvious composition) would shuffle the whole corpus for
+    * nothing. Measured: that join read exponent 1.2 at the 100× scale
+    * point; this shape removes the corpus-wide exchange entirely.
+    */
+  private def labeledScores(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    spread(documents(s, d))
+      .select(col("doc_id"), tokens.as("ts"),
+        (col("lang") === "en").as("pos"))
+      .select(col("doc_id"), scoreOf(col("ts")).as("score"), col("pos"))
 }

@@ -43,6 +43,7 @@ class NoCrossJoinSpec extends SparkTestBase {
     "q_join_cardinality", // one-row exact-count × estimate frames
     "q_bloom_filter", // one-row broadcast bit-set frame probed per key
     "q_length_outliers", // corpus-wide exact p95 threshold
+    "q_quality_calibration", // one-row (min,max) score-extremes frame
     "q_mix_sources", // one-row budget/weight-sum frames → per-source targets
     "q_minhash_recall", // n_cand/n_truth/n_hits one-row count frames
     "q_dedup_ngram_recall", // n_truth/n_found one-row count frames +
