@@ -248,6 +248,81 @@ object StreamCheck {
       System.err.println(
         f"[streamcheck] recovery tws    $dir%-22s events=$nEvents%7d " +
           f"killed_after=$twsKilled resumed=$twsResumed equal=$twsEqual")
+
+      // ── stream-stream join + transactional FILE SINK (4th durable-state
+      //    shape): symmetric join state buffered on BOTH sides of the
+      //    q_stream_join attribution shape, and the parquet file sink's
+      //    _spark_metadata commit log as the exactly-once mechanism under
+      //    test — a micro-batch replayed after the kill must not double
+      //    its rows in the READABLE view (orphan part-files from the
+      //    killed attempt stay unreferenced by the log). Truth = the
+      //    uninterrupted run's sink; equality is the full row multiset. ───
+      def joinLeg(ckpt: String, outDir: String,
+          stopAfter: Option[Int]): Int = {
+        val schema = events.schema
+        def src = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(staging.toString)
+        val clicks = src.filter(col("event_type") === "click")
+          .select(col("user_id").as("click_user"),
+            col("event_id").as("click_id"), col("ts").as("click_ts"))
+          .withWatermark("click_ts", "30 days")
+        val purchases = src.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("ts").as("purchase_ts"))
+          .withWatermark("purchase_ts", "30 days")
+        val q = purchases.join(clicks,
+            col("user_id") === col("click_user") &&
+              col("click_ts") >= col("purchase_ts") -
+                org.apache.spark.sql.functions.expr("INTERVAL 1 HOUR") &&
+              col("click_ts") <= col("purchase_ts"))
+          .select(col("user_id"), col("purchase_id"), col("click_id"),
+            col("purchase_ts"), col("click_ts"))
+          .writeStream.format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        stopAfter.foreach { k =>
+          while (q.isActive &&
+              q.recentProgress.map(_.batchId).distinct.length < k)
+            Thread.sleep(20)
+          if (q.isActive) q.stop()
+        }
+        q.awaitTermination()
+        q.recentProgress.map(_.batchId).distinct.length
+      }
+      def sinkHash(outDir: String): (String, Long) = {
+        // spark.read over a file-sink path resolves through the
+        // _spark_metadata log — exactly the committed view
+        val df = spark.read.parquet(outDir)
+        val rows = df.select(concat_ws("|", col("user_id"),
+            col("purchase_id"), col("click_id"),
+            col("purchase_ts").cast("string"),
+            col("click_ts").cast("string")))
+          .collect().map(_.getString(0)).sorted
+        (java.security.MessageDigest.getInstance("MD5")
+          .digest(rows.mkString("\n").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString, rows.length.toLong)
+      }
+      def freshSink() = (
+        java.nio.file.Files.createTempDirectory("graft-join-ckpt").toString,
+        java.nio.file.Files.createTempDirectory("graft-join-out").toString)
+      val (ckJU, outJU) = freshSink()
+      joinLeg(ckJU, outJU, None)
+      val (joinTruthHash, joinTruthRows) = sinkHash(outJU)
+      val killAfterJoin = killAfter + 1 // a third replay boundary
+      val (ckJR, outJR) = freshSink()
+      val tj = System.nanoTime()
+      val joinKilled = joinLeg(ckJR, outJR, Some(killAfterJoin))
+      val joinResumed = joinLeg(ckJR, outJR, None)
+      val joinWall = (System.nanoTime() - tj) / 1e9
+      val (joinRecHash, joinRecRows) = sinkHash(outJR)
+      val joinEqual = joinRecHash == joinTruthHash
+      System.err.println(
+        f"[streamcheck] recovery join   $dir%-22s events=$nEvents%7d " +
+          f"killed_after=$joinKilled resumed=$joinResumed " +
+          f"rows=$joinRecRows/$joinTruthRows equal=$joinEqual")
+
       def fmt(d: Double) = f"$d%.1f"
       s"""{"dir":"$dir","events":$nEvents,"kill_after_batches":$killAfter,""" +
         s""""merge":{"uninterrupted_batches":$plainBatches,""" +
@@ -265,7 +340,14 @@ object StreamCheck {
         s""""tws":{"killed_run_batches":$twsKilled,""" +
         s""""resumed_run_batches":$twsResumed,""" +
         s""""recovery_wall_sec":${fmt(twsWall)},""" +
-        s""""state_equal":$twsEqual}}"""
+        s""""state_equal":$twsEqual},""" +
+        s""""join":{"kill_after_batches":$killAfterJoin,""" +
+        s""""killed_run_batches":$joinKilled,""" +
+        s""""resumed_run_batches":$joinResumed,""" +
+        s""""recovery_wall_sec":${fmt(joinWall)},""" +
+        s""""sink_rows":$joinRecRows,""" +
+        s""""truth_rows":$joinTruthRows,""" +
+        s""""state_equal":$joinEqual}}"""
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(staging).iterator().asScala.toSeq

@@ -400,6 +400,144 @@ object TextAnalysis {
             graft.ops.Exprs.roundDiv(col("ssum"), col("n"), 6)
               .as("mean_score"))
           .orderBy("bin")
+    },
+
+    // ── Zipf head (round 11): the exact top-50 token mass curve — rank,
+    //    count, corpus share, cumulative share. The OTHER lens from
+    //    q_heavy_hitters: that one pins the approximate CMS machinery
+    //    with error bounds; this is the exact frequency head a corpus
+    //    report prints to judge vocabulary concentration (how much of the
+    //    corpus do the top-k tokens cover?). Deterministic tie order
+    //    (cnt DESC, tok ASC); all integer until roundDiv. Scale: the
+    //    token groupBy is classic wordcount (map-side combine → vocab-
+    //    sized exchange); the head is TakeOrdered k=50 (per-partition
+    //    top-k, never a global sort of the vocabulary); rank/cum windows
+    //    run over the 50 SELECTED rows only; the corpus-total is a 1-row
+    //    broadcast. ────────────────────────────────────────────────────────
+    Q("q_zipf",
+      s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+        |tot AS (SELECT count(*) AS total FROM t),
+        |h AS (SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT 50),
+        |r AS (SELECT tok, cnt,
+        |        CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT)
+        |          AS rank,
+        |        CAST(SUM(cnt) OVER (ORDER BY cnt DESC, tok) AS BIGINT)
+        |          AS cum
+        |      FROM h)
+        |SELECT rank, tok, cnt,
+        |  ${graft.ops.Exprs.roundDivSql("cnt", "total", 6)} AS share,
+        |  ${graft.ops.Exprs.roundDivSql("cum", "total", 6)} AS cum_share
+        |FROM r CROSS JOIN tot ORDER BY rank""".stripMargin) {
+      (s, d) =>
+        val t = spread(documents(s, d)).select(explode(tokens).as("tok"))
+        val tot = t.agg(count(lit(1)).as("total"))
+        val head = t.groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("tok")).limit(50)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("tok"))
+        head
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .withColumn("cum",
+            sum(col("cnt")).over(w.rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .crossJoin(broadcast(tot))
+          .select(col("rank"), col("tok"), col("cnt"),
+            graft.ops.Exprs.roundDiv(col("cnt"), col("total"), 6)
+              .as("share"),
+            graft.ops.Exprs.roundDiv(col("cum"), col("total"), 6)
+              .as("cum_share"))
+          .orderBy("rank")
+    },
+
+    // ── vocabulary growth / Heaps' law (round 11): how fast do NEW
+    //    trigram types appear as the corpus grows? The type unit is the
+    //    3-gram, NOT the unigram — this corpus draws from a fixed
+    //    31-token base vocabulary at every SF, so unigram novelty
+    //    saturates in the first bin, while trigram types keep arriving
+    //    (the same reason n-grams are the working unit of novelty and
+    //    contamination analysis). Documents bucket into 10 fixed-width
+    //    doc_id deciles (same integer edge as q_quality_calibration); a
+    //    type is "new in bin b" when its corpus-first document
+    //    (min doc_id over occurrences) lands in b. Output per bin: new
+    //    types, cumulative types, trigram volume, cumulative volume, and
+    //    the running type/occurrence ratio — the curve a pipeline reads
+    //    to decide whether more data still buys novelty. All integer
+    //    except the final roundDiv. Scale: one position-explode (a row
+    //    per corpus trigram — the q_dedup_substring regime) into a
+    //    wordcount-shaped groupBy(trigram → min(doc_id)) with map-side
+    //    partials; both decile aggregates land on ≤ 10 groups; windows
+    //    run over 10 rows. ─────────────────────────────────────────────────
+    Q("q_vocab_growth",
+      """WITH ext AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx
+        |  FROM documents),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |      FROM documents),
+        |w AS (SELECT doc_id, ts,
+        |        unnest(generate_series(1, len(ts) - 2)) AS pos
+        |      FROM t WHERE len(ts) >= 3),
+        |tk AS (SELECT doc_id, array_to_string(ts[pos:pos+2], ' ') AS tg
+        |       FROM w),
+        |ft AS (SELECT tg, min(doc_id) AS fd FROM tk GROUP BY tg),
+        |nt AS (SELECT least(9::BIGINT, ((fd - mn) * 10) // (mx - mn + 1))
+        |         AS bin, count(*) AS new_types
+        |       FROM ft CROSS JOIN ext GROUP BY 1),
+        |tv AS (SELECT least(9::BIGINT, ((doc_id - mn) * 10)
+        |         // (mx - mn + 1)) AS bin,
+        |         CAST(count(*) AS BIGINT) AS bin_ngrams
+        |       FROM tk CROSS JOIN ext GROUP BY 1),
+        |j AS (SELECT tv.bin, coalesce(nt.new_types, 0) AS new_types,
+        |        tv.bin_ngrams
+        |      FROM tv LEFT JOIN nt ON tv.bin = nt.bin),
+        |r AS (SELECT bin, new_types,
+        |        CAST(SUM(new_types) OVER (ORDER BY bin) AS BIGINT)
+        |          AS cum_types,
+        |        bin_ngrams,
+        |        CAST(SUM(bin_ngrams) OVER (ORDER BY bin) AS BIGINT)
+        |          AS cum_ngrams
+        |      FROM j)
+        |SELECT bin, new_types, cum_types, bin_ngrams, cum_ngrams,
+        |  """.stripMargin +
+        graft.ops.Exprs.roundDivSql("cum_types", "cum_ngrams", 6) +
+        """ AS novelty_ratio
+        |FROM r ORDER BY bin""".stripMargin) {
+      (s, d) =>
+        val docs = documents(s, d)
+        val ext = docs.agg(min(col("doc_id")).as("mn"),
+          max(col("doc_id")).as("mx"))
+        def binOf(c: Column): Column =
+          least(lit(9L), graft.ops.Exprs.intDivFloor(
+            (c - col("mn")) * 10, col("mx") - col("mn") + 1))
+        val tk = spread(docs)
+          .select(col("doc_id"), tokens.as("ts"))
+          .withColumn("n", size(col("ts")))
+          .filter(col("n") >= 3)
+          .select(col("doc_id"), col("ts"),
+            explode(sequence(lit(1), col("n") - 2)).as("pos"))
+          .select(col("doc_id"),
+            array_join(slice(col("ts"), col("pos"), lit(3)), " ").as("tg"))
+        val nt = tk.groupBy("tg").agg(min(col("doc_id")).as("fd"))
+          .crossJoin(broadcast(ext))
+          .groupBy(binOf(col("fd")).as("bin"))
+          .agg(count(lit(1)).as("new_types"))
+        val tv = tk.crossJoin(broadcast(ext))
+          .groupBy(binOf(col("doc_id")).as("bin"))
+          .agg(count(lit(1)).as("bin_ngrams"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("bin")
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        tv.join(nt, Seq("bin"), "left")
+          .select(col("bin"),
+            coalesce(col("new_types"), lit(0L)).as("new_types"),
+            col("bin_ngrams"))
+          .withColumn("cum_types", sum(col("new_types")).over(w))
+          .withColumn("cum_ngrams", sum(col("bin_ngrams")).over(w))
+          .select(col("bin"), col("new_types"), col("cum_types"),
+            col("bin_ngrams"), col("cum_ngrams"),
+            graft.ops.Exprs.roundDiv(col("cum_types"), col("cum_ngrams"), 6)
+              .as("novelty_ratio"))
+          .orderBy("bin")
     }
   )
 
