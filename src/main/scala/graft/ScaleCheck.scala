@@ -82,7 +82,7 @@ object ScaleCheck {
     // explode (fp-keyed joins + per-document interval windows) and the
     // classifier evaluators (distinct-score window; 10-bin calibration)
     "q_dedup_spans", "q_span_strip", "q_quality_auc",
-    "q_quality_calibration")
+    "q_quality_calibration", "q_zipf", "q_vocab_growth")
 
   /** query → DECLARED growth model, recorded next to the measured exponent
     * so a reading is judged against the design instead of against a blanket
