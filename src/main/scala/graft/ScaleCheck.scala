@@ -307,9 +307,16 @@ object ScaleCheck {
         s""""errors":$errs,"queries":$qjson}"""
     println(record)
     // SPARK_GRAFT_SCALE_OUT: replicate runs write beside the primary
-    // artifact (the two-same-code-runs discipline of rounds 10/11)
+    // artifact (the two-same-code-runs discipline of rounds 10/11).
+    // A FOCUSED run (SPARK_GRAFT_SCALE_QUERIES set) must never clobber
+    // the full-sweep primary with a subset record — its default output
+    // is a separate file.
+    val defaultOut =
+      if (sys.env.contains("SPARK_GRAFT_SCALE_QUERIES"))
+        "tools/scalecheck_focused.json"
+      else "tools/scalecheck.json"
     val out = ToolPaths.resolve(
-      sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "tools/scalecheck.json"))
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", defaultOut))
     val w = new java.io.PrintWriter(out)
     try w.println(record) finally w.close()
     System.err.println(s"[scalecheck] wrote $out")

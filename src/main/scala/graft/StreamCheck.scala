@@ -99,6 +99,27 @@ object StreamCheck {
     spark.stop()
   }
 
+  /** Optionally kill a running query once `stopAfter` distinct batches
+    * have reported progress, await termination, and return the distinct
+    * batch count — the shared injection/measure step of every recovery
+    * leg. Caveat shared by all callers: `recentProgress` retains only the
+    * last `spark.sql.streaming.numRecentProgressUpdates` entries (default
+    * 100), so the count is valid only for legs under 100 batches (ours
+    * replay 16 files).
+    */
+  private def stopAndCount(
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      stopAfter: Option[Int]): Int = {
+    stopAfter.foreach { k =>
+      while (q.isActive &&
+          q.recentProgress.map(_.batchId).distinct.length < k)
+        Thread.sleep(20)
+      if (q.isActive) q.stop()
+    }
+    q.awaitTermination()
+    q.recentProgress.map(_.batchId).distinct.length
+  }
+
   /** Kill-mid-batch + checkpoint-resume for the three durable-state shapes:
     * the generation-ledger MERGE (q_stream_upsert's discipline, via
     * Streams.recoverableMergeLeg), its CDC tombstone view (q_stream_cdc's
@@ -217,14 +238,7 @@ object StreamCheck {
             .option("checkpointLocation", ckpt)
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
-          stopAfter.foreach { k =>
-            while (q.isActive &&
-                q.recentProgress.map(_.batchId).distinct.length < k)
-              Thread.sleep(20)
-            if (q.isActive) q.stop()
-          }
-          q.awaitTermination()
-          q.recentProgress.map(_.batchId).distinct.length
+          stopAndCount(q, stopAfter)
         }
         val ckU = java.nio.file.Files.createTempDirectory("graft-tws-u").toString
         leg(ckU, None)
@@ -282,14 +296,7 @@ object StreamCheck {
           .option("checkpointLocation", ckpt)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        stopAfter.foreach { k =>
-          while (q.isActive &&
-              q.recentProgress.map(_.batchId).distinct.length < k)
-            Thread.sleep(20)
-          if (q.isActive) q.stop()
-        }
-        q.awaitTermination()
-        q.recentProgress.map(_.batchId).distinct.length
+        stopAndCount(q, stopAfter)
       }
       def sinkHash(outDir: String): (String, Long) = {
         // spark.read over a file-sink path resolves through the

@@ -160,6 +160,40 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** Shared 20-token rolling-window fingerprint frame — the `t`/`w`/`f`
+    * CTE chain ending in `f(doc_id, pos, fp)`, used by q_dedup_substring,
+    * q_dedup_spans and q_span_strip. The window width is substring
+    * dedup's dial (20 here; ~50 for production corpora) — ONE definition
+    * so re-tuning it cannot desynchronize the three queries or their
+    * oracles. Declared before `all`, which interpolates it at object
+    * init.
+    */
+  private val WindowFpCte: String =
+    """t AS (SELECT doc_id, string_split(text,' ') AS ts
+      |  FROM documents),
+      |w AS (SELECT doc_id, ts,
+      |        unnest(generate_series(1, len(ts) - 19)) AS pos
+      |      FROM t WHERE len(ts) >= 20),
+      |f AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |        ('0x' || substr(md5(array_to_string(ts[pos:pos+19], ' ')),
+      |                        1, 15))::BIGINT AS fp
+      |      FROM w)""".stripMargin
+
+  /** Spark side of [[WindowFpCte]]: one row per 20-token window position
+    * with its 60-bit content fingerprint.
+    */
+  private def windowFps(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    spread(documents(s, d))
+      .select(col("doc_id"), toks.as("ts"))
+      .withColumn("n", size(col("ts")))
+      .filter(col("n") >= 20)
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(1), col("n") - 19)).as("pos"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        md5Long(array_join(slice(col("ts"), col("pos"), lit(20)), " "))
+          .as("fp"))
+
   val all: Seq[Q] = Seq(
 
     // ── exact dedup: hash-groupBy on a normalization key ────────────────
@@ -747,15 +781,7 @@ object Dedup {
     //    method needs is replaced by a fixed-width shingle hash, which IS
     //    exact for spans of the declared width. ──────────────────────────
     Q("q_dedup_substring",
-      """WITH t AS (SELECT doc_id, string_split(text,' ') AS ts
-        |  FROM documents),
-        |w AS (SELECT doc_id, ts,
-        |        unnest(generate_series(1, len(ts) - 19)) AS pos
-        |      FROM t WHERE len(ts) >= 20),
-        |f AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-        |        ('0x' || substr(md5(array_to_string(ts[pos:pos+19], ' ')),
-        |                        1, 15))::BIGINT AS fp
-        |      FROM w)
+      s"""WITH $WindowFpCte
         |SELECT fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
         |  count(*) AS n_occ,
         |  min({'d': doc_id, 'p': pos}).d AS first_doc,
@@ -763,15 +789,7 @@ object Dedup {
         |FROM f GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY first_doc, first_pos, fp""".stripMargin) {
       (s, d) =>
-        spread(documents(s, d))
-          .select(col("doc_id"), toks.as("ts"))
-          .withColumn("n", size(col("ts")))
-          .filter(col("n") >= 20)
-          .select(col("doc_id"), col("ts"),
-            explode(sequence(lit(1), col("n") - 19)).as("pos"))
-          .select(col("doc_id"), col("pos").cast("long").as("pos"),
-            md5Long(array_join(slice(col("ts"), col("pos"), lit(20)), " "))
-              .as("fp"))
+        windowFps(s, d)
           .groupBy("fp")
           .agg(count_distinct(col("doc_id")).as("n_docs"),
             count(lit(1)).as("n_occ"),
@@ -788,58 +806,63 @@ object Dedup {
     },
 
     // ── maximal duplicated spans (round 11): the ACTIONABLE form of
-    //    q_dedup_substring — consecutive duplicated 20-token windows in a
-    //    document merge into one maximal [span_start, span_end] interval,
-    //    which is exactly what substring-level training-data dedup strips
-    //    (a 60-token boilerplate block is one span to remove, not 41
-    //    overlapping window hits). Islands via the classic gaps-and-
-    //    islands key pos − row_number() (pos is unique per doc, so equal
-    //    keys ⟺ consecutive positions); all arithmetic is integer.
-    //    Scale: the duplicated-fp semi-join shuffles on the 60-bit
-    //    fingerprint; the window partitions BY DOCUMENT — it shards per
-    //    key across executors, never a global sort; span merge is one
+    //    q_dedup_substring — duplicated 20-token windows in a document
+    //    merge into maximal [span_start, span_end] intervals, which is
+    //    exactly what substring-level training-data dedup strips (a
+    //    60-token boilerplate block is one span to remove, not 41
+    //    overlapping window hits). Islands are INTERVAL-UNION islands,
+    //    not consecutive-position islands: a new span starts only when a
+    //    window's [pos, pos+19] interval neither overlaps nor touches the
+    //    running max end of its predecessors — two duplicated windows
+    //    whose positions differ by 2..20 (the between window being
+    //    unique) still share tokens and MUST merge, or the emitted spans
+    //    would overlap and double-count (the naive pos−row_number() key
+    //    gets exactly that wrong). All arithmetic is integer; spans are
+    //    disjoint with ≥1 token gap BY CONSTRUCTION (pinned in
+    //    SpansAucSpec). Scale: the duplicated-fp semi-join shuffles on
+    //    the 60-bit fingerprint; both windows partition BY DOCUMENT —
+    //    sharded per key, never a global sort; span merge is one
     //    partial-aggregating groupBy. ──────────────────────────────────────
     Q("q_dedup_spans",
-      """WITH t AS (SELECT doc_id, string_split(text,' ') AS ts
-        |  FROM documents),
-        |w AS (SELECT doc_id, ts,
-        |        unnest(generate_series(1, len(ts) - 19)) AS pos
-        |      FROM t WHERE len(ts) >= 20),
-        |f AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-        |        ('0x' || substr(md5(array_to_string(ts[pos:pos+19], ' ')),
-        |                        1, 15))::BIGINT AS fp
-        |      FROM w),
+      s"""WITH $WindowFpCte,
         |dup AS (SELECT fp FROM f GROUP BY fp
         |        HAVING count(DISTINCT doc_id) >= 2),
         |dp AS (SELECT f.doc_id, f.pos FROM f JOIN dup USING (fp)),
         |g AS (SELECT doc_id, pos,
-        |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+        |        max(pos + 19) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          AS prev_end
+        |      FROM dp),
+        |i AS (SELECT doc_id, pos,
+        |        CAST(SUM(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+        |                      THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT)
         |          AS grp
-        |      FROM dp)
+        |      FROM g)
         |SELECT doc_id, min(pos) AS span_start,
         |  max(pos) + 19 AS span_end,
         |  count(*) AS n_windows,
         |  max(pos) - min(pos) + 20 AS span_tokens
-        |FROM g GROUP BY doc_id, grp
+        |FROM i GROUP BY doc_id, grp
         |ORDER BY doc_id, span_start""".stripMargin) {
       (s, d) =>
-        val f = spread(documents(s, d))
-          .select(col("doc_id"), toks.as("ts"))
-          .withColumn("n", size(col("ts")))
-          .filter(col("n") >= 20)
-          .select(col("doc_id"), col("ts"),
-            explode(sequence(lit(1), col("n") - 19)).as("pos"))
-          .select(col("doc_id"), col("pos").cast("long").as("pos"),
-            md5Long(array_join(slice(col("ts"), col("pos"), lit(20)), " "))
-              .as("fp"))
+        val f = windowFps(s, d)
           .cache() // duplicated-fp build side + the probe side read it
         val dup = f.groupBy("fp")
           .agg(count_distinct(col("doc_id")).as("nd"))
           .filter(col("nd") >= 2).select("fp")
-        val w = org.apache.spark.sql.expressions.Window
+        val w1 = org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy("pos")
+        val wPrev = w1.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val wRun = w1.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
         f.join(dup, Seq("fp"), "left_semi")
-          .withColumn("grp", col("pos") - row_number().over(w))
+          .withColumn("prev_end", max(col("pos") + 19).over(wPrev))
+          .withColumn("grp",
+            sum(when(col("prev_end").isNull ||
+              col("pos") > col("prev_end") + 1, 1L).otherwise(0L))
+              .over(wRun))
           .groupBy("doc_id", "grp")
           .agg(min(col("pos")).as("span_start"),
             max(col("pos")).as("span_end_pos"),
@@ -865,15 +888,7 @@ object Dedup {
     //    DOCUMENT; the left join back to `documents` keeps zero-removal
     //    docs (the common case) without scanning text twice. ──────────────
     Q("q_span_strip",
-      """WITH t AS (SELECT doc_id, string_split(text,' ') AS ts
-        |  FROM documents),
-        |w AS (SELECT doc_id, ts,
-        |        unnest(generate_series(1, len(ts) - 19)) AS pos
-        |      FROM t WHERE len(ts) >= 20),
-        |f AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-        |        ('0x' || substr(md5(array_to_string(ts[pos:pos+19], ' ')),
-        |                        1, 15))::BIGINT AS fp
-        |      FROM w),
+      s"""WITH $WindowFpCte,
         |g AS (SELECT fp, min({'d': doc_id, 'p': pos}) AS first
         |      FROM f GROUP BY fp HAVING count(*) >= 2),
         |r AS (SELECT f.doc_id, f.pos
@@ -898,15 +913,7 @@ object Dedup {
         |FROM n LEFT JOIN rm ON n.doc_id = rm.doc_id
         |ORDER BY n.doc_id""".stripMargin) {
       (s, d) =>
-        val f = spread(documents(s, d))
-          .select(col("doc_id"), toks.as("ts"))
-          .withColumn("n", size(col("ts")))
-          .filter(col("n") >= 20)
-          .select(col("doc_id"), col("ts"),
-            explode(sequence(lit(1), col("n") - 19)).as("pos"))
-          .select(col("doc_id"), col("pos").cast("long").as("pos"),
-            md5Long(array_join(slice(col("ts"), col("pos"), lit(20)), " "))
-              .as("fp"))
+        val f = windowFps(s, d)
           .cache() // first-site build side + the occurrence probe read it
         val g = f.groupBy("fp")
           .agg(count(lit(1)).as("n_occ"),

@@ -311,11 +311,13 @@ object TextAnalysis {
     //    fold; the ONLY window runs over DISTINCT SCORES, whose count is
     //    bounded by the score range (|bias| + 1000·max_tokens — a
     //    model-geometry constant, not a corpus size), so the global
-    //    ordering never sees N rows. BIGINT bound: the numerator is
-    //    ≤ 2·P·N ≤ N²/2 — exact to ~4M docs, past which the sums need
-    //    DECIMAL(38) (documented, not silently wrong: Spark long sums
-    //    would wrap, DuckDB HUGEINT would not — widen both if ever
-    //    deployed beyond that). ────────────────────────────────────────────
+    //    ordering never sees N rows. BIGINT bound: the binding constraint
+    //    is NOT the num2 sum itself (≤ 2·P·N ≤ N²/2, exact to N ~ 4e9)
+    //    but roundDiv's 2·10^6 scale multiplier — abs(num2)·2·10^6 must
+    //    stay under 2^63, so num2 ≤ ~4.6e12, i.e. N ≈ 3.0e6 docs. Past
+    //    that, route the final division through DECIMAL(38) on both
+    //    engines (Spark long arithmetic would wrap silently in this
+    //    expression shape; DuckDB HUGEINT would not). ─────────────────────
     Q("q_quality_auc",
       s"""WITH $ClassifierScoreCte,
         |lab AS (SELECT doc_id, lang = 'en' AS pos FROM documents),

@@ -27,9 +27,11 @@ class SpansAucSpec extends SparkTestBase {
     val expected = windows.filter(w => dupKeys(w._3))
       .groupBy(_._1).toSeq.flatMap { case (id, ws) =>
         val ps = ws.map(_._2).sorted
-        // island merge: consecutive positions coalesce
+        // interval-union merge: window [p, p+19] joins the current island
+        // whenever it overlaps or touches its end [.., e+19] — i.e.
+        // p <= (e+19)+1 — matching the query's running-max-end islands
         val spans = ps.foldLeft(List.empty[(Long, Long, Long)]) {
-          case ((s, e, n) :: rest, p) if p == e + 1 => (s, p, n + 1) :: rest
+          case ((s, e, n) :: rest, p) if p <= e + 20 => (s, p, n + 1) :: rest
           case (acc, p) => (p, p, 1L) :: acc
         }.reverse
         spans.map { case (s, e, n) => (id, s, e + 19, n, e - s + 20) }

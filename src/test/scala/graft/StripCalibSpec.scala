@@ -70,9 +70,9 @@ class StripCalibSpec extends SparkTestBase {
         val ssum = xs.map(_._1).sum
         (b, n, p,
           (BigDecimal(p) / n).setScale(6, BigDecimal.RoundingMode.HALF_UP),
-          (BigDecimal(ssum) / n).setScale(6,
-            if (ssum >= 0) BigDecimal.RoundingMode.HALF_UP
-            else BigDecimal.RoundingMode.HALF_DOWN)) // half-away-from-zero
+          // HALF_UP is already half-away-from-zero for BOTH signs
+          // (-2.5 → -3), matching roundDiv's contract
+          (BigDecimal(ssum) / n).setScale(6, BigDecimal.RoundingMode.HALF_UP))
       }
 
     val got = SparkEntry.queries("q_quality_calibration")(spark, sfDir)
