@@ -252,6 +252,88 @@ object Curation {
           .orderBy("doc_id", "chunk_id")
     },
 
+    // ── content-defined chunking (round 11): split each document at
+    //    TOKEN-HASH boundaries instead of fixed offsets — the word-level
+    //    form of the gear/Rabin discipline dedup-aware storage uses
+    //    (LBFS/FastCDC). A token CLOSES its chunk when
+    //    md5("cdc:"||tok) % 16 == 0, so a boundary depends only on LOCAL
+    //    content: inserting or deleting a run of tokens re-chunks only the
+    //    spans it touches, while under q_chunk_overlap's fixed-width rule
+    //    every chunk downstream of the edit shifts and its fingerprint
+    //    churns (the content-locality property is pinned by a model test
+    //    in ChunkKlSpec). Each chunk is declared by its 60-bit content
+    //    fingerprint; the final join counts how many documents share each
+    //    fingerprint — the cross-document duplicate-chunk census that is
+    //    CDC's dedup payoff. The modulus is the expected-chunk-size dial
+    //    (16 tokens here, sized to this corpus; production re-derives it
+    //    from the target chunk bytes). Scale: one explode; ONE window
+    //    partitioned BY DOCUMENT (sharded per key, never global); chunk
+    //    assembly is a groupBy plus an equi-join back to the token
+    //    arrays; the census is a wordcount-shaped groupBy on fp. All
+    //    stages linear, all arithmetic integer. ───────────────────────────
+    Q("q_chunk_cdc",
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS ts
+        |  FROM documents),
+        |e AS (SELECT doc_id, ts,
+        |        unnest(generate_series(1, len(ts))) AS pos
+        |      FROM t),
+        |b AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |        CASE WHEN ('0x' || substr(md5('cdc:' || ts[pos]), 1, 15))
+        |                    ::BIGINT % 16 = 0
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM e),
+        |g AS (SELECT doc_id, pos,
+        |        CAST(coalesce(SUM(brk) OVER (PARTITION BY doc_id
+        |          ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS BIGINT) AS chunk_id
+        |      FROM b),
+        |c AS (SELECT doc_id, chunk_id, min(pos) AS start,
+        |        max(pos) AS fin, count(*) AS n_tok
+        |      FROM g GROUP BY doc_id, chunk_id),
+        |f AS (SELECT c.doc_id, c.chunk_id, c.start, c.n_tok,
+        |        ('0x' || substr(md5(array_to_string(t.ts[c.start:c.fin],
+        |                                            ' ')), 1, 15))::BIGINT
+        |          AS fp
+        |      FROM c JOIN t ON c.doc_id = t.doc_id),
+        |d AS (SELECT fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |      FROM f GROUP BY fp)
+        |SELECT f.doc_id, f.chunk_id, f.start, f.n_tok, f.fp, d.n_docs
+        |FROM f JOIN d USING (fp) ORDER BY doc_id, chunk_id""".stripMargin) {
+      (s, d) =>
+        val t = spread(documents(s, d))
+          .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        val wPrev = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val c = t
+          .select(col("doc_id"), col("ts"),
+            explode(sequence(lit(1), size(col("ts")))).as("pos"))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"),
+            when(md5Long(concat(lit("cdc:"),
+              element_at(col("ts"), col("pos")))) % 16 === 0, 1L)
+              .otherwise(0L).as("brk"))
+          .withColumn("chunk_id",
+            coalesce(sum(col("brk")).over(wPrev), lit(0L)))
+          .groupBy("doc_id", "chunk_id")
+          .agg(min(col("pos")).as("start"), max(col("pos")).as("fin"),
+            count(lit(1)).as("n_tok"))
+        val f = c.join(t, "doc_id")
+          .select(col("doc_id"), col("chunk_id"), col("start"),
+            col("n_tok"),
+            md5Long(array_join(slice(col("ts"), col("start").cast("int"),
+              (col("fin") - col("start") + 1).cast("int")), " "))
+              .as("fp"))
+          .cache() // census build side + the output probe both read it
+        val dcnt = f.groupBy("fp")
+          .agg(count_distinct(col("doc_id")).as("n_docs"))
+        f.join(dcnt, "fp")
+          .select(col("doc_id"), col("chunk_id"), col("start"),
+            col("n_tok"), col("fp"), col("n_docs"))
+          .orderBy("doc_id", "chunk_id")
+    },
+
     // ── cross-corpus perplexity gate: train an add-one-smoothed bigram LM
     //    on the REFERENCE slice (source = 'src0') and score every
     //    out-of-domain document's average log-probability under it — the

@@ -540,6 +540,80 @@ object TextAnalysis {
             graft.ops.Exprs.roundDiv(col("cum_types"), col("cum_ngrams"), 6)
               .as("novelty_ratio"))
           .orderBy("bin")
+    },
+
+    // ── per-source distribution shift (round 11): KL divergence of each
+    //    source's add-one-smoothed unigram distribution from the corpus
+    //    distribution — the quantitative form of "which sources look like
+    //    the mixture and which drag it", read next to q_mix_sources'
+    //    weights and q_drift's centroids. Both sides smooth over the SAME
+    //    corpus vocabulary V, so P and Q are genuine distributions and
+    //    KL ≥ 0 (pinned in ChunkKlSpec up to the declared rounding).
+    //    Float discipline = q_bigram_lm's: ln of an exact-integer ratio
+    //    rounds to 6 decimals per term, the weighted sum accumulates in
+    //    DECIMAL (exact), and ONE roundDiv closes the division — term
+    //    order never matters. Overflow bounds, documented not latent: the
+    //    ln-ratio's BIGINT products stay double-exact to n_all ~ 2^53/V;
+    //    roundDiv at scale 0 needs |Σ(c_s+1)·lr·10^6| < 2^62 — holds to
+    //    ~10^11 tokens/source. Scale: two wordcount groupBys; the
+    //    source×vocab matrix is |S|·V rows with S a BROADCAST handful (a
+    //    mixture has dozens of sources — an S that grows with the corpus
+    //    would need the sparse-term + closed-remainder form instead);
+    //    output is |S| rows. ──────────────────────────────────────────────
+    Q("q_kl_sources",
+      s"""WITH u AS (SELECT source, unnest(string_split(text,' ')) AS w
+        |  FROM documents),
+        |ca AS (SELECT w, CAST(count(*) AS BIGINT) AS c_all
+        |       FROM u GROUP BY w),
+        |na AS (SELECT CAST(count(*) AS BIGINT) AS n_all,
+        |         CAST(count(DISTINCT w) AS BIGINT) AS v FROM u),
+        |cs AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c_s
+        |       FROM u GROUP BY source, w),
+        |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s,
+        |         CAST(count(DISTINCT w) AS BIGINT) AS v_src
+        |       FROM u GROUP BY source),
+        |m AS (SELECT ns.source, ns.n_s, ns.v_src, ca.w, ca.c_all,
+        |        coalesce(cs.c_s, 0) AS c_s
+        |      FROM ns CROSS JOIN ca
+        |      LEFT JOIN cs ON cs.source = ns.source AND cs.w = ca.w),
+        |term AS (SELECT source, n_s, v_src,
+        |    c_s + 1 AS wgt, n_s + v AS den,
+        |    CAST(round(ln((c_s + 1) * (n_all + v)
+        |                  / CAST((c_all + 1) * (n_s + v) AS DOUBLE)), 6)
+        |         AS DECIMAL(18,6)) AS lr
+        |  FROM m CROSS JOIN na)
+        |SELECT source, n_s AS n_tokens, v_src AS vocab_src,
+        |  ${graft.ops.Exprs.roundDivSql("SUM(wgt * lr) * 1000000",
+             "den", 0)} / 1000000.0 AS kl
+        |FROM term GROUP BY source, n_s, v_src, den
+        |ORDER BY source""".stripMargin) {
+      (s, d) =>
+        val u = spread(documents(s, d))
+          .select(col("source"), explode(tokens).as("w"))
+        val ca = u.groupBy("w").agg(count(lit(1)).as("c_all"))
+        val na = u.agg(count(lit(1)).as("n_all"),
+          count_distinct(col("w")).as("v"))
+        val cs = u.groupBy("source", "w").agg(count(lit(1)).as("c_s"))
+        val ns = u.groupBy("source").agg(count(lit(1)).as("n_s"),
+          count_distinct(col("w")).as("v_src"))
+        val cS = coalesce(col("c_s"), lit(0L))
+        broadcast(ns).crossJoin(ca)
+          .join(cs, Seq("source", "w"), "left")
+          .crossJoin(broadcast(na))
+          .select(col("source"), col("n_s"), col("v_src"),
+            (cS + 1).as("wgt"), (col("n_s") + col("v")).as("den"),
+            round(log(((cS + 1) * (col("n_all") + col("v"))) /
+              ((col("c_all") + 1) * (col("n_s") + col("v")))
+                .cast("double")), 6)
+              .cast("decimal(18,6)").as("lr"))
+          .groupBy("source", "n_s", "v_src", "den")
+          .agg(graft.ops.Exprs.roundDiv(
+            sum(col("wgt") * col("lr")) * lit(1000000L),
+            col("den"), 0).as("klq"))
+          .select(col("source"), col("n_s").as("n_tokens"),
+            col("v_src").as("vocab_src"),
+            (col("klq") / lit(1000000.0)).as("kl"))
+          .orderBy("source")
     }
   )
 

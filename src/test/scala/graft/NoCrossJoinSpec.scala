@@ -46,6 +46,8 @@ class NoCrossJoinSpec extends SparkTestBase {
     "q_quality_calibration", // one-row (min,max) score-extremes frame
     "q_zipf", // one-row corpus-total frame joined to the 50-row head
     "q_vocab_growth", // one-row (min,max) doc_id-extremes frame, twice
+    "q_kl_sources", // |sources|-row broadcast stats frame × vocab (the
+    // smoothed-KL matrix needs a term per (source, word)) + one-row (N,V)
     "q_mix_sources", // one-row budget/weight-sum frames → per-source targets
     "q_minhash_recall", // n_cand/n_truth/n_hits one-row count frames
     "q_dedup_ngram_recall", // n_truth/n_found one-row count frames +
