@@ -85,7 +85,11 @@ object ScaleCheck {
     "q_quality_calibration", "q_zipf", "q_vocab_growth",
     // round-11 fourth pair: hash-boundary chunking (explode + per-doc
     // window + fp census) and the source×vocab KL matrix
-    "q_chunk_cdc", "q_kl_sources")
+    "q_chunk_cdc", "q_kl_sources",
+    // round-11 fifth pair: the source-pair containment matrix (distinct
+    // gram join, |S|² fan-out bound) and PQ's N·M·K assignment + Q·M·N
+    // ADC pair stage
+    "q_overlap_matrix", "q_ann_pq")
 
   /** query → DECLARED growth model, recorded next to the measured exponent
     * so a reading is judged against the design instead of against a blanket
@@ -112,7 +116,9 @@ object ScaleCheck {
     "q_perplexity_filter" -> "1.0: one pass over corpus bigrams, 1:1 equi-joins against reference counts",
     "q_copurchase" -> "1.0: pairs bounded by C(items/order,2) per order",
     "q_chunk_cdc" -> "1.0: one row per corpus token, per-document window, fp-keyed census groupBy",
-    "q_kl_sources" -> "1.0: wordcount groupBys + |S|*V matrix with constant |S|")
+    "q_kl_sources" -> "1.0: wordcount groupBys + |S|*V matrix with constant |S|",
+    "q_overlap_matrix" -> "1.0: distinct-gram join fans out to <= C(|S|,2) pairs per gram, constant |S|",
+    "q_ann_pq" -> "1.0: N*M*K broadcast assignment + Q*M*N ADC rows, constant Q=20 M=8 K=16")
 
   /** query → its final-plan observe() node, for iteration capture. */
   val LoopMetric: Map[String, String] = Map(

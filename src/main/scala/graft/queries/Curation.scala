@@ -73,6 +73,73 @@ object Curation {
           .orderBy("doc_id")
     },
 
+    // ── cross-source overlap matrix (round 11): for every ordered source
+    //    pair, what share of src_a's DISTINCT word-3-gram shingles also
+    //    appears in src_b — q_decontaminate generalized from one
+    //    train/test split to the full mixture. Containment (|A∩B|/|A|) is
+    //    directional on purpose: a small source swallowed by a big one
+    //    reads 1.0 in one direction and near-0 in the other, which is the
+    //    signal that decides which source to drop. Zero-overlap pairs are
+    //    kept (sz×sz frame, LEFT join) so the matrix is always complete.
+    //    Scale: shingles collapse to DISTINCT (source, hash) rows first —
+    //    the shared-gram join then fans out to at most C(|S|,2) pairs PER
+    //    DISTINCT GRAM with |S| a mixture-design constant (the q_kl_sources
+    //    argument); partial aggregation runs before the pair exchange; the
+    //    |S|²-row completion frame is driver-scale. ───────────────────────
+    Q("q_overlap_matrix",
+      s"""WITH tok AS (SELECT source, string_split(text,' ') AS ts
+        |  FROM documents),
+        |sh AS (SELECT source,
+        |    CASE WHEN len(ts) >= 3
+        |         THEN list_transform(range(1, len(ts)-1),
+        |                             i -> array_to_string(ts[i:i+2], ' '))
+        |         ELSE [array_to_string(ts, ' ')] END AS shingles
+        |  FROM tok),
+        |g AS (SELECT DISTINCT source,
+        |    ('0x' || substr(md5(s), 1, 15))::BIGINT AS hv
+        |  FROM (SELECT source, unnest(shingles) AS s FROM sh)),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams
+        |       FROM g GROUP BY source),
+        |pair AS (SELECT a.source AS src_a, b.source AS src_b,
+        |           CAST(count(*) AS BIGINT) AS n_shared
+        |         FROM g a JOIN g b ON a.hv = b.hv AND a.source <> b.source
+        |         GROUP BY 1, 2),
+        |m AS (SELECT sa.source AS src_a, sb.source AS src_b,
+        |        sa.n_grams AS n_grams_a, coalesce(p.n_shared, 0) AS n_shared
+        |      FROM sz sa JOIN sz sb ON sa.source <> sb.source
+        |      LEFT JOIN pair p ON p.src_a = sa.source
+        |                      AND p.src_b = sb.source)
+        |SELECT src_a, src_b, n_grams_a, n_shared,
+        |  ${graft.ops.Exprs.roundDivSql("n_shared", "n_grams_a", 6)}
+        |    AS containment
+        |FROM m ORDER BY src_a, src_b""".stripMargin) {
+      (s, d) =>
+        val g = spread(documents(s, d))
+          .select(col("source"), split(col("text"), " ").as("ts"))
+          .select(col("source"), explode(wordShingles(col("ts"), 3)).as("s"))
+          .select(col("source"), md5Long(col("s")).as("hv"))
+          .distinct()
+          .cache() // pair join probes both sides; sz re-reads it
+        val sz = g.groupBy("source").agg(count(lit(1)).as("n_grams"))
+        val pair = g.select(col("source").as("src_a"), col("hv"))
+          .join(g.select(col("source").as("src_b"), col("hv")), "hv")
+          .filter(col("src_a") =!= col("src_b"))
+          .groupBy("src_a", "src_b")
+          .agg(count(lit(1)).as("n_shared"))
+        broadcast(sz.select(col("source").as("src_a"),
+            col("n_grams").as("n_grams_a")))
+          .join(sz.select(col("source").as("src_b")),
+            col("src_a") =!= col("src_b"))
+          .join(pair, Seq("src_a", "src_b"), "left")
+          .select(col("src_a"), col("src_b"), col("n_grams_a"),
+            coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+          .select(col("src_a"), col("src_b"), col("n_grams_a"),
+            col("n_shared"),
+            graft.ops.Exprs.roundDiv(col("n_shared"), col("n_grams_a"), 6)
+              .as("containment"))
+          .orderBy("src_a", "src_b")
+    },
+
     // ── within-document repetition: share of word 3-grams that are
     //    duplicates — the boilerplate/spam signal every quality filter
     //    carries. Pure per-row HOF math (shingle → distinct → sizes), no

@@ -1063,6 +1063,165 @@ object Similarity {
               col("n_hits").cast("double") / col("n_expected")).as("recall"))
     },
 
+    // ── product quantization (round 11): the OTHER compression axis next
+    //    to q_quantize/q_ann_quant's int8 — 64 floats become 8×4-bit
+    //    codes (one codeword index per 8-dim subspace; 64× smaller than
+    //    float32), ranked by ASYMMETRIC distance (ADC): the query stays
+    //    float, each candidate is its reconstruction, and the dot
+    //    decomposes into 8 table lookups. Codebook = the subvectors of
+    //    the first 16 anchors (sampled-codebook initialization; k-means
+    //    refinement is q_kmeans_step's machinery, deliberately not fused
+    //    here so the oracle stays one pass). Recall@3 vs the exact float
+    //    top-3 over the standard constant query set closes the family
+    //    the way every other family closes. Float discipline: every dot/
+    //    distance folds subvectors in INDEX order (both engines), the
+    //    8-term ADC and reconstruction-norm sums are pivot-max chains
+    //    added in fixed m order — never an unordered SUM over doubles —
+    //    and argmin ties break to the lowest codeword via min(struct).
+    //    Scale: assignment is N·M·K work map-side under a broadcast
+    //    128-row codebook with per-(vec,m) partial-agg argmin; the ADC
+    //    pair stage is Q·M·N slim scalar rows (constant Q=20, M=8)
+    //    partial-aggregated into Q·N groups — linear in the corpus, the
+    //    same O(Q·N) regime as the exact-truth side every recall query
+    //    already carries. ─────────────────────────────────────────────────
+    Q("q_ann_pq",
+      s"""WITH $normsCte,
+         |sub AS (SELECT vec_id, CAST(r.m AS BIGINT) AS m,
+         |          n.e[r.m*8+1 : r.m*8+8] AS sv
+         |        FROM n CROSS JOIN range(0, 8) r(m)),
+         |cb AS (SELECT m, vec_id AS k, sv AS cw,
+         |         list_reduce(list_prepend(0.0::DOUBLE,
+         |           list_transform(sv, x -> x * x)), (a,b) -> a + b) AS cwn
+         |       FROM sub WHERE vec_id < 16),
+         |asg AS (SELECT s.vec_id, s.m,
+         |          min({'d': list_reduce(list_prepend(0.0::DOUBLE,
+         |                list_transform(range(1, 9),
+         |                  i -> (s.sv[i] - c.cw[i]) * (s.sv[i] - c.cw[i]))),
+         |                (x,y) -> x + y),
+         |               'k': c.k}) AS best
+         |        FROM sub s JOIN cb c ON s.m = c.m
+         |        GROUP BY s.vec_id, s.m),
+         |codes AS (SELECT vec_id, m, best.k AS k FROM asg),
+         |rn0 AS (SELECT codes.vec_id AS cid,
+         |          max(CASE WHEN codes.m = 0 THEN c.cwn END) AS r0,
+         |          max(CASE WHEN codes.m = 1 THEN c.cwn END) AS r1,
+         |          max(CASE WHEN codes.m = 2 THEN c.cwn END) AS r2,
+         |          max(CASE WHEN codes.m = 3 THEN c.cwn END) AS r3,
+         |          max(CASE WHEN codes.m = 4 THEN c.cwn END) AS r4,
+         |          max(CASE WHEN codes.m = 5 THEN c.cwn END) AS r5,
+         |          max(CASE WHEN codes.m = 6 THEN c.cwn END) AS r6,
+         |          max(CASE WHEN codes.m = 7 THEN c.cwn END) AS r7
+         |        FROM codes JOIN cb c ON codes.m = c.m AND codes.k = c.k
+         |        GROUP BY 1),
+         |rn AS (SELECT cid, r0+r1+r2+r3+r4+r5+r6+r7 AS rnrm FROM rn0),
+         |lut AS (SELECT s.vec_id AS qid, c.m, c.k,
+         |          list_reduce(list_prepend(0.0::DOUBLE,
+         |            list_transform(range(1, 9), i -> s.sv[i] * c.cw[i])),
+         |            (x,y) -> x + y) AS qdot
+         |        FROM sub s JOIN cb c ON s.m = c.m
+         |        WHERE s.vec_id < $RecallQueries),
+         |ad0 AS (SELECT l.qid, codes.vec_id AS cid,
+         |          max(CASE WHEN codes.m = 0 THEN l.qdot END) AS a0,
+         |          max(CASE WHEN codes.m = 1 THEN l.qdot END) AS a1,
+         |          max(CASE WHEN codes.m = 2 THEN l.qdot END) AS a2,
+         |          max(CASE WHEN codes.m = 3 THEN l.qdot END) AS a3,
+         |          max(CASE WHEN codes.m = 4 THEN l.qdot END) AS a4,
+         |          max(CASE WHEN codes.m = 5 THEN l.qdot END) AS a5,
+         |          max(CASE WHEN codes.m = 6 THEN l.qdot END) AS a6,
+         |          max(CASE WHEN codes.m = 7 THEN l.qdot END) AS a7
+         |        FROM codes JOIN lut l ON codes.m = l.m AND codes.k = l.k
+         |        WHERE codes.vec_id <> l.qid
+         |        GROUP BY 1, 2),
+         |ad AS (SELECT qid, cid, a0+a1+a2+a3+a4+a5+a6+a7 AS adc FROM ad0),
+         |qn AS (SELECT vec_id AS qid, nrm AS qn FROM n
+         |       WHERE $recallQPredSql),
+         |pr AS (SELECT ad.qid, ad.cid,
+         |         CASE WHEN qn.qn * rn.rnrm > 0
+         |              THEN ad.adc / sqrt(qn.qn * rn.rnrm) END AS sim
+         |       FROM ad JOIN qn ON ad.qid = qn.qid
+         |       JOIN rn ON ad.cid = rn.cid),
+         |pt AS (SELECT qid, cid FROM (SELECT qid, cid,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY sim DESC, cid) AS rk
+         |       FROM pr) WHERE rk <= 3),
+         |xp AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |        ${dotSqlIdx("q.e", "c.e")} AS dot, q.nrm AS fqn,
+         |        c.nrm AS cn
+         |      FROM n q JOIN n c ON c.vec_id <> q.vec_id
+         |      WHERE q.$recallQPredSql),
+         |xr AS (SELECT qid, cid,
+         |        row_number() OVER (PARTITION BY qid
+         |          ORDER BY dot / sqrt(fqn * cn) DESC, cid) AS rk
+         |      FROM xp),
+         |ex AS (SELECT qid, cid FROM xr WHERE rk <= 3),
+         |exn AS (SELECT count(*) AS n_expected FROM ex),
+         |hits AS (SELECT count(*) AS n_hits FROM pt JOIN ex USING (qid, cid))
+         |SELECT 'pq8x16' AS method, n_hits, n_expected,
+         |  n_hits::DOUBLE / n_expected AS recall
+         |FROM hits CROSS JOIN exn""".stripMargin) {
+      (s, d) =>
+        val M = 8; val SubDim = 8; val KCent = 16
+        val n = withNorms(s, d).cache()
+        val sub = n
+          .select(col("vec_id"), col("e"),
+            explode(sequence(lit(0L), lit(M - 1L))).as("m"))
+          .select(col("vec_id"), col("m"),
+            slice(col("e"), (col("m") * SubDim + 1).cast("int"),
+              lit(SubDim)).as("sv"))
+        val cb = sub.filter(col("vec_id") < KCent)
+          .select(col("m"), col("vec_id").as("k"), col("sv").as("cw"),
+            dotProduct(col("sv"), col("sv")).as("cwn"))
+        // subspace argmin: squared distance folds the 8 dims in index
+        // order; ties break to the lowest codeword via struct ordering
+        val sqd = aggregate(
+          zip_with(col("sv"), col("cw"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (x, y) => x + y)
+        val codes = sub.join(broadcast(cb), Seq("m"))
+          .groupBy(col("vec_id"), col("m"))
+          .agg(min(struct(sqd.as("d"), col("k").as("k"))).as("best"))
+          .select(col("vec_id"), col("m"), col("best.k").as("k"))
+          .cache() // reconstruction norms + the ADC pair stage read it
+        def chain(p: String): Column =
+          (0 until M).map(i => col(s"$p$i")).reduce(_ + _)
+        val rnAggs = (0 until M).map(i =>
+          max(when(col("m") === i, col("cwn"))).as(s"r$i"))
+        val rn = codes.join(broadcast(cb.select("m", "k", "cwn")),
+            Seq("m", "k"))
+          .groupBy(col("vec_id").as("cid"))
+          .agg(rnAggs.head, rnAggs.tail: _*)
+          .select(col("cid"), chain("r").as("rnrm"))
+        val lut = sub.filter(recallQPred)
+          .select(col("vec_id").as("qid"), col("m"), col("sv"))
+          .join(broadcast(cb), Seq("m"))
+          .select(col("qid"), col("m"), col("k"),
+            dotProduct(col("sv"), col("cw")).as("qdot"))
+        val adAggs = (0 until M).map(i =>
+          max(when(col("m") === i, col("qdot"))).as(s"a$i"))
+        val ad = codes.join(broadcast(lut), Seq("m", "k"))
+          .filter(col("vec_id") =!= col("qid"))
+          .groupBy(col("qid"), col("vec_id").as("cid"))
+          .agg(adAggs.head, adAggs.tail: _*)
+          .select(col("qid"), col("cid"), chain("a").as("adc"))
+        val qn = n.filter(recallQPred)
+          .select(col("vec_id").as("qid"), col("nrm").as("qn"))
+        val pt = ad.join(broadcast(qn), "qid")
+          .join(rn, "cid")
+          .select(col("qid"), col("cid"),
+            cosSim(col("adc"), col("qn") * col("rnrm")).as("sim"))
+          .withColumn("rk", row_number().over(rankW))
+          .filter(col("rk") <= 3)
+          .select("qid", "cid")
+        val ex = exactRankedFrom(n, recallQPred).select("qid", "cid").cache()
+        val exN = ex.agg(count(lit(1)).as("n_expected"))
+        pt.join(ex, Seq("qid", "cid"))
+          .agg(count(lit(1)).as("n_hits"))
+          .crossJoin(exN)
+          .select(lit("pq8x16").as("method"), col("n_hits"),
+            col("n_expected"),
+            when(col("n_expected") > 0,
+              col("n_hits").cast("double") / col("n_expected")).as("recall"))
+    },
+
     // ── embedding-dedup clustering: connected components over the cosine
     //    candidate-pair graph — the same closure the MinHash family gets
     //    from q_dedup_clusters, so the embedding path is a full dedup

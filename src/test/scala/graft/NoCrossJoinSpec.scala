@@ -48,6 +48,10 @@ class NoCrossJoinSpec extends SparkTestBase {
     "q_vocab_growth", // one-row (min,max) doc_id-extremes frame, twice
     "q_kl_sources", // |sources|-row broadcast stats frame × vocab (the
     // smoothed-KL matrix needs a term per (source, word)) + one-row (N,V)
+    "q_overlap_matrix", // |S|×|S| completion frame (both sides the tiny
+    // per-source gram-count aggregate) so zero-overlap pairs stay in
+    "q_ann_pq", // the exact-truth baseline's Q=20 broadcast frame (the
+    // q_ann_recall discipline) + one-row n_expected count frame
     "q_mix_sources", // one-row budget/weight-sum frames → per-source targets
     "q_minhash_recall", // n_cand/n_truth/n_hits one-row count frames
     "q_dedup_ngram_recall", // n_truth/n_found one-row count frames +
