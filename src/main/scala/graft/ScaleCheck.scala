@@ -89,7 +89,9 @@ object ScaleCheck {
     // round-11 fifth pair: the source-pair containment matrix (distinct
     // gram join, |S|² fan-out bound) and PQ's N·M·K assignment + Q·M·N
     // ADC pair stage
-    "q_overlap_matrix", "q_ann_pq")
+    "q_overlap_matrix", "q_ann_pq",
+    // round-11 sixth: hybrid lexical+semantic retrieval, RRF-fused
+    "q_hybrid_search")
 
   /** query → DECLARED growth model, recorded next to the measured exponent
     * so a reading is judged against the design instead of against a blanket
@@ -118,7 +120,8 @@ object ScaleCheck {
     "q_chunk_cdc" -> "1.0: one row per corpus token, per-document window, fp-keyed census groupBy",
     "q_kl_sources" -> "1.0: wordcount groupBys + |S|*V matrix with constant |S|",
     "q_overlap_matrix" -> "1.0: distinct-gram join fans out to <= C(|S|,2) pairs per gram, constant |S|",
-    "q_ann_pq" -> "1.0: N*M*K broadcast assignment + Q*M*N ADC rows, constant Q=20 M=8 K=16")
+    "q_ann_pq" -> "1.0: N*M*K broadcast assignment + Q*M*N ADC rows, constant Q=20 M=8 K=16",
+    "q_hybrid_search" -> "1.0: both exact sides are Q*N with constant Q=5; fusion is top-20 frames")
 
   /** query → its final-plan observe() node, for iteration capture. */
   val LoopMetric: Map[String, String] = Map(

@@ -1222,6 +1222,128 @@ object Similarity {
               col("n_hits").cast("double") / col("n_expected")).as("recall"))
     },
 
+    // ── hybrid retrieval with reciprocal-rank fusion (round 11): the
+    //    production search composite — a LEXICAL ranking (sum of round-6
+    //    idf weights over shared distinct tokens, the TF-IDF dot in its
+    //    set form) and a SEMANTIC ranking (exact cosine) fused by RRF:
+    //    rrf = Σ_list 1/(60 + rank), each term an exact 1e-6-grid
+    //    rational via roundDiv, summed in DECIMAL — order-free and
+    //    engine-exact, no float rank arithmetic. Coverage is PARTIAL by
+    //    design (sf0.1 has 5000 docs but 2000 vectors): the FULL join
+    //    keeps candidates retrieved by either list and an absent rank
+    //    contributes 0 — exactly how RRF absorbs heterogeneous
+    //    retrievers. Top-20 per list feed the fusion; top-10 per query
+    //    ship. Scale: both exact sides are the O(Q·N) constant-query-set
+    //    regime every recall query uses (at deployment each would be
+    //    served by q_ann_ivf / an inverted index — the fusion stage is
+    //    UNCHANGED); ranks come from per-qid windows over Q=5
+    //    partitions; idf is a broadcast vocab-size frame. ─────────────────
+    Q("q_hybrid_search",
+      s"""WITH $normsCte,
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+         |dt AS (SELECT DISTINCT doc_id,
+         |         unnest(string_split(text,' ')) AS tok FROM documents),
+         |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+         |       FROM dt GROUP BY tok),
+         |idf AS (SELECT tok,
+         |          CAST(round(ln((nd + 1) / CAST(df + 1 AS DOUBLE)), 6)
+         |               AS DECIMAL(18,6)) AS idf
+         |        FROM df CROSS JOIN nd),
+         |qd AS (SELECT doc_id AS qid, tok FROM dt WHERE doc_id < 5),
+         |lx AS (SELECT q.qid, d.doc_id AS id, SUM(i.idf) AS lex
+         |       FROM qd q JOIN dt d USING (tok) JOIN idf i USING (tok)
+         |       WHERE d.doc_id <> q.qid
+         |       GROUP BY q.qid, d.doc_id),
+         |lr AS (SELECT qid, id, lex_rank FROM (
+         |         SELECT qid, id, CAST(row_number() OVER (PARTITION BY qid
+         |           ORDER BY lex DESC, id) AS BIGINT) AS lex_rank FROM lx)
+         |       WHERE lex_rank <= 20),
+         |sq AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM n
+         |       WHERE vec_id < 5),
+         |sp AS (SELECT sq.qid, c.vec_id AS id,
+         |         CASE WHEN sq.qn * c.nrm > 0
+         |              THEN ${dotSqlIdx("sq.qe", "c.e")}
+         |                   / sqrt(sq.qn * c.nrm) END AS sim
+         |       FROM sq JOIN n c ON c.vec_id <> sq.qid),
+         |sr AS (SELECT qid, id, sem_rank FROM (
+         |         SELECT qid, id, CAST(row_number() OVER (PARTITION BY qid
+         |           ORDER BY sim DESC, id) AS BIGINT) AS sem_rank FROM sp)
+         |       WHERE sem_rank <= 20),
+         |u AS (SELECT coalesce(l.qid, s.qid) AS qid,
+         |        coalesce(l.id, s.id) AS id, l.lex_rank, s.sem_rank
+         |      FROM lr l FULL JOIN sr s
+         |        ON l.qid = s.qid AND l.id = s.id),
+         |rr AS (SELECT qid, id, lex_rank, sem_rank,
+         |        coalesce(CAST(${graft.ops.Exprs.roundDivSql("1",
+                    "60 + lex_rank", 6)} AS DECIMAL(18,6)),
+                  0::DECIMAL(18,6)) +
+         |        coalesce(CAST(${graft.ops.Exprs.roundDivSql("1",
+                    "60 + sem_rank", 6)} AS DECIMAL(18,6)),
+                  0::DECIMAL(18,6)) AS rrf
+         |      FROM u)
+         |SELECT qid, rk, id, lex_rank, sem_rank,
+         |  CAST(rrf AS DOUBLE) AS rrf
+         |FROM (SELECT qid, id, lex_rank, sem_rank, rrf,
+         |        CAST(row_number() OVER (PARTITION BY qid
+         |          ORDER BY rrf DESC, id) AS BIGINT) AS rk
+         |      FROM rr)
+         |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin) {
+      (s, d) =>
+        val HQ = 5; val TopList = 20; val RrfK = 60
+        val docs = spread(documents(s, d))
+        val nd = docs.agg(count(lit(1)).as("nd"))
+        val dt = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .distinct()
+          .cache() // df build + query side + candidate probe all read it
+        val idf = dt.groupBy("tok").agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(nd))
+          .select(col("tok"),
+            round(log((col("nd") + 1) / (col("df") + 1).cast("double")), 6)
+              .cast("decimal(18,6)").as("idf"))
+        val qd = dt.filter(col("doc_id") < HQ)
+          .select(col("doc_id").as("qid"), col("tok"))
+        val wLex = Window.partitionBy("qid")
+          .orderBy(col("lex").desc, col("id"))
+        val lr = broadcast(qd).join(dt, "tok")
+          .filter(col("doc_id") =!= col("qid"))
+          .join(idf, "tok")
+          .groupBy(col("qid"), col("doc_id").as("id"))
+          .agg(sum(col("idf")).as("lex"))
+          .withColumn("lex_rank", row_number().over(wLex).cast("long"))
+          .filter(col("lex_rank") <= TopList)
+          .select("qid", "id", "lex_rank")
+        val n = withNorms(s, d)
+        val sq = n.filter(col("vec_id") < HQ)
+          .select(col("vec_id").as("qid"), col("e").as("qe"),
+            col("nrm").as("qn"))
+        val wSem = Window.partitionBy("qid")
+          .orderBy(col("sim").desc, col("id"))
+        val sr = broadcast(sq)
+          .join(n.select(col("vec_id").as("id"), col("e").as("ce"),
+            col("nrm").as("cn")), col("id") =!= col("qid"))
+          .select(col("qid"), col("id"),
+            cosSim(dotProduct(col("qe"), col("ce")),
+              col("qn") * col("cn")).as("sim"))
+          .withColumn("sem_rank", row_number().over(wSem).cast("long"))
+          .filter(col("sem_rank") <= TopList)
+          .select("qid", "id", "sem_rank")
+        def rrfTerm(rank: Column): Column = coalesce(
+          graft.ops.Exprs.roundDiv(lit(1L), lit(RrfK.toLong) + rank, 6)
+            .cast("decimal(18,6)"),
+          lit(0).cast("decimal(18,6)"))
+        val wRrf = Window.partitionBy("qid")
+          .orderBy(col("rrf").desc, col("id"))
+        lr.join(sr, Seq("qid", "id"), "full")
+          .select(col("qid"), col("id"), col("lex_rank"), col("sem_rank"),
+            (rrfTerm(col("lex_rank")) + rrfTerm(col("sem_rank"))).as("rrf"))
+          .withColumn("rk", row_number().over(wRrf).cast("long"))
+          .filter(col("rk") <= 10)
+          .select(col("qid"), col("rk"), col("id"), col("lex_rank"),
+            col("sem_rank"), col("rrf").cast("double").as("rrf"))
+          .orderBy("qid", "rk")
+    },
+
     // ── embedding-dedup clustering: connected components over the cosine
     //    candidate-pair graph — the same closure the MinHash family gets
     //    from q_dedup_clusters, so the embedding path is a full dedup

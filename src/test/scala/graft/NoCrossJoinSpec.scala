@@ -52,6 +52,8 @@ class NoCrossJoinSpec extends SparkTestBase {
     // per-source gram-count aggregate) so zero-overlap pairs stay in
     "q_ann_pq", // the exact-truth baseline's Q=20 broadcast frame (the
     // q_ann_recall discipline) + one-row n_expected count frame
+    "q_hybrid_search", // the semantic side's Q=5 broadcast query frame
+    // (q_cosine_topk discipline) + the one-row corpus-count idf frame
     "q_mix_sources", // one-row budget/weight-sum frames → per-source targets
     "q_minhash_recall", // n_cand/n_truth/n_hits one-row count frames
     "q_dedup_ngram_recall", // n_truth/n_found one-row count frames +
