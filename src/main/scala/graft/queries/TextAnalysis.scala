@@ -614,6 +614,141 @@ object TextAnalysis {
             col("v_src").as("vocab_src"),
             (col("klq") / lit(1000000.0)).as("kl"))
           .orderBy("source")
+    },
+
+    // ── per-source two-sample Kolmogorov–Smirnov (round 11): for each
+    //    source, KS distance between its n_chars distribution and the
+    //    REST of the corpus — the nonparametric complement to
+    //    q_kl_sources (which needs a vocabulary) and q_drift (which
+    //    needs embeddings): pure order statistics on one numeric column.
+    //    DECLARED SEMANTICS: both ECDFs are evaluated on the union value
+    //    grid and rounded half-up to 9 decimals as scaled BIGINTs BEFORE
+    //    differencing, so the statistic is "KS on 1e-9-quantized ECDFs"
+    //    — exact on both engines, perturbing true KS by < 2e-9. at_value
+    //    is the SMALLEST n_chars achieving the max (argmax decoded from
+    //    one max() over diff9*(C) - (v+1) encodings, C = 10^9 — the
+    //    q_argmax single-agg pattern; assumes n_chars < 10^9 - 1).
+    //    Overflow bounds: 2*cum*10^9 + n needs cum ≤ 4.6e9 rows/side;
+    //    (diff9+1)*C ≤ 1e18 < 2^63. Scale: the only corpus-wide work is
+    //    groupBy(source, v) — map-side combined to |S|·V rows (V =
+    //    distinct n_chars, bounded by the value domain, not the corpus);
+    //    the grid/window/argmax all run on |S|·V. At 100 TB this is a
+    //    scan + one combine; the window partitions by source over ≤ V
+    //    rows each. ─────────────────────────────────────────────────────
+    Q("q_ks_test",
+      """WITH c AS (SELECT source, n_chars AS v,
+        |        CAST(count(*) AS BIGINT) AS cnt
+        |      FROM documents GROUP BY source, n_chars),
+        |av AS (SELECT v, CAST(sum(cnt) AS BIGINT) AS c_all FROM c GROUP BY v),
+        |ns AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_s FROM c GROUP BY source),
+        |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_all FROM c),
+        |grid AS (SELECT ns.source, ns.n_s, av.v, av.c_all,
+        |        coalesce(c.cnt, 0) AS cnt
+        |      FROM ns CROSS JOIN av
+        |      LEFT JOIN c ON c.source = ns.source AND c.v = av.v),
+        |cum AS (SELECT source, n_s, v,
+        |        CAST(sum(cnt) OVER (PARTITION BY source ORDER BY v)
+        |             AS BIGINT) AS cum_s,
+        |        CAST(sum(c_all) OVER (PARTITION BY source ORDER BY v)
+        |             AS BIGINT) AS cum_all
+        |      FROM grid),
+        |d AS (SELECT source, n_s, v,
+        |        abs((2*cum_s*1000000000 + n_s) // (2*n_s)
+        |          - (2*(cum_all - cum_s)*1000000000 + (n_all - n_s))
+        |            // (2*(n_all - n_s))) AS diff9
+        |      FROM cum CROSS JOIN n),
+        |e AS (SELECT source, n_s,
+        |        max((diff9 + 1) * 1000000000 - (v + 1)) AS enc
+        |      FROM d GROUP BY source, n_s)
+        |SELECT source, n_s,
+        |  (enc // 1000000000) / 1000000000.0 AS ks,
+        |  (enc // 1000000000 + 1) * 1000000000 - enc - 1 AS at_value
+        |FROM e ORDER BY source""".stripMargin) {
+      (s, d) =>
+        val P = lit(1000000000L)
+        val c = documents(s, d)
+          .groupBy(col("source"), col("n_chars").as("v"))
+          .agg(count(lit(1)).as("cnt"))
+        val av = c.groupBy("v").agg(sum(col("cnt")).as("c_all"))
+        val ns = c.groupBy("source").agg(sum(col("cnt")).as("n_s"))
+        val n = c.agg(sum(col("cnt")).as("n_all"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("v")
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        // round-half-up of cum/den at 9 decimals, as a scaled BIGINT
+        def ecdf9(cum: Column, den: Column): Column =
+          intDivFloor(cum * lit(2L) * P + den, den * lit(2L))
+        broadcast(ns).crossJoin(av)
+          .join(c, Seq("source", "v"), "left")
+          .select(col("source"), col("n_s"), col("v"), col("c_all"),
+            coalesce(col("cnt"), lit(0L)).as("cnt"))
+          .withColumn("cum_s", sum(col("cnt")).over(w))
+          .withColumn("cum_all", sum(col("c_all")).over(w))
+          .crossJoin(broadcast(n))
+          .select(col("source"), col("n_s"), col("v"),
+            abs(ecdf9(col("cum_s"), col("n_s")) -
+              ecdf9(col("cum_all") - col("cum_s"),
+                col("n_all") - col("n_s"))).as("diff9"))
+          .groupBy("source", "n_s")
+          .agg(max((col("diff9") + 1) * P - (col("v") + 1)).as("enc"))
+          .select(col("source"), col("n_s"),
+            (intDivFloor(col("enc"), P).cast("double") / lit(1.0e9))
+              .as("ks"),
+            ((intDivFloor(col("enc"), P) + 1) * P - col("enc") - 1)
+              .as("at_value"))
+          .orderBy("source")
+    },
+
+    // ── G-test of independence, source × lang (round 11): the
+    //    likelihood-ratio counterpart of Pearson chi² — G_s =
+    //    2·Σ_l o·ln(o·n /(n_s·n_l)) summed per source (total G = sum of
+    //    the output column). Chosen over raw chi² because its per-cell
+    //    term is ln of an EXACT-INTEGER ratio — the q_kl_sources float
+    //    discipline applies verbatim (one double division, one ln,
+    //    round to 6, DECIMAL-exact weighted sum; chi²'s (o·n−n_s·n_l)²
+    //    numerator overflows BIGINT at ~4e6 rows and needs HUGEINT).
+    //    Zero cells contribute 0 (lim x·ln x = 0), so only OBSERVED
+    //    (source, lang) pairs participate on both engines. Bounds:
+    //    o·n and n_s·n_l double-exact to n ~ 9.5e7 per the 2^53 budget
+    //    (beyond that the declared rounding would move to DECIMAL
+    //    division); the final DECIMAL(28,6)→DOUBLE cast is exact while
+    //    2·Σ o·|lr| < 2^53/10^6. Scale: one groupBy(source, lang)
+    //    map-combined to |S|·|L| cells; marginals broadcast; everything
+    //    after the combine is constant-size. ─────────────────────────────
+    Q("q_gtest_sources",
+      """WITH o AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+        |      FROM documents GROUP BY source, lang),
+        |ns AS (SELECT source, CAST(sum(o) AS BIGINT) AS n_s FROM o GROUP BY source),
+        |nl AS (SELECT lang, CAST(sum(o) AS BIGINT) AS n_l FROM o GROUP BY lang),
+        |n AS (SELECT CAST(sum(o) AS BIGINT) AS n_all FROM o),
+        |term AS (SELECT o.source, o.lang, o.o,
+        |        CAST(round(ln((o.o * n_all) /
+        |                      CAST(ns.n_s * nl.n_l AS DOUBLE)), 6)
+        |             AS DECIMAL(18,6)) AS lr
+        |      FROM o JOIN ns ON o.source = ns.source
+        |             JOIN nl ON o.lang = nl.lang
+        |             CROSS JOIN n)
+        |SELECT source, CAST(count(*) AS BIGINT) AS cells,
+        |  CAST(2 * sum(o * lr) AS DOUBLE) AS g
+        |FROM term GROUP BY source ORDER BY source""".stripMargin) {
+      (s, d) =>
+        val o = documents(s, d)
+          .groupBy("source", "lang").agg(count(lit(1)).as("o"))
+        val ns = o.groupBy("source").agg(sum(col("o")).as("n_s"))
+        val nl = o.groupBy("lang").agg(sum(col("o")).as("n_l"))
+        val n = o.agg(sum(col("o")).as("n_all"))
+        o.join(broadcast(ns), Seq("source"))
+          .join(broadcast(nl), Seq("lang"))
+          .crossJoin(broadcast(n))
+          .select(col("source"), col("o"),
+            round(log((col("o") * col("n_all")) /
+              (col("n_s") * col("n_l")).cast("double")), 6)
+              .cast("decimal(18,6)").as("lr"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("cells"),
+            (sum(col("o") * col("lr")) * lit(2)).cast("double").as("g"))
+          .orderBy("source")
     }
   )
 

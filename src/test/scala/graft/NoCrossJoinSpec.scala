@@ -48,6 +48,9 @@ class NoCrossJoinSpec extends SparkTestBase {
     "q_vocab_growth", // one-row (min,max) doc_id-extremes frame, twice
     "q_kl_sources", // |sources|-row broadcast stats frame × vocab (the
     // smoothed-KL matrix needs a term per (source, word)) + one-row (N,V)
+    "q_ks_test", // |sources|-row totals frame × the distinct-value grid
+    // (every source's ECDF needs every grid value) + one-row n_all frame
+    "q_gtest_sources", // one-row grand-total frame joined to |S|·|L| cells
     "q_overlap_matrix", // |S|×|S| completion frame (both sides the tiny
     // per-source gram-count aggregate) so zero-overlap pairs stay in
     "q_ann_pq", // the exact-truth baseline's Q=20 broadcast frame (the
