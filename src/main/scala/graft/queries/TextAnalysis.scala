@@ -749,6 +749,71 @@ object TextAnalysis {
           .agg(count(lit(1)).as("cells"),
             (sum(col("o") * col("lr")) * lit(2)).cast("double").as("g"))
           .orderBy("source")
+    },
+
+    // ── distinctive vocabulary per source (round 11): top-3 tokens per
+    //    source by pointwise mutual information, PMI(w,s) =
+    //    ln(c_ws·N / (c_s·c_w)), with a c_ws ≥ 5 support floor (the
+    //    standard guard against PMI's low-count explosion). This is the
+    //    curation diagnostic q_kl_sources (distribution distance) and
+    //    q_gtest_sources (independence test) don't give: WHICH terms make
+    //    a source distinctive. Float discipline is q_gtest_sources
+    //    verbatim — the ln argument is an exact-integer ratio through one
+    //    double division (double-exact while N < 9.5e7; beyond that the
+    //    declared rounding moves to DECIMAL division), round to 6; ranking
+    //    on the rounded value with tok ASC tiebreak is engine-exact.
+    //    Scale: tokenize feeds ONE map-combined groupBy(source, tok) (the
+    //    cached |S|·V frame that every marginal reuses — the corpus is
+    //    scanned once); c_s/N broadcast, the c_w marginal joins on tok
+    //    (both sides |S|·V-bounded, never corpus-sized), and the top-k
+    //    window partitions by source over only the support-filtered
+    //    terms. ──────────────────────────────────────────────────────────
+    Q("q_pmi_terms",
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |cws AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c_ws
+        |        FROM tok GROUP BY 1, 2),
+        |cs AS (SELECT source, CAST(sum(c_ws) AS BIGINT) AS c_s
+        |       FROM cws GROUP BY 1),
+        |cw AS (SELECT tok, CAST(sum(c_ws) AS BIGINT) AS c_w
+        |       FROM cws GROUP BY 1),
+        |n AS (SELECT CAST(sum(c_ws) AS BIGINT) AS n FROM cws),
+        |p AS (SELECT cws.source, cws.tok, cws.c_ws,
+        |        round(ln((cws.c_ws * n.n) /
+        |                 CAST(cs.c_s * cw.c_w AS DOUBLE)), 6) AS pmi
+        |      FROM cws JOIN cs USING (source) JOIN cw USING (tok)
+        |           CROSS JOIN n
+        |      WHERE cws.c_ws >= 5),
+        |r AS (SELECT source, tok, c_ws, pmi,
+        |        row_number() OVER (PARTITION BY source
+        |                           ORDER BY pmi DESC, tok ASC) AS rnk
+        |      FROM p)
+        |SELECT source, rnk::BIGINT AS rnk, tok, c_ws, pmi
+        |FROM r WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin) {
+      (s, d) =>
+        // one corpus scan: the (source, tok) count frame is small
+        // (|S|·V-bounded) and feeds all three marginals plus the main leg
+        val cws = documents(s, d)
+          .select(col("source"), explode(tokens).as("tok"))
+          .groupBy("source", "tok").agg(count(lit(1)).as("c_ws"))
+          .cache()
+        val cs = cws.groupBy("source").agg(sum(col("c_ws")).as("c_s"))
+        val cw = cws.groupBy("tok").agg(sum(col("c_ws")).as("c_w"))
+        val n = cws.agg(sum(col("c_ws")).as("n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("pmi").desc, col("tok").asc)
+        cws.filter(col("c_ws") >= 5)
+          .join(broadcast(cs), Seq("source"))
+          .join(cw, Seq("tok"))
+          .crossJoin(broadcast(n))
+          .select(col("source"), col("tok"), col("c_ws"),
+            round(log((col("c_ws") * col("n")) /
+              (col("c_s") * col("c_w")).cast("double")), 6).as("pmi"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select(col("source"), col("rnk"), col("tok"), col("c_ws"),
+            col("pmi"))
+          .orderBy("source", "rnk")
     }
   )
 
