@@ -1461,6 +1461,133 @@ object Similarity {
           .select(col("vec_id"), col("cell"), col("dup_of"),
             when(col("dup_of").isNull, 1L).otherwise(0L).as("kept"))
           .orderBy("vec_id")
+    },
+
+    // ── dominant principal component (round 11): power iteration on the
+    //    corpus covariance — the embedding-diagnostics op (dominant
+    //    drift/variance axis) a curation pipeline runs before ANN/dedup
+    //    tuning. DECLARED SEMANTICS: coordinates are 1e-6-quantized
+    //    (xi = floor(x·1e6), the q_kmeans/q_quantize discipline), the
+    //    second-moment matrix is the EXACT integer C = n·Σxxᵀ − (Σx)(Σx)ᵀ
+    //    (= n²·covariance, PSD), entries floor-normalized toward zero by
+    //    D = max|C|//1e9 + 1, and T = 600 power-iteration steps run in
+    //    scaled-integer arithmetic: w = Cn·v exactly, then
+    //    v ← sign(w)·round-half-up(|w|/q) with q = max|w|//1e9 + 1 (∞-norm
+    //    normalization — no sqrt, so every step is engine-exact; PSD-ness
+    //    makes the sign stable without a pivot). The eigenvalue estimate
+    //    is one extra exact matvec: λ_n = round-half-up(max|w|·1e6/max|v|)
+    //    (1e-6 units — BIGINT-safe at the ‖Cn‖∞ ≤ 64·1e9 bound),
+    //    the ∞-norm Rayleigh quotient of the normalized matrix.
+    //    Scale: the ONLY corpus-wide work is one upper-triangle outer-
+    //    product explode (d(d+1)/2 = 2080 cells/row) map-side combined in
+    //    its own stage — 2080·partitions rows shuffle, nothing else moves.
+    //    The collected state (2080+64+1 values) and the driver iteration
+    //    are d²-bounded — INDEPENDENT of N, the same bounded-driver-state
+    //    contract as q_greedy_prefix/ConnectedComponents. Overflow budget:
+    //    |xi| ≤ 6e5 (|x| < 0.6), products ≤ 3.6e11 in BIGINT, sums DECIMAL;
+    //    |Cn| ≤ 1e9, |v| ≤ ~1e9, so Cn·v terms stay ≤ ~1e18 and the 64-term
+    //    DECIMAL sum ≤ 7e19 ≪ 10^38. ─────────────────────────────────────
+    Q("q_pca_power",
+      s"""WITH RECURSIVE
+         |v0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+         |       FROM embeddings),
+         |xi AS (SELECT vec_id, d, CAST(floor(e[d + 1] * 1000000) AS BIGINT) AS xi
+         |       FROM v0 CROSS JOIN range(0, $Dims) t(d)),
+         |s2 AS (SELECT a.d AS i, b.d AS j,
+         |         sum(CAST(a.xi * b.xi AS HUGEINT)) AS s
+         |       FROM xi a JOIN xi b USING (vec_id) GROUP BY 1, 2),
+         |mm AS (SELECT d, CAST(sum(xi) AS HUGEINT) AS m FROM xi GROUP BY d),
+         |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM v0),
+         |c0 AS (SELECT s2.i, s2.j, nn.n * s2.s - mi.m * mj.m AS c
+         |       FROM s2 JOIN mm mi ON mi.d = s2.i
+         |            JOIN mm mj ON mj.d = s2.j CROSS JOIN nn),
+         |dn AS (SELECT max(abs(c)) // 1000000000 + 1 AS dv FROM c0),
+         |cn AS MATERIALIZED (SELECT i, j,
+         |         CAST(CASE WHEN c < 0 THEN -((-c) // dv) ELSE c // dv END
+         |              AS BIGINT) AS c
+         |       FROM c0 CROSS JOIN dn),
+         |pv(it, d, v) AS (
+         |  SELECT 0, i, CAST(1000000000 AS BIGINT)
+         |  FROM (SELECT DISTINCT i FROM cn)
+         |  UNION ALL
+         |  SELECT w.it + 1, w.i,
+         |    CAST(CASE WHEN w.w < 0 THEN -((2 * (-w.w) + q.q) // (2 * q.q))
+         |              ELSE (2 * w.w + q.q) // (2 * q.q) END AS BIGINT)
+         |  FROM (SELECT p.it AS it, cn.i,
+         |          sum(CAST(cn.c * p.v AS HUGEINT)) AS w
+         |        FROM pv p JOIN cn ON cn.j = p.d GROUP BY p.it, cn.i) w
+         |  CROSS JOIN (SELECT max(abs(w2.w)) // 1000000000 + 1 AS q
+         |              FROM (SELECT cn2.i,
+         |                      sum(CAST(cn2.c * p2.v AS HUGEINT)) AS w
+         |                    FROM pv p2 JOIN cn cn2 ON cn2.j = p2.d
+         |                    GROUP BY cn2.i) w2) q
+         |  WHERE w.it < 600),
+         |vf AS (SELECT d, v FROM pv WHERE it = 600),
+         |wf AS (SELECT cn.i, sum(CAST(cn.c * p.v AS HUGEINT)) AS w
+         |       FROM vf p JOIN cn ON cn.j = p.d GROUP BY cn.i),
+         |lam AS (SELECT CAST(
+         |          (2 * (SELECT max(abs(w)) FROM wf) * 1000000
+         |             + (SELECT CAST(max(abs(v)) AS HUGEINT) FROM vf))
+         |          // (2 * (SELECT CAST(max(abs(v)) AS HUGEINT) FROM vf))
+         |          AS BIGINT) AS lambda_n)
+         |SELECT vf.d::BIGINT AS d,
+         |  CAST(vf.v AS DOUBLE) / 1000000000.0 AS loading, lam.lambda_n
+         |FROM vf CROSS JOIN lam ORDER BY d""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val P = BigInt(1000000000L)
+        val qv = spread(embeddings(s, d))
+          .select(col("vec_id"),
+            transform(col("embedding"),
+              x => floor(x.cast("double") * lit(1000000)).cast("long"))
+              .as("q"))
+        // upper-triangle outer products, exploded per row and map-side
+        // combined: the one corpus-wide stage — 2080 cells/row in, only
+        // 2080·partitions rows out of the shuffle
+        val idx = sequence(lit(0), lit(Dims - 1))
+        val tri = qv
+          .select(explode(flatten(transform(idx, i =>
+            transform(sequence(i, lit(Dims - 1)), j =>
+              struct(i.as("i"), j.as("j"),
+                (element_at(col("q"), i + 1) *
+                  element_at(col("q"), j + 1)).as("p")))))).as("c"))
+          .select(col("c.i"), col("c.j"), col("c.p"))
+          .groupBy("i", "j")
+          .agg(sum(col("p").cast("decimal(38,0)")).as("s"))
+        val mRows = qv
+          .select(posexplode(col("q")).as(Seq("d0", "x")))
+          .groupBy("d0").agg(sum(col("x")).as("m"))
+        // fixed-size collect (2080 + 64 + 1 values, d²-bounded at any N)
+        val s2 = tri.collect().map(r =>
+          (r.getInt(0), r.getInt(1)) -> BigInt(r.getDecimal(2).toBigInteger))
+          .toMap
+        val m = mRows.collect().map(r => r.getInt(0) -> BigInt(r.getLong(1)))
+          .toMap
+        val n = BigInt(qv.count())
+        val c = Array.tabulate(Dims, Dims) { (i, j) =>
+          val sij = s2.getOrElse(if (i <= j) (i, j) else (j, i), BigInt(0))
+          n * sij - m(i) * m(j)
+        }
+        val dv = c.flatten.map(_.abs).max / P + 1
+        val cnM = c.map(_.map(x => x.sign * (x.abs / dv))) // toward zero
+        def matvec(v: Array[BigInt]): Array[BigInt] =
+          Array.tabulate(Dims)(i =>
+            (0 until Dims).map(j => cnM(i)(j) * v(j)).sum)
+        def halfUp(a: BigInt, b: BigInt): BigInt = // b > 0, half-away-0
+          a.sign * ((2 * a.abs + b) / (2 * b))
+        var v = Array.fill(Dims)(P)
+        for (_ <- 1 to 600) {
+          val w = matvec(v)
+          val q = w.map(_.abs).max / P + 1
+          v = w.map(halfUp(_, q))
+        }
+        val wf = matvec(v)
+        val lambdaN =
+          halfUp(wf.map(_.abs).max * 1000000L, v.map(_.abs).max).toLong
+        (0 until Dims)
+          .map(i => (i.toLong, v(i).toDouble / 1.0e9, lambdaN))
+          .toDF("d", "loading", "lambda_n")
+          .orderBy("d")
     }
   )
 
