@@ -91,7 +91,12 @@ object ScaleCheck {
     // ADC pair stage
     "q_overlap_matrix", "q_ann_pq",
     // round-11 sixth: hybrid lexical+semantic retrieval, RRF-fused
-    "q_hybrid_search")
+    "q_hybrid_search",
+    // round-11 seventh wave: distribution-shift statistics (value-grid
+    // window / |S|×|L| cells), PMI marginal joins over the cached
+    // (source, tok) frame, and the d²-bounded covariance explode
+    "q_ks_test", "q_gtest_sources", "q_pmi_terms", "q_pca_power",
+    "q_resample_target")
 
   /** query → DECLARED growth model, recorded next to the measured exponent
     * so a reading is judged against the design instead of against a blanket
@@ -121,7 +126,12 @@ object ScaleCheck {
     "q_kl_sources" -> "1.0: wordcount groupBys + |S|*V matrix with constant |S|",
     "q_overlap_matrix" -> "1.0: distinct-gram join fans out to <= C(|S|,2) pairs per gram, constant |S|",
     "q_ann_pq" -> "1.0: N*M*K broadcast assignment + Q*M*N ADC rows, constant Q=20 M=8 K=16",
-    "q_hybrid_search" -> "1.0: both exact sides are Q*N with constant Q=5; fusion is top-20 frames")
+    "q_hybrid_search" -> "1.0: both exact sides are Q*N with constant Q=5; fusion is top-20 frames",
+    "q_ks_test" -> "1.0: one map-combined groupBy(source, n_chars); grid/window/argmax run on |S|*V rows with V bounded by the value domain",
+    "q_gtest_sources" -> "1.0: one map-combined groupBy to |S|*|L| cells, broadcast marginals",
+    "q_pmi_terms" -> "1.0: one tokenize + cached (source,tok) groupBy; marginals and top-k window are |S|*V-bounded",
+    "q_pca_power" -> "1.0: one 2080-cells/row explode map-side combined; collected state and driver iteration are d^2-bounded, independent of N",
+    "q_resample_target" -> "1.0: two corpus scans (histogram groupBy, broadcast-rate filter + groupBy), zero windows")
 
   /** query → its final-plan observe() node, for iteration capture. */
   val LoopMetric: Map[String, String] = Map(

@@ -805,6 +805,72 @@ object Curation {
           .filter(col("smp") <
             when(col("lang") === "en", 25).otherwise(100))
           .orderBy("doc_id")
+    },
+
+    // ── importance resampling to a target distribution (round 11): rebalance
+    //    the corpus so the n_chars length-bucket histogram (width-100
+    //    buckets) becomes UNIFORM over the occupied buckets — the
+    //    distribution-matching op run after q_ks_test flags a shift. Keep
+    //    rate per bucket r = min(1, (N/B)/cnt) as exact integer millionths;
+    //    selection is the engine rule: a doc survives iff
+    //    md5("rs:"||doc_id) % 1e6 < r6 — hash-THRESHOLDED Bernoulli, so
+    //    there is NO per-bucket row_number window (which would funnel a
+    //    dominant bucket through one partition — the q_mix_sources lesson)
+    //    and the decision is per-row, reproducible across engines, runs,
+    //    and cluster sizes. Output is the per-bucket audit: before/after
+    //    counts, the applied rate, and both shares. Scale: one map-combined
+    //    groupBy for the histogram, the tiny rate table broadcast back, one
+    //    map-side filter, one more map-combined groupBy — two corpus scans,
+    //    zero windows, zero corpus-wide joins. Overflow: N·1e6 ≤ 9.2e18
+    //    holds to ~9e12 docs. ─────────────────────────────────────────────
+    Q("q_resample_target",
+      s"""WITH b AS (SELECT doc_id, n_chars // 100 AS bucket FROM documents),
+         |c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_before
+         |      FROM b GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_before) AS BIGINT) AS n,
+         |             CAST(count(*) AS BIGINT) AS nb FROM c),
+         |r AS (SELECT c.bucket, c.n_before, t.n,
+         |        least(1000000, (t.n * 1000000) // (t.nb * c.n_before))
+         |          AS r6
+         |      FROM c CROSS JOIN t),
+         |k AS (SELECT b.bucket, CAST(count(*) AS BIGINT) AS n_after
+         |      FROM b JOIN r ON b.bucket = r.bucket
+         |      WHERE ('0x' || substr(md5('rs:' || doc_id::VARCHAR), 1, 15))
+         |              ::BIGINT % 1000000 < r.r6
+         |      GROUP BY 1),
+         |ta AS (SELECT CAST(coalesce(sum(n_after), 0) AS BIGINT) AS na
+         |       FROM k)
+         |SELECT r.bucket, r.n_before,
+         |  CAST(coalesce(k.n_after, 0) AS BIGINT) AS n_after, r.r6,
+         |  ${roundDivSql("r.n_before", "r.n", 6)} AS share_before,
+         |  ${roundDivSql("coalesce(k.n_after, 0)", "greatest(ta.na, 1)", 6)}
+         |    AS share_after
+         |FROM r LEFT JOIN k ON r.bucket = k.bucket CROSS JOIN ta
+         |ORDER BY r.bucket""".stripMargin) {
+      (s, d) =>
+        val b = documents(s, d)
+          .select(col("doc_id"), intDivFloor(col("n_chars"), lit(100L))
+            .as("bucket"))
+        val c = b.groupBy("bucket").agg(count(lit(1)).as("n_before"))
+        val t = c.agg(sum(col("n_before")).as("n"), count(lit(1)).as("nb"))
+        val r = c.crossJoin(broadcast(t))
+          .select(col("bucket"), col("n_before"), col("n"),
+            least(lit(1000000L),
+              intDivFloor(col("n") * lit(1000000L),
+                col("nb") * col("n_before"))).as("r6"))
+        val k = b.join(broadcast(r.select("bucket", "r6")), Seq("bucket"))
+          .filter(md5Long(concat(lit("rs:"), col("doc_id").cast("string")))
+            % 1000000L < col("r6"))
+          .groupBy("bucket").agg(count(lit(1)).as("n_after"))
+        val ta = k.agg(coalesce(sum(col("n_after")), lit(0L)).as("na"))
+        r.join(k, Seq("bucket"), "left")
+          .crossJoin(broadcast(ta))
+          .select(col("bucket"), col("n_before"),
+            coalesce(col("n_after"), lit(0L)).as("n_after"), col("r6"),
+            roundDiv(col("n_before"), col("n"), 6).as("share_before"),
+            roundDiv(coalesce(col("n_after"), lit(0L)),
+              greatest(col("na"), lit(1L)), 6).as("share_after"))
+          .orderBy("bucket")
     }
   )
 }
