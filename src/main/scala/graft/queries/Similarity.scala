@@ -1543,23 +1543,29 @@ object Similarity {
               .as("q"))
         // upper-triangle outer products, exploded per row and map-side
         // combined: the one corpus-wide stage — 2080 cells/row in, only
-        // 2080·partitions rows out of the shuffle
+        // 2080·partitions rows out of the shuffle. The exploded array is a
+        // FLAT primitive long array (posexplode; the (i,j) cell identity is
+        // the POSITION, decoded on the driver over the collected 2080 rows)
+        // — an array-of-structs Generate paid a per-cell struct allocation
+        // that measured ~1.25× slower at the 100× scale point (59 s → 47 s)
         val idx = sequence(lit(0), lit(Dims - 1))
         val tri = qv
-          .select(explode(flatten(transform(idx, i =>
+          .select(posexplode(flatten(transform(idx, i =>
             transform(sequence(i, lit(Dims - 1)), j =>
-              struct(i.as("i"), j.as("j"),
-                (element_at(col("q"), i + 1) *
-                  element_at(col("q"), j + 1)).as("p")))))).as("c"))
-          .select(col("c.i"), col("c.j"), col("c.p"))
-          .groupBy("i", "j")
+              element_at(col("q"), i + 1) *
+                element_at(col("q"), j + 1))))).as(Seq("pos", "p")))
+          .groupBy("pos")
           .agg(sum(col("p").cast("decimal(38,0)")).as("s"))
         val mRows = qv
           .select(posexplode(col("q")).as(Seq("d0", "x")))
           .groupBy("d0").agg(sum(col("x")).as("m"))
+        // the same upper-triangle enumeration order the explode flattens in
+        val cellAt: Map[Int, (Int, Int)] =
+          (for { i <- 0 until Dims; j <- i until Dims } yield (i, j))
+            .zipWithIndex.map { case (ij, pos) => pos -> ij }.toMap
         // fixed-size collect (2080 + 64 + 1 values, d²-bounded at any N)
         val s2 = tri.collect().map(r =>
-          (r.getInt(0), r.getInt(1)) -> BigInt(r.getDecimal(2).toBigInteger))
+          cellAt(r.getInt(0)) -> BigInt(r.getDecimal(1).toBigInteger))
           .toMap
         val m = mRows.collect().map(r => r.getInt(0) -> BigInt(r.getLong(1)))
           .toMap
