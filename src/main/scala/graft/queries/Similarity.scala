@@ -1489,113 +1489,192 @@ object Similarity {
     //    DECIMAL sum ≤ 7e19 ≪ 10^38. ─────────────────────────────────────
     Q("q_pca_power",
       s"""WITH RECURSIVE
-         |v0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
-         |       FROM embeddings),
-         |xi AS (SELECT vec_id, d, CAST(floor(e[d + 1] * 1000000) AS BIGINT) AS xi
-         |       FROM v0 CROSS JOIN range(0, $Dims) t(d)),
-         |s2 AS (SELECT a.d AS i, b.d AS j,
-         |         sum(CAST(a.xi * b.xi AS HUGEINT)) AS s
-         |       FROM xi a JOIN xi b USING (vec_id) GROUP BY 1, 2),
-         |mm AS (SELECT d, CAST(sum(xi) AS HUGEINT) AS m FROM xi GROUP BY d),
-         |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM v0),
-         |c0 AS (SELECT s2.i, s2.j, nn.n * s2.s - mi.m * mj.m AS c
-         |       FROM s2 JOIN mm mi ON mi.d = s2.i
-         |            JOIN mm mj ON mj.d = s2.j CROSS JOIN nn),
-         |dn AS (SELECT max(abs(c)) // 1000000000 + 1 AS dv FROM c0),
-         |cn AS MATERIALIZED (SELECT i, j,
-         |         CAST(CASE WHEN c < 0 THEN -((-c) // dv) ELSE c // dv END
-         |              AS BIGINT) AS c
-         |       FROM c0 CROSS JOIN dn),
-         |pv(it, d, v) AS (
-         |  SELECT 0, i, CAST(1000000000 AS BIGINT)
-         |  FROM (SELECT DISTINCT i FROM cn)
-         |  UNION ALL
-         |  SELECT w.it + 1, w.i,
-         |    CAST(CASE WHEN w.w < 0 THEN -((2 * (-w.w) + q.q) // (2 * q.q))
-         |              ELSE (2 * w.w + q.q) // (2 * q.q) END AS BIGINT)
-         |  FROM (SELECT p.it AS it, cn.i,
-         |          sum(CAST(cn.c * p.v AS HUGEINT)) AS w
-         |        FROM pv p JOIN cn ON cn.j = p.d GROUP BY p.it, cn.i) w
-         |  CROSS JOIN (SELECT max(abs(w2.w)) // 1000000000 + 1 AS q
-         |              FROM (SELECT cn2.i,
-         |                      sum(CAST(cn2.c * p2.v AS HUGEINT)) AS w
-         |                    FROM pv p2 JOIN cn cn2 ON cn2.j = p2.d
-         |                    GROUP BY cn2.i) w2) q
-         |  WHERE w.it < 600),
-         |vf AS (SELECT d, v FROM pv WHERE it = 600),
-         |wf AS (SELECT cn.i, sum(CAST(cn.c * p.v AS HUGEINT)) AS w
-         |       FROM vf p JOIN cn ON cn.j = p.d GROUP BY cn.i),
-         |lam AS (SELECT CAST(
-         |          (2 * (SELECT max(abs(w)) FROM wf) * 1000000
-         |             + (SELECT CAST(max(abs(v)) AS HUGEINT) FROM vf))
-         |          // (2 * (SELECT CAST(max(abs(v)) AS HUGEINT) FROM vf))
-         |          AS BIGINT) AS lambda_n)
+         |$PcaCte
          |SELECT vf.d::BIGINT AS d,
          |  CAST(vf.v AS DOUBLE) / 1000000000.0 AS loading, lam.lambda_n
          |FROM vf CROSS JOIN lam ORDER BY d""".stripMargin) {
       (s, d) =>
         import s.implicits._
-        val P = BigInt(1000000000L)
-        val qv = spread(embeddings(s, d))
-          .select(col("vec_id"),
-            transform(col("embedding"),
-              x => floor(x.cast("double") * lit(1000000)).cast("long"))
-              .as("q"))
-        // upper-triangle outer products, exploded per row and map-side
-        // combined: the one corpus-wide stage — 2080 cells/row in, only
-        // 2080·partitions rows out of the shuffle. The exploded array is a
-        // FLAT primitive long array (posexplode; the (i,j) cell identity is
-        // the POSITION, decoded on the driver over the collected 2080 rows)
-        // — an array-of-structs Generate paid a per-cell struct allocation
-        // that measured ~1.25× slower at the 100× scale point (59 s → 47 s)
-        val idx = sequence(lit(0), lit(Dims - 1))
-        val tri = qv
-          .select(posexplode(flatten(transform(idx, i =>
-            transform(sequence(i, lit(Dims - 1)), j =>
-              element_at(col("q"), i + 1) *
-                element_at(col("q"), j + 1))))).as(Seq("pos", "p")))
-          .groupBy("pos")
-          .agg(sum(col("p").cast("decimal(38,0)")).as("s"))
-        val mRows = qv
-          .select(posexplode(col("q")).as(Seq("d0", "x")))
-          .groupBy("d0").agg(sum(col("x")).as("m"))
-        // the same upper-triangle enumeration order the explode flattens in
-        val cellAt: Map[Int, (Int, Int)] =
-          (for { i <- 0 until Dims; j <- i until Dims } yield (i, j))
-            .zipWithIndex.map { case (ij, pos) => pos -> ij }.toMap
-        // fixed-size collect (2080 + 64 + 1 values, d²-bounded at any N)
-        val s2 = tri.collect().map(r =>
-          cellAt(r.getInt(0)) -> BigInt(r.getDecimal(1).toBigInteger))
-          .toMap
-        val m = mRows.collect().map(r => r.getInt(0) -> BigInt(r.getLong(1)))
-          .toMap
-        val n = BigInt(qv.count())
-        val c = Array.tabulate(Dims, Dims) { (i, j) =>
-          val sij = s2.getOrElse(if (i <= j) (i, j) else (j, i), BigInt(0))
-          n * sij - m(i) * m(j)
-        }
-        val dv = c.flatten.map(_.abs).max / P + 1
-        val cnM = c.map(_.map(x => x.sign * (x.abs / dv))) // toward zero
-        def matvec(v: Array[BigInt]): Array[BigInt] =
-          Array.tabulate(Dims)(i =>
-            (0 until Dims).map(j => cnM(i)(j) * v(j)).sum)
-        def halfUp(a: BigInt, b: BigInt): BigInt = // b > 0, half-away-0
-          a.sign * ((2 * a.abs + b) / (2 * b))
-        var v = Array.fill(Dims)(P)
-        for (_ <- 1 to 600) {
-          val w = matvec(v)
-          val q = w.map(_.abs).max / P + 1
-          v = w.map(halfUp(_, q))
-        }
-        val wf = matvec(v)
-        val lambdaN =
-          halfUp(wf.map(_.abs).max * 1000000L, v.map(_.abs).max).toLong
+        val (v, lambdaN) = principalAxis(s, d)
         (0 until Dims)
           .map(i => (i.toLong, v(i).toDouble / 1.0e9, lambdaN))
           .toDF("d", "loading", "lambda_n")
           .orderBy("d")
+    },
+
+    // ── principal-axis histogram (round 11): the corpus projected onto
+    //    q_pca_power's dominant component, binned into 16 equal-width
+    //    integer bins — the drift/cluster diagnostic read ALONG the learned
+    //    axis (a bimodal histogram here is the "two populations" signal
+    //    that triggers a q_semdedup / q_mix_sources pass). Composition, not
+    //    re-derivation: the eigenvector is [[principalAxis]]'s exact
+    //    integer vector verbatim, so the projection p = Σ_d xi_d·v_d is
+    //    engine-exact BIGINT (≤ 64·6e5·1e9 ≈ 4e16) and the bin edges
+    //    least(15, (p−mn)·16 // (mx−mn+1)) are the q_quality_calibration
+    //    floor-division rule — no ntile, no float boundaries. Scale: the
+    //    d²-bounded axis plus ONE corpus pass (a zip_with fold per row —
+    //    no explode this time), a 1-row bounds broadcast, and a ≤ 16-group
+    //    map-combined aggregate. ────────────────────────────────────────────
+    Q("q_axis_histogram",
+      s"""WITH RECURSIVE
+         |$PcaCte,
+         |proj AS (SELECT xi.vec_id, CAST(sum(xi.xi * vf.v) AS BIGINT) AS p
+         |         FROM xi JOIN vf ON vf.d = xi.d GROUP BY xi.vec_id),
+         |bounds AS (SELECT min(p) AS mn, max(p) AS mx,
+         |                  CAST(count(*) AS BIGINT) AS nv FROM proj)
+         |SELECT least(15, ((p - mn) * 16) // (mx - mn + 1))::BIGINT AS bin,
+         |  CAST(count(*) AS BIGINT) AS n, min(p) AS lo, max(p) AS hi,
+         |  ${graft.ops.Exprs.roundDivSql("count(*)", "any_value(nv)", 6)}
+         |    AS share
+         |FROM proj CROSS JOIN bounds
+         |GROUP BY 1 ORDER BY bin""".stripMargin) {
+      (s, d) =>
+        val v = principalAxis(s, d)._1
+        val vLit = array(v.map(lit): _*)
+        val proj = quantized(s, d)
+          .select(col("vec_id"),
+            aggregate(zip_with(col("q"), vLit, (x, w) => x * w),
+              lit(0L), (a, b) => a + b).as("p"))
+        val bounds = proj.agg(min(col("p")).as("mn"), max(col("p")).as("mx"),
+          count(lit(1)).as("nv"))
+        proj.crossJoin(broadcast(bounds))
+          .select(least(lit(15L),
+            intDivFloor((col("p") - col("mn")) * 16,
+              col("mx") - col("mn") + 1)).as("bin"),
+            col("p"), col("nv"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"), min(col("p")).as("lo"),
+            max(col("p")).as("hi"),
+            graft.ops.Exprs.roundDiv(count(lit(1)), first(col("nv")), 6)
+              .as("share"))
+          .orderBy("bin")
     }
   )
+
+  /** Shared oracle CTE chain for the PCA family (q_pca_power,
+    * q_axis_histogram): quantized coordinates `xi`, the exact integer
+    * second-moment matrix, the floor-normalized `cn`, the 600-step
+    * power-iteration recursion `pv`, its fixed point `vf`, and the
+    * eigenvalue `lam`. HUGEINT throughout — DuckDB's `//` on DECIMAL
+    * silently degrades to double division (measured), HUGEINT `//`
+    * truncates like BigInt. `cn` is MATERIALIZED so the recursive term
+    * does not recompute the N×2080 join per step.
+    */
+  private def PcaCte: String =
+    s"""v0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+       |       FROM embeddings),
+       |xi AS (SELECT vec_id, d, CAST(floor(e[d + 1] * 1000000) AS BIGINT) AS xi
+       |       FROM v0 CROSS JOIN range(0, $Dims) t(d)),
+       |s2 AS (SELECT a.d AS i, b.d AS j,
+       |         sum(CAST(a.xi * b.xi AS HUGEINT)) AS s
+       |       FROM xi a JOIN xi b USING (vec_id) GROUP BY 1, 2),
+       |mm AS (SELECT d, CAST(sum(xi) AS HUGEINT) AS m FROM xi GROUP BY d),
+       |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM v0),
+       |c0 AS (SELECT s2.i, s2.j, nn.n * s2.s - mi.m * mj.m AS c
+       |       FROM s2 JOIN mm mi ON mi.d = s2.i
+       |            JOIN mm mj ON mj.d = s2.j CROSS JOIN nn),
+       |dn AS (SELECT max(abs(c)) // 1000000000 + 1 AS dv FROM c0),
+       |cn AS MATERIALIZED (SELECT i, j,
+       |         CAST(CASE WHEN c < 0 THEN -((-c) // dv) ELSE c // dv END
+       |              AS BIGINT) AS c
+       |       FROM c0 CROSS JOIN dn),
+       |pv(it, d, v) AS (
+       |  SELECT 0, i, CAST(1000000000 AS BIGINT)
+       |  FROM (SELECT DISTINCT i FROM cn)
+       |  UNION ALL
+       |  SELECT w.it + 1, w.i,
+       |    CAST(CASE WHEN w.w < 0 THEN -((2 * (-w.w) + q.q) // (2 * q.q))
+       |              ELSE (2 * w.w + q.q) // (2 * q.q) END AS BIGINT)
+       |  FROM (SELECT p.it AS it, cn.i,
+       |          sum(CAST(cn.c * p.v AS HUGEINT)) AS w
+       |        FROM pv p JOIN cn ON cn.j = p.d GROUP BY p.it, cn.i) w
+       |  CROSS JOIN (SELECT max(abs(w2.w)) // 1000000000 + 1 AS q
+       |              FROM (SELECT cn2.i,
+       |                      sum(CAST(cn2.c * p2.v AS HUGEINT)) AS w
+       |                    FROM pv p2 JOIN cn cn2 ON cn2.j = p2.d
+       |                    GROUP BY cn2.i) w2) q
+       |  WHERE w.it < 600),
+       |vf AS (SELECT d, v FROM pv WHERE it = 600),
+       |wf AS (SELECT cn.i, sum(CAST(cn.c * p.v AS HUGEINT)) AS w
+       |       FROM vf p JOIN cn ON cn.j = p.d GROUP BY cn.i),
+       |lam AS (SELECT CAST(
+       |          (2 * (SELECT max(abs(w)) FROM wf) * 1000000
+       |             + (SELECT CAST(max(abs(v)) AS HUGEINT) FROM vf))
+       |          // (2 * (SELECT CAST(max(abs(v)) AS HUGEINT) FROM vf))
+       |          AS BIGINT) AS lambda_n)""".stripMargin
+
+  /** embeddings as 1e-6-quantized BIGINT coordinate arrays (the
+    * q_kmeans/q_quantize discipline) — the input frame of the PCA family.
+    */
+  private def quantized(s: SparkSession, d: String): DataFrame =
+    spread(embeddings(s, d))
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1000000)).cast("long"))
+          .as("q"))
+
+  /** The dominant principal component as exact scaled integers: the
+    * distributed covariance reduce (the ONLY corpus-wide work — one flat
+    * upper-triangle posexplode, map-side combined) plus the 600-step
+    * quantized power iteration on the driver. Returned state is d²-bounded,
+    * independent of N (the bounded-driver-state contract of
+    * q_greedy_prefix/ConnectedComponents): (v scaled 1e9 with ‖v‖∞ ≈ 1e9,
+    * λ_n in 1e-6 units of the normalized matrix).
+    */
+  private def principalAxis(s: SparkSession, d: String): (Array[Long], Long) = {
+    val P = BigInt(1000000000L)
+    val qv = quantized(s, d)
+    // upper-triangle outer products, exploded per row and map-side
+    // combined: 2080 cells/row in, only 2080·partitions rows out of the
+    // shuffle. The exploded array is a FLAT primitive long array
+    // (posexplode; the (i,j) cell identity is the POSITION, decoded on the
+    // driver over the collected 2080 rows) — an array-of-structs Generate
+    // paid a per-cell struct allocation that measured ~1.25× slower at the
+    // 100× scale point (59 s → 47 s)
+    val idx = sequence(lit(0), lit(Dims - 1))
+    val tri = qv
+      .select(posexplode(flatten(transform(idx, i =>
+        transform(sequence(i, lit(Dims - 1)), j =>
+          element_at(col("q"), i + 1) *
+            element_at(col("q"), j + 1))))).as(Seq("pos", "p")))
+      .groupBy("pos")
+      .agg(sum(col("p").cast("decimal(38,0)")).as("s"))
+    val mRows = qv
+      .select(posexplode(col("q")).as(Seq("d0", "x")))
+      .groupBy("d0").agg(sum(col("x")).as("m"))
+    // the same upper-triangle enumeration order the explode flattens in
+    val cellAt: Map[Int, (Int, Int)] =
+      (for { i <- 0 until Dims; j <- i until Dims } yield (i, j))
+        .zipWithIndex.map { case (ij, pos) => pos -> ij }.toMap
+    // fixed-size collect (2080 + 64 + 1 values, d²-bounded at any N)
+    val s2 = tri.collect().map(r =>
+      cellAt(r.getInt(0)) -> BigInt(r.getDecimal(1).toBigInteger))
+      .toMap
+    val m = mRows.collect().map(r => r.getInt(0) -> BigInt(r.getLong(1)))
+      .toMap
+    val n = BigInt(qv.count())
+    val c = Array.tabulate(Dims, Dims) { (i, j) =>
+      val sij = s2.getOrElse(if (i <= j) (i, j) else (j, i), BigInt(0))
+      n * sij - m(i) * m(j)
+    }
+    val dv = c.flatten.map(_.abs).max / P + 1
+    val cnM = c.map(_.map(x => x.sign * (x.abs / dv))) // toward zero
+    def matvec(v: Array[BigInt]): Array[BigInt] =
+      Array.tabulate(Dims)(i =>
+        (0 until Dims).map(j => cnM(i)(j) * v(j)).sum)
+    def halfUp(a: BigInt, b: BigInt): BigInt = // b > 0, half-away-0
+      a.sign * ((2 * a.abs + b) / (2 * b))
+    var v = Array.fill(Dims)(P)
+    for (_ <- 1 to 600) {
+      val w = matvec(v)
+      val q = w.map(_.abs).max / P + 1
+      v = w.map(halfUp(_, q))
+    }
+    val wf = matvec(v)
+    val lambdaN =
+      halfUp(wf.map(_.abs).max * 1000000L, v.map(_.abs).max).toLong
+    (v.map(_.toLong), lambdaN)
+  }
 
   /** embeddings with double-cast vectors and precomputed norms. */
   private[graft] def withNorms(s: org.apache.spark.sql.SparkSession, d: String) =

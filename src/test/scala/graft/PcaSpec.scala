@@ -70,4 +70,30 @@ class PcaSpec extends SparkTestBase {
     assert(math.abs(lam - lambdaN / 1e6) / lam < 1e-3,
       s"rayleigh $lam vs ${lambdaN / 1e6}")
   }
+
+  test("q_axis_histogram matches a driver-side projection + binning") {
+    // rebuild the projection from the raw vectors and the QUERY's own
+    // loading vector (exact: loading·1e9 is the integer eigenvector), bin
+    // with the same floor rule, compare the full histogram
+    val v = result._1.map(x => math.round(x * 1e9))
+    val projs = vecs.map { x =>
+      x.indices.map(d => math.floor(x(d) * 1e6).toLong * v(d)).sum
+    }
+    val mn = projs.min
+    val mx = projs.max
+    val byBin = projs.groupBy(p =>
+      math.min(15L, (p - mn) * 16 / (mx - mn + 1)))
+    def halfUp(a: Long, b: Long): Double =
+      ((2 * a * 1000000L + b) / (2 * b)).toDouble / 1e6
+    val expected = byBin.toSeq.sortBy(_._1).map { case (b, ps) =>
+      (b, ps.length.toLong, ps.min, ps.max,
+        halfUp(ps.length.toLong, projs.length.toLong))
+    }
+    val got = SparkEntry.queries("q_axis_histogram")(spark, sfDir).collect()
+      .map { case org.apache.spark.sql.Row(b: Long, n: Long, lo: Long,
+        hi: Long, sh: Double) => (b, n, lo, hi, sh) }.toSeq
+    assert(got === expected)
+    // the histogram partitions the corpus
+    assert(got.map(_._2).sum === vecs.length.toLong)
+  }
 }
