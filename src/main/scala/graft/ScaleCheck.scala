@@ -96,7 +96,7 @@ object ScaleCheck {
     // window / |S|×|L| cells), PMI marginal joins over the cached
     // (source, tok) frame, and the d²-bounded covariance explode
     "q_ks_test", "q_gtest_sources", "q_pmi_terms", "q_pca_power",
-    "q_resample_target", "q_axis_histogram")
+    "q_resample_target", "q_axis_histogram", "q_cell_purity")
 
   /** query → DECLARED growth model, recorded next to the measured exponent
     * so a reading is judged against the design instead of against a blanket
@@ -132,7 +132,8 @@ object ScaleCheck {
     "q_pmi_terms" -> "1.0: one tokenize + cached (source,tok) groupBy; marginals and top-k window are |S|*V-bounded",
     "q_pca_power" -> "1.0: one 2080-cells/row explode map-side combined; collected state and driver iteration are d^2-bounded, independent of N",
     "q_resample_target" -> "1.0: two corpus scans (histogram groupBy, broadcast-rate filter + groupBy), zero windows",
-    "q_axis_histogram" -> "1.0: the d^2-bounded axis + one zip_with projection pass, 1-row bounds broadcast, <= 16-group aggregate")
+    "q_axis_histogram" -> "1.0: the d^2-bounded axis + one zip_with projection pass, 1-row bounds broadcast, <= 16-group aggregate",
+    "q_cell_purity" -> "1.5: the N*sqrt(N) ivf assignment (map-side broadcast); everything after is cells*|labels| rows")
 
   /** query → its final-plan observe() node, for iteration capture. */
   val LoopMetric: Map[String, String] = Map(

@@ -1502,6 +1502,75 @@ object Similarity {
           .orderBy("d")
     },
 
+    // ── IVF-cell label purity (round 11): evaluate the coarse quantizer
+    //    against the labels — per cell, the majority label, its share
+    //    (purity), and the cell size. The clustering-evaluation op read
+    //    before trusting q_ann_ivf's partition or q_semdedup's cells for
+    //    anything semantic: purity ≈ 1/|labels| means the cells carve
+    //    geometry that ignores the labels. Assignment is the SAME
+    //    deterministic √N coarse quantizer (shared CTEs / cellAssign
+    //    codegen kernel); the label rides the scan PROJECTION into the
+    //    assignment row — joining a separate label frame back on vec_id
+    //    would shuffle the corpus for a column in the same parquet row
+    //    (the labeledScores lesson, measured exponent 1.2 before that
+    //    fix). Scale: the N×√N assignment is the declared 1.5 family
+    //    (map-side over the broadcast centroid array); everything after
+    //    is groupBy(cell, label) map-combined to ≤ cells·|labels| rows,
+    //    windows over ≤ |labels| rows per cell. Purity ties break to the
+    //    smaller label on both engines. ───────────────────────────────────
+    Q("q_cell_purity",
+      s"""WITH $normsCte,
+         |$ivfmCte,
+         |cent AS (SELECT vec_id AS ccid, e AS ce, nrm AS cn FROM n
+         |         WHERE vec_id % $ivfModSql = 1),
+         |asg AS (SELECT n.vec_id, cent.ccid,
+         |        ${dotSqlIdx("n.e", "cent.ce")} / sqrt(n.nrm * cent.cn)
+         |          AS csim
+         |      FROM n CROSS JOIN cent),
+         |rkd AS (SELECT vec_id, ccid,
+         |        row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY csim DESC, ccid) AS crk
+         |      FROM asg),
+         |m AS (SELECT r.vec_id, r.ccid AS cell FROM rkd r WHERE r.crk = 1),
+         |o AS (SELECT m.cell, emb.label, CAST(count(*) AS BIGINT) AS o
+         |      FROM m JOIN embeddings emb ON emb.vec_id = m.vec_id
+         |      GROUP BY 1, 2),
+         |nc AS (SELECT cell, CAST(sum(o) AS BIGINT) AS n_c FROM o GROUP BY 1),
+         |r AS (SELECT cell, label, o, row_number() OVER (PARTITION BY cell
+         |        ORDER BY o DESC, label ASC) AS rk FROM o)
+         |SELECT r.cell, nc.n_c, r.label AS majority_label, r.o AS n_major,
+         |  ${graft.ops.Exprs.roundDivSql("r.o", "nc.n_c", 6)} AS purity
+         |FROM r JOIN nc ON nc.cell = r.cell WHERE r.rk = 1
+         |ORDER BY r.cell""".stripMargin) {
+      (s, d) =>
+        val nl = spread(embeddings(s, d))
+          .select(col("vec_id"), col("label"),
+            transform(col("embedding"), _.cast("double")).as("e"))
+          .withColumn("nrm", dotProduct(col("e"), col("e")))
+        val cent = nl
+          .filter(col("vec_id") % ivfModulus(embeddingCount(s, d)) === 1)
+          .select(col("vec_id").as("ccid"), col("e").as("ce"),
+            col("nrm").as("cn"))
+        val cents = cent
+          .agg(collect_list(struct(col("ccid"), col("ce"), col("cn")))
+            .as("cents"))
+        // inline k=1 cellAssign with the label riding the projection
+        val o = nl.crossJoin(broadcast(cents))
+          .select(col("label"),
+            posexplode(graft.functions.VectorExprs.cellAssign(
+              col("e"), col("nrm"), col("cents"), 1)).as(Seq("p", "cell")))
+          .groupBy("cell", "label").agg(count(lit(1)).as("o"))
+        val nc = o.groupBy("cell").agg(sum(col("o")).as("n_c"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cell").orderBy(col("o").desc, col("label").asc)
+        o.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+          .join(nc, Seq("cell"))
+          .select(col("cell"), col("n_c"), col("label").as("majority_label"),
+            col("o").as("n_major"),
+            graft.ops.Exprs.roundDiv(col("o"), col("n_c"), 6).as("purity"))
+          .orderBy("cell")
+    },
+
     // ── principal-axis histogram (round 11): the corpus projected onto
     //    q_pca_power's dominant component, binned into 16 equal-width
     //    integer bins — the drift/cluster diagnostic read ALONG the learned
