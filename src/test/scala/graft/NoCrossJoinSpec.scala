@@ -51,6 +51,13 @@ class NoCrossJoinSpec extends SparkTestBase {
     "q_ks_test", // |sources|-row totals frame × the distinct-value grid
     // (every source's ECDF needs every grid value) + one-row n_all frame
     "q_gtest_sources", // one-row grand-total frame joined to |S|·|L| cells
+    "q_pmi_terms", // one-row corpus-token-total frame joined to the
+    // support-filtered (source, tok) rows
+    "q_resample_target", // one-row (N, B) frame → per-bucket keep rates;
+    // one-row kept-total frame → share_after denominators
+    "q_axis_histogram", // one-row (min, max, count) projection-bounds frame
+    "q_cell_purity", // the broadcast collect_list centroid frame (the
+    // q_ann_ivf assignment discipline — √N rows, the declared 1.5 family)
     "q_overlap_matrix", // |S|×|S| completion frame (both sides the tiny
     // per-source gram-count aggregate) so zero-overlap pairs stay in
     "q_ann_pq", // the exact-truth baseline's Q=20 broadcast frame (the
