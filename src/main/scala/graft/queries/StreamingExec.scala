@@ -27,6 +27,34 @@ object StreamingExec {
           .orderBy("ws", "event_type")
     },
 
+    // The watermark's late-data DROP rule, actually exercised (round 11):
+    // a staged replay re-delivers every event_id % 100 == 7 row 25 days
+    // late AFTER the full snapshot advanced the watermark to max−30d, in
+    // append mode (the one mode where the watermark deletes data). The
+    // oracle encodes the same cutoff analytically: a laggard survives iff
+    // its day-window end exceeds the watermark. See
+    // Streams.lateDropFromSnapshot for the batch-boundary staging.
+    Q("q_stream_late",
+      """WITH mx AS (SELECT max(ts) AS mx FROM events),
+        |lg AS (SELECT ts - INTERVAL 25 DAY AS ts, event_type FROM events
+        |       WHERE event_id % 100 = 7),
+        |kept AS (SELECT l.ts, l.event_type FROM lg l CROSS JOIN mx
+        |         WHERE date_trunc('day', l.ts) + INTERVAL 1 DAY
+        |               > mx.mx - INTERVAL 30 DAY),
+        |u AS (SELECT ts, event_type FROM events
+        |      UNION ALL SELECT ts, event_type FROM kept
+        |      -- the watermark-grace nudge row (see lateDropFromSnapshot)
+        |      UNION ALL SELECT mx.mx, 'click' FROM mx)
+        |SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS ws,
+        |  event_type, count(*) AS n
+        |FROM u GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin) {
+      (s, d) =>
+        graft.streaming.Streams.lateDropFromSnapshot(s, d)
+          .select(date_format(col("ws"), "yyyy-MM-dd").as("ws"),
+            col("event_type"), col("n"))
+          .orderBy("ws", "event_type")
+    },
+
     // Overlapping-window state under the streaming engine — every event
     // feeds TWO window rows (1 h window, 30 m slide); same oracle as the
     // batch q_window_sliding.

@@ -378,6 +378,101 @@ object Streams {
     replaySnapshot(spark, sfDir, "graft-stream-session",
       OutputMode.Complete())(sessionCounts(_))
 
+  /** REAL watermark late-DROPPING under the streaming engine
+    * (q_stream_late) — every other streaming leg arranges that nothing is
+    * ever late (the events span is under the 30-day tolerance), so the
+    * drop rule itself was only ever exercised by documentation. Staged
+    * replay with DETERMINISTIC batch boundaries (one file per micro-batch,
+    * mtime-ordered):
+    *
+    *   1. the full snapshot in ONE file — after this batch the watermark
+    *      is max(ts) − 30 d;
+    *   2. a NUDGE file (one 'click' row duplicating max(ts), negative
+    *      event_id): Spark filters late rows with the watermark LAGGED BY
+    *      ONE BATCH (measured, not theory — a laggard file placed directly
+    *      after the snapshot is filtered with the epoch watermark and
+    *      nothing drops; the per-batch listener shows the operative
+    *      watermark at Dec 31 while drops stay 0). The nudge burns that
+    *      grace batch without moving the watermark; the oracle accounts
+    *      for its one row explicitly;
+    *   3. the LAGGARD file: every event_id % 100 == 7 re-arrives 25 days
+    *      late (negated event_id, everything else intact). A laggard is
+    *      DROPPED by the day-window aggregation iff its window can no
+    *      longer change — window end ≤ watermark — i.e. exactly the rows
+    *      with day(ts − 25 d) + 1 d ≤ max(ts) − 30 d; on this data both
+    *      classes are populated (laggards from the last ~6 days survive);
+    *   4./5. the two far-future sentinel files (max+31 d, max+32 d — the
+    *      replayTwoStreams discipline: the second batch carries the first's
+    *      watermark advance), so every REAL window's append-mode emission
+    *      happens in a DATA batch. The sentinels' own windows never emit —
+    *      the watermark never passes them — so no sink-side filtering is
+    *      needed.
+    *
+    * Append mode is the point: Complete mode never drops late rows (state
+    * is all retained), so this is the one leg where the watermark actually
+    * deletes data, and the DuckDB oracle encodes the same cutoff
+    * analytically.
+    */
+  def lateDropFromSnapshot(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    val staging = java.nio.file.Files.createTempDirectory("graft-stream-late")
+    try {
+      val ev = graft.model.Tables.events(spark, sfDir)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      ev.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      def appendFile(df: DataFrame, bumpMs: Long): Unit = {
+        val before = Option(staging.toFile.listFiles())
+          .map(_.map(_.getName).toSet).getOrElse(Set.empty[String])
+        df.coalesce(1).write.mode("append").parquet(staging.toString)
+        Option(staging.toFile.listFiles()).foreach(_.foreach { f =>
+          if (!before(f.getName) && f.getName.endsWith(".parquet")) {
+            val target = System.currentTimeMillis() + bumpMs
+            if (!f.setLastModified(target)) {
+              java.nio.file.Files.setLastModifiedTime(f.toPath,
+                java.nio.file.attribute.FileTime.fromMillis(target))
+            }
+          }
+        })
+      }
+      val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+      appendFile(Seq((-999L, maxTs, -3L, "click", 0.0, null: String))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+        60000L)
+      appendFile(ev.filter(col("event_id") % 100 === 7)
+        .select((-col("event_id")).as("event_id"),
+          (col("ts") - expr("INTERVAL 25 DAYS")).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props")),
+        120000L)
+      Seq((31L, "click", -1L), (32L, "purchase", -2L)).zipWithIndex.foreach {
+        case ((days, typ, uid), i) =>
+          val ts = new java.sql.Timestamp(maxTs.getTime + days * 86400000L)
+          appendFile(Seq((-1000L - i, ts, uid, typ, 0.0, null: String))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+            (i + 3) * 60000L)
+      }
+      val schema = spark.read.parquet(staging.toString).schema
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(staging.toString)
+      val sink = s"graft_stream_late_${sinkSeq.incrementAndGet()}"
+      val q = withLateTolerance(src)
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("ws"), col("event_type"), col("n"))
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(sink)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(staging).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   /** REAL streaming execution of a stream-static enrichment join: the event
     * stream joins the static customer dim on user_id, then aggregates
     * tumbling-window counts per market segment. Stream-static equi-joins are

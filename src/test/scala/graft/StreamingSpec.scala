@@ -89,4 +89,27 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.nonEmpty)
     assert(finalState == batch)
   }
+
+  test("watermark late-drop: laggards beyond tolerance are really deleted") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.model.Tables.events(spark, sfDir)
+      .select("event_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+    val maxMs = ev.map(_._2).max
+    val dayMs = 86400000L
+    // the analytic drop rule lateDropFromSnapshot declares: a laggard
+    // (ts − 25 d) survives iff its day-window END exceeds max − 30 d
+    val laggards = ev.filter(_._1 % 100 == 7).map(_._2 - 25 * dayMs)
+    val wm = maxMs - 30 * dayMs
+    val kept = laggards.count(t => (t / dayMs) * dayMs + dayMs > wm)
+    val dropped = laggards.length - kept
+    // both classes must actually be exercised by this corpus
+    assert(kept > 0 && dropped > 0, s"kept=$kept dropped=$dropped")
+    // conservation: sink mass = base events + 1 nudge + kept laggards;
+    // the dropped laggards are ABSENT from the streaming result
+    val total = SparkEntry.queries("q_stream_late")(spark, sfDir)
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(total === ev.length.toLong + 1L + kept,
+      s"total=$total base=${ev.length} kept=$kept dropped=$dropped")
+  }
 }
