@@ -96,7 +96,8 @@ object ScaleCheck {
     // window / |S|×|L| cells), PMI marginal joins over the cached
     // (source, tok) frame, and the d²-bounded covariance explode
     "q_ks_test", "q_gtest_sources", "q_pmi_terms", "q_pca_power",
-    "q_resample_target", "q_axis_histogram", "q_cell_purity")
+    "q_resample_target", "q_axis_histogram", "q_cell_purity",
+    "q_bpe_heldout")
 
   /** query → DECLARED growth model, recorded next to the measured exponent
     * so a reading is judged against the design instead of against a blanket
@@ -133,7 +134,8 @@ object ScaleCheck {
     "q_pca_power" -> "1.0: one 2080-cells/row explode map-side combined; collected state and driver iteration are d^2-bounded, independent of N",
     "q_resample_target" -> "1.0: two corpus scans (histogram groupBy, broadcast-rate filter + groupBy), zero windows",
     "q_axis_histogram" -> "1.0: the d^2-bounded axis + one zip_with projection pass, 1-row bounds broadcast, <= 16-group aggregate",
-    "q_cell_purity" -> "1.5: the N*sqrt(N) ivf assignment (map-side broadcast); everything after is cells*|labels| rows")
+    "q_cell_purity" -> "1.5: the N*sqrt(N) ivf assignment (map-side broadcast); everything after is cells*|labels| rows",
+    "q_bpe_heldout" -> "1.0 per round like q_bpe: fixed 10-merge budget, per-round pair aggregate over the train split + one narrow replace")
 
   /** query → its final-plan observe() node, for iteration capture. */
   val LoopMetric: Map[String, String] = Map(

@@ -672,6 +672,112 @@ object Analytics {
             max(lit(iters)).cast("long").as("merges"))
     },
 
+    // ── BPE applied to HELD-OUT data (round 11): the other half of the
+    //    tokenizer story — q_bpe trains AND encodes on the same corpus, so
+    //    its compression number can't distinguish memorization from
+    //    generalization. Here the merge sequence is learned ONLY from the
+    //    train split (doc_id % 10 ≠ 0) and applied, in learned order, to
+    //    every document; the declared output is the TEST split's encoding
+    //    (tokens before/after, the compression ratio through roundDiv, and
+    //    the merged text — an exact string hash of the whole train→apply
+    //    trajectory). Machinery is q_bpe's verbatim: doubled-space strings,
+    //    boundary-anchored replace, w1 ≠ w2 non-overlap guarantee,
+    //    broadcast 1-row merge parameter (Janino compiles the round plan
+    //    once), per-round localCheckpoint. The ONLY change: the pair-count
+    //    aggregate reads the train rows, the rewrite maps over everything.
+    //    Scale: identical to q_bpe — 10 narrow replaces over the
+    //    once-checkpointed corpus, per-round state is one driver row. ──────
+    Q("q_bpe_heldout",
+      s"""WITH RECURSIVE
+        |t0 AS (SELECT doc_id,
+        |         len(string_split(text, ' '))::BIGINT AS n0,
+        |         ' ' || replace(text, ' ', '  ') || ' ' AS s
+        |       FROM documents),
+        |bpe(it, doc_id, n0, s) AS (
+        |  SELECT 0, doc_id, n0, s FROM t0
+        |  UNION ALL
+        |  SELECT b.it + 1, b.doc_id, b.n0,
+        |    replace(b.s, ' ' || tp.w1 || '  ' || tp.w2 || ' ',
+        |                 ' ' || tp.w1 || '_' || tp.w2 || ' ')
+        |  FROM bpe b CROSS JOIN (
+        |    SELECT w1, w2 FROM (
+        |      SELECT ts[i] AS w1, ts[i + 1] AS w2, count(*) AS cnt
+        |      FROM (SELECT string_split(trim(replace(s, '  ', ' ')), ' ')
+        |              AS ts FROM bpe WHERE doc_id % 10 <> 0) q
+        |      CROSS JOIN range(1, 1024) r(i)
+        |      WHERE i < len(ts) AND ts[i] <> ts[i + 1]
+        |      GROUP BY 1, 2
+        |      HAVING count(*) >= 2
+        |      ORDER BY cnt DESC, w1, w2 LIMIT 1)) tp
+        |  WHERE b.it < 10)
+        |SELECT doc_id, n0 AS tokens_before,
+        |  len(string_split(trim(replace(s, '  ', ' ')), ' '))::BIGINT
+        |    AS tokens_after,
+        |  ${graft.ops.Exprs.roundDivSql(
+             "len(string_split(trim(replace(s, '  ', ' ')), ' '))", "n0", 6)}
+        |    AS ratio,
+        |  trim(replace(s, '  ', ' ')) AS text
+        |FROM bpe WHERE it = (SELECT max(it) FROM bpe) AND doc_id % 10 = 0
+        |ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val M = 10
+        def collapsed(c: Column): Column =
+          trim(call_function("replace", c, lit("  "), lit(" ")))
+        var cur = documents(s, d)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n0"),
+            concat(lit(" "),
+              call_function("replace", col("text"), lit(" "), lit("  ")),
+              lit(" ")).as("s"))
+          .localCheckpoint()
+        var iters = 0
+        var done = false
+        while (!done && iters < M) {
+          // the pair statistics see ONLY the train split; the projection
+          // discipline and the 1023 position cap mirror q_bpe exactly
+          val top = cur.filter(col("doc_id") % 10 =!= 0)
+            .select(split(collapsed(col("s")), " ").as("ts"))
+            .filter(size(col("ts")) >= 2)
+            .select(explode(transform(
+              sequence(lit(1), least(size(col("ts")) - 1, lit(1023))),
+              i => struct(element_at(col("ts"), i).as("w1"),
+                element_at(col("ts"), i + 1).as("w2")))).as("pr"))
+            .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+            .filter(col("w1") =!= col("w2"))
+            .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+            .filter(col("cnt") >= 2)
+            .orderBy(col("cnt").desc, col("w1"), col("w2"))
+            .limit(1).collect()
+          if (top.isEmpty) done = true
+          else {
+            val param = s.createDataFrame(
+              java.util.List.of(org.apache.spark.sql.Row(
+                s" ${top(0).getString(0)}  ${top(0).getString(1)} ",
+                s" ${top(0).getString(0)}_${top(0).getString(1)} ")),
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("pat",
+                  org.apache.spark.sql.types.StringType),
+                org.apache.spark.sql.types.StructField("rep",
+                  org.apache.spark.sql.types.StringType))))
+            cur = cur.crossJoin(broadcast(param))
+              .select(col("doc_id"), col("n0"),
+                call_function("replace", col("s"), col("pat"), col("rep"))
+                  .as("s"))
+              .localCheckpoint()
+            iters += 1
+          }
+        }
+        cur.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("n0").as("tokens_before"),
+            size(split(collapsed(col("s")), " ")).cast("long")
+              .as("tokens_after"),
+            graft.ops.Exprs.roundDiv(
+              size(split(collapsed(col("s")), " ")).cast("long"),
+              col("n0"), 6).as("ratio"),
+            collapsed(col("s")).as("text"))
+          .orderBy("doc_id")
+    },
+
     // ── conversion funnel: view → click → purchase with a 1-day window per
     //    step, per-user earliest-qualifying-event semantics (first view,
     //    first click after it, first purchase after that). Three stages =

@@ -166,6 +166,53 @@ class AnalyticsSpec extends SparkTestBase {
     assert(obs.exists(_.getAs[Long]("merges") == 10L))
   }
 
+  test("q_bpe_heldout matches a sequential driver-side train/apply BPE") {
+    val orig = graft.model.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+      .sortBy(_._1)
+    // sequential reference implementation: learn 10 merges on the train
+    // split (left-fold pair merge — a different mechanism from the
+    // doubled-space string replace), apply in order to every doc
+    def mergeOnce(ts: Array[String], w1: String, w2: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < ts.length) {
+        if (i + 1 < ts.length && ts(i) == w1 && ts(i + 1) == w2) {
+          out += s"${w1}_$w2"; i += 2
+        } else { out += ts(i); i += 1 }
+      }
+      out.toArray
+    }
+    var corpus = orig.map { case (id, t) => (id, t.split(" ")) }
+    for (_ <- 1 to 10) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      corpus.filter(_._1 % 10 != 0).foreach { case (_, ts) =>
+        ts.sliding(2).foreach {
+          case Array(a, b) if a != b =>
+            counts((a, b)) = counts.getOrElse((a, b), 0L) + 1
+          case _ =>
+        }
+      }
+      val eligible = counts.filter(_._2 >= 2)
+      if (eligible.nonEmpty) {
+        val ((w1, w2), _) = eligible.minBy { case ((a, b), c) => (-c, a, b) }
+        corpus = corpus.map { case (id, ts) => (id, mergeOnce(ts, w1, w2)) }
+      }
+    }
+    val expected = corpus.filter(_._1 % 10 == 0).map { case (id, ts) =>
+      val n0 = orig.toMap.apply(id).split(" ").length.toLong
+      val ratio = ((2 * ts.length * 1000000L + n0) / (2 * n0)).toDouble / 1e6
+      (id, n0, ts.length.toLong, ratio, ts.mkString(" "))
+    }.toSeq
+    val got = run("q_bpe_heldout").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getString(4))).toSeq
+    assert(got === expected)
+    // held-out compression happened but is bounded by train compression
+    assert(got.forall(r => r._3 <= r._2))
+  }
+
   test("q_funnel: stage counts are monotonically non-increasing") {
     val n = run("q_funnel").collect().sortBy(_.getAs[String]("stage"))
       .map(_.getAs[Long]("n"))
