@@ -97,7 +97,7 @@ object ScaleCheck {
     // (source, tok) frame, and the d²-bounded covariance explode
     "q_ks_test", "q_gtest_sources", "q_pmi_terms", "q_pca_power",
     "q_resample_target", "q_axis_histogram", "q_cell_purity",
-    "q_bpe_heldout")
+    "q_bpe_heldout", "q_hard_negatives")
 
   /** query → DECLARED growth model, recorded next to the measured exponent
     * so a reading is judged against the design instead of against a blanket
@@ -135,7 +135,8 @@ object ScaleCheck {
     "q_resample_target" -> "1.0: two corpus scans (histogram groupBy, broadcast-rate filter + groupBy), zero windows",
     "q_axis_histogram" -> "1.0: the d^2-bounded axis + one zip_with projection pass, 1-row bounds broadcast, <= 16-group aggregate",
     "q_cell_purity" -> "1.5: the N*sqrt(N) ivf assignment (map-side broadcast); everything after is cells*|labels| rows",
-    "q_bpe_heldout" -> "1.0 per round like q_bpe: fixed 10-merge budget, per-round pair aggregate over the train split + one narrow replace")
+    "q_bpe_heldout" -> "1.0 per round like q_bpe: fixed 10-merge budget, per-round pair aggregate over the train split + one narrow replace",
+    "q_hard_negatives" -> "1.0: the adaptive-banded candidate kernel (never all-pairs) + band-bounded pair-frame joins and windows")
 
   /** query → its final-plan observe() node, for iteration capture. */
   val LoopMetric: Map[String, String] = Map(

@@ -766,6 +766,63 @@ object Dedup {
               .as("recall"))
     },
 
+    // ── hard-negative mining for contrastive training (round 11): per
+    //    anchor document, the top-2 HIGH-lexical-overlap documents from a
+    //    DIFFERENT source — the pairs an embedding model must learn to
+    //    separate (near-identical text, different provenance), mined from
+    //    the SAME adaptive MinHash-banded candidate kernel as
+    //    q_dedup_ngram_jaccard (exact Jaccard ≥ 0.28 on 2-gram shingles;
+    //    the banding bounds candidates, never all-pairs). Both directions
+    //    of each pair anchor (a's negative is b AND b's negative is a);
+    //    source lookup joins the SMALL symmetric pair frame against
+    //    `documents` on doc_id (pair volume is band-bounded, the corpus
+    //    side shuffles once on its key); the per-anchor top-2 window runs
+    //    on the filtered pair frame only. Ties break (jacc DESC, neg_id
+    //    ASC) — engine-exact since the Jaccard values are exact. ───────────
+    Q("q_hard_negatives",
+      s"""WITH $NgramBandedCte,
+        |sym AS (SELECT doc_a AS d, doc_b AS n, jacc FROM jp
+        |        UNION ALL SELECT doc_b, doc_a, jacc FROM jp),
+        |lab AS (SELECT sym.d, sym.n, sym.jacc,
+        |          da.source AS src_a, db.source AS src_n
+        |        FROM sym JOIN documents da ON da.doc_id = sym.d
+        |                 JOIN documents db ON db.doc_id = sym.n
+        |        WHERE da.source <> db.source),
+        |r AS (SELECT d, n, jacc, src_a, src_n,
+        |        row_number() OVER (PARTITION BY d
+        |          ORDER BY jacc DESC, n ASC) AS rnk
+        |      FROM lab)
+        |SELECT d AS doc_id, rnk::BIGINT AS rnk, n AS neg_id, jacc,
+        |  src_a, src_n
+        |FROM r WHERE rnk <= 2 ORDER BY doc_id, rnk""".stripMargin) {
+      (s, d) =>
+        val e = spread(documents(s, d))
+          .select(col("doc_id"),
+            explode(array_distinct(wordShingles(toks, 2))).as("g"))
+        val (bands, rows) =
+          graft.ops.SetSimilarity.adaptiveBanding(docCount(s, d))
+        val jp = graft.ops.SetSimilarity
+          .bandedJaccardPairs(e, "doc_id", "g", 0.28, bands, rows)
+        val sym = jp.select(col("doc_a").as("d"), col("doc_b").as("n"),
+            col("jacc"))
+          .union(jp.select(col("doc_b").as("d"), col("doc_a").as("n"),
+            col("jacc")))
+        val src = documents(s, d).select(col("doc_id"), col("source"))
+        val lab = sym
+          .join(src.select(col("doc_id").as("d"), col("source").as("src_a")),
+            Seq("d"))
+          .join(src.select(col("doc_id").as("n"), col("source").as("src_n")),
+            Seq("n"))
+          .filter(col("src_a") =!= col("src_n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("d").orderBy(col("jacc").desc, col("n").asc)
+        lab.withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 2)
+          .select(col("d").as("doc_id"), col("rnk"), col("n").as("neg_id"),
+            col("jacc"), col("src_a"), col("src_n"))
+          .orderBy("doc_id", "rnk")
+    },
+
     // ── cross-document substring dedup: every 20-token rolling window is
     //    fingerprinted (md5Long of the re-joined span) and a span that
     //    appears in ≥ 2 DISTINCT documents is reported with its occurrence
