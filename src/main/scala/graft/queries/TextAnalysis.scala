@@ -814,6 +814,85 @@ object TextAnalysis {
           .select(col("source"), col("rnk"), col("tok"), col("c_ws"),
             col("pmi"))
           .orderBy("source", "rnk")
+    },
+
+    // ── dataset card (round 11): the one-row-per-source summary a curator
+    //    actually reads before mixing — volume (docs/tokens/chars),
+    //    exact-dup rate (q_dedup_exact's first-2-token key, within
+    //    source), language entropy (the q_gtest ln discipline: round-6
+    //    DECIMAL terms, exact weighted sum, ONE final double division),
+    //    and the mean hashing-trick classifier score (integer sum through
+    //    roundDiv). Everything derives from ONE scan projection — source,
+    //    lang, n_chars, token count, dup key, and the classifier score all
+    //    ride the same row (the labeledScores compose-don't-join rule) —
+    //    feeding two map-combined aggregates: per source and per
+    //    (source, lang). At 100 TB this is two wordcount-shaped passes and
+    //    an |S|-row join; no windows, no corpus-wide joins. ────────────────
+    Q("q_dataset_card",
+      s"""WITH $ClassifierScoreCte,
+         |d0 AS (SELECT doc_id, source, lang, n_chars,
+         |         string_split(text, ' ') AS ts FROM documents),
+         |b AS (SELECT d0.source, d0.lang, d0.n_chars,
+         |        CAST(len(d0.ts) AS BIGINT) AS n_tok,
+         |        md5(array_to_string(d0.ts[1:2], ' ')) AS k, sc.score
+         |      FROM d0 JOIN sc ON sc.doc_id = d0.doc_id),
+         |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |        CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+         |        CAST(sum(score) AS BIGINT) AS sum_score
+         |      FROM b GROUP BY 1),
+         |ol AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+         |       FROM b GROUP BY 1, 2),
+         |ent AS (SELECT ol.source,
+         |        CAST(-sum(ol.o *
+         |          CAST(round(ln(ol.o / CAST(p.n_docs AS DOUBLE)), 6)
+         |               AS DECIMAL(18,6))) AS DOUBLE) / p.n_docs AS h
+         |      FROM ol JOIN per p ON p.source = ol.source
+         |      GROUP BY ol.source, p.n_docs)
+         |SELECT per.source, per.n_docs, per.n_tokens,
+         |  per.sum_chars AS n_chars,
+         |  ${roundDivSql("per.n_docs - per.n_keys", "per.n_docs", 6)}
+         |    AS dup_rate,
+         |  ent.h AS lang_entropy,
+         |  ${roundDivSql("per.sum_score", "per.n_docs", 6)} AS mean_score
+         |FROM per JOIN ent ON ent.source = per.source
+         |ORDER BY per.source""".stripMargin) {
+      (s, d) =>
+        // one projection carries every per-doc ingredient
+        val b = documents(s, d)
+          .select(col("source"), col("lang"), col("n_chars"),
+            tokens.as("ts"))
+          .select(col("source"), col("lang"), col("n_chars"),
+            size(col("ts")).cast("long").as("n_tok"),
+            md5(array_join(slice(col("ts"), 1, 2), " ")).as("k"),
+            scoreOf(col("ts")).as("score"))
+        val per = b.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(col("n_chars")).as("sum_chars"),
+          count_distinct(col("k")).as("n_keys"),
+          sum(col("score")).as("sum_score"))
+        val ol = b.groupBy("source", "lang").agg(count(lit(1)).as("o"))
+        val ent = ol
+          .join(broadcast(per.select(col("source"), col("n_docs"))),
+            Seq("source"))
+          .select(col("source"), col("o"),
+            round(log(col("o") / col("n_docs").cast("double")), 6)
+              .cast("decimal(18,6)").as("lr"), col("n_docs"))
+          .groupBy("source", "n_docs")
+          .agg(((sum(col("o") * col("lr")).cast("double") * lit(-1)) /
+            col("n_docs").cast("double")).as("h"))
+          .select(col("source"), col("h"))
+        per.join(ent, Seq("source"))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("sum_chars").as("n_chars"),
+            graft.ops.Exprs.roundDiv(col("n_docs") - col("n_keys"),
+              col("n_docs"), 6).as("dup_rate"),
+            col("h").as("lang_entropy"),
+            graft.ops.Exprs.roundDiv(col("sum_score"), col("n_docs"), 6)
+              .as("mean_score"))
+          .orderBy("source")
     }
   )
 
