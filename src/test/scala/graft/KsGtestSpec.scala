@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
-/** Round-12 distribution-shift tests: q_ks_test (per-source two-sample KS on
+/** Round-11 distribution-shift tests: q_ks_test (per-source two-sample KS on
   * n_chars, 1e-9-quantized ECDFs) and q_gtest_sources (G-test of
   * source × lang independence). Each is re-derived by a driver-side brute
   * force over sf0.001 with BigDecimal/exact arithmetic — a different method
