@@ -451,6 +451,17 @@ object Streams {
             .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
             (i + 3) * 60000L)
       }
+      // 6. POST-EVICTION straggler: after the sentinels pushed the
+      //    watermark past every real window (their state emitted and
+      //    evicted), one more 'view' row arrives at min(ts). It must be
+      //    SILENTLY DROPPED — not re-open its window and re-emit a
+      //    duplicate (ws, event_type) sink row. The oracle is unchanged
+      //    (the row contributes nothing); StreamingSpec pins the
+      //    no-duplicate-keys property.
+      val minTs = ev.agg(min("ts")).head().getTimestamp(0)
+      appendFile(Seq((-2000L, minTs, -4L, "view", 0.0, null: String))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+        300000L)
       val schema = spark.read.parquet(staging.toString).schema
       val src = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(staging.toString)

@@ -107,9 +107,15 @@ class StreamingSpec extends SparkTestBase {
     assert(kept > 0 && dropped > 0, s"kept=$kept dropped=$dropped")
     // conservation: sink mass = base events + 1 nudge + kept laggards;
     // the dropped laggards are ABSENT from the streaming result
-    val total = SparkEntry.queries("q_stream_late")(spark, sfDir)
-      .agg(sum("n")).collect()(0).getLong(0)
+    val rows = SparkEntry.queries("q_stream_late")(spark, sfDir).collect()
+    val total = rows.map(_.getLong(2)).sum
     assert(total === ev.length.toLong + 1L + kept,
       s"total=$total base=${ev.length} kept=$kept dropped=$dropped")
+    // the post-eviction straggler (a min-ts row delivered after its
+    // window was emitted and evicted) must NOT re-emit a duplicate
+    // window row — every (ws, event_type) key appears exactly once
+    val keys = rows.map(r => (r.getString(0), r.getString(1)))
+    assert(keys.distinct.length === keys.length,
+      "duplicate window emission after state eviction")
   }
 }
