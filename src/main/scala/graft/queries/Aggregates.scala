@@ -154,6 +154,55 @@ object Aggregates {
           .orderBy("l_returnflag")
     },
 
+    // ── winsorized (clipped) robust statistics per event_type (round 11):
+    //    the outlier-tamed mean a metrics pipeline reports next to the raw
+    //    one — values clipped to [p05, p95] (exact quantile_cont /
+    //    percentile, interpolation proven engine-identical by
+    //    q_percentile), then the clipped values quantized to cents via
+    //    floor(x·100 + 0.5) — every op an IEEE-identical double primitive
+    //    — so the mean's SUM is an order-free exact integer. NOT the
+    //    DECIMAL(18,2) cast: a clipped value can BE the interpolated
+    //    percentile, whose binary expansion sits at a .005 boundary, and
+    //    Spark's double→DECIMAL goes through the SHORTEST decimal string
+    //    while DuckDB rounds the binary value — measured one-cent
+    //    divergence at sf0.001. (mean_raw keeps the DECIMAL cast: raw
+    //    data values are 2-decimal clean, nowhere near a boundary.)
+    //    Scale: one groupBy for the per-type percentile frame (|types|
+    //    rows, broadcast back), one map-side clip, one map-combined
+    //    aggregate — no windows, no sort of the fact table beyond the
+    //    percentile aggregate itself. ──────────────────────────────────────
+    Q("q_winsorize",
+      """WITH p AS (SELECT event_type,
+        |    quantile_cont(value, 0.05) AS p05,
+        |    quantile_cont(value, 0.95) AS p95
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n, p.p05, p.p95,
+        |  CAST(CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)
+        |       / count(*) AS DOUBLE) AS mean_raw,
+        |  CAST(sum(CAST(floor(least(greatest(e.value, p.p05), p.p95)
+        |                      * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 / count(*) AS mean_winsorized
+        |FROM events e JOIN p ON p.event_type = e.event_type
+        |GROUP BY e.event_type, p.p05, p.p95
+        |ORDER BY e.event_type""".stripMargin) {
+      (s, d) =>
+        val p = events(s, d).groupBy("event_type")
+          .agg(expr("percentile(value, 0.05)").as("p05"),
+            expr("percentile(value, 0.95)").as("p95"))
+        events(s, d).join(broadcast(p), Seq("event_type"))
+          .groupBy("event_type", "p05", "p95")
+          .agg(count(lit(1)).as("n"),
+            (sum(col("value").cast("decimal(18,2)")).cast("double") /
+              count(lit(1))).as("mean_raw"),
+            (sum(floor(least(greatest(col("value"), col("p05")), col("p95"))
+              * 100 + 0.5).cast("long").cast("decimal(38,0)"))
+              .cast("double") / 100.0 /
+              count(lit(1))).as("mean_winsorized"))
+          .select(col("event_type"), col("n"), col("p05"), col("p95"),
+            col("mean_raw"), col("mean_winsorized"))
+          .orderBy("event_type")
+    },
+
     // ── sketch quantiles, accuracy-gated (the q_sketch_distinct pattern,
     //    closing the sketch family: cardinality + quantiles). At 100 TB
     //    approx_percentile's mergeable fixed-size summary replaces the
