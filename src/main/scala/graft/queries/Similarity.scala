@@ -1157,7 +1157,8 @@ object Similarity {
          |exn AS (SELECT count(*) AS n_expected FROM ex),
          |hits AS (SELECT count(*) AS n_hits FROM pt JOIN ex USING (qid, cid))
          |SELECT 'pq8x16' AS method, n_hits, n_expected,
-         |  n_hits::DOUBLE / n_expected AS recall
+         |  CASE WHEN n_expected > 0
+         |       THEN n_hits::DOUBLE / n_expected END AS recall
          |FROM hits CROSS JOIN exn""".stripMargin) {
       (s, d) =>
         val M = 8; val SubDim = 8; val KCent = 16
@@ -1478,9 +1479,9 @@ object Similarity {
     //    is one extra exact matvec: λ_n = round-half-up(max|w|·1e6/max|v|)
     //    (1e-6 units — BIGINT-safe at the ‖Cn‖∞ ≤ 64·1e9 bound),
     //    the ∞-norm Rayleigh quotient of the normalized matrix.
-    //    Scale: the ONLY corpus-wide work is one upper-triangle outer-
-    //    product explode (d(d+1)/2 = 2080 cells/row) map-side combined in
-    //    its own stage — 2080·partitions rows shuffle, nothing else moves.
+    //    Scale: the ONLY corpus-wide work is one scan folded per-task by
+    //    the GramMoments TypedImperativeAggregate (fixed 2145-cell exact
+    //    buffer; a few kB per task moves, no Generate volume at all).
     //    The collected state (2080+64+1 values) and the driver iteration
     //    are d²-bounded — INDEPENDENT of N, the same bounded-driver-state
     //    contract as q_greedy_prefix/ConnectedComponents. Overflow budget:
@@ -1683,8 +1684,8 @@ object Similarity {
           .as("q"))
 
   /** The dominant principal component as exact scaled integers: the
-    * distributed covariance reduce (the ONLY corpus-wide work — one flat
-    * upper-triangle posexplode, map-side combined) plus the 600-step
+    * distributed covariance reduce (the ONLY corpus-wide work — one scan
+    * folded by the GramMoments TypedImperativeAggregate) plus the 600-step
     * quantized power iteration on the driver. Returned state is d²-bounded,
     * independent of N (the bounded-driver-state contract of
     * q_greedy_prefix/ConnectedComponents): (v scaled 1e9 with ‖v‖∞ ≈ 1e9,
@@ -1693,35 +1694,28 @@ object Similarity {
   private def principalAxis(s: SparkSession, d: String): (Array[Long], Long) = {
     val P = BigInt(1000000000L)
     val qv = quantized(s, d)
-    // upper-triangle outer products, exploded per row and map-side
-    // combined: 2080 cells/row in, only 2080·partitions rows out of the
-    // shuffle. The exploded array is a FLAT primitive long array
-    // (posexplode; the (i,j) cell identity is the POSITION, decoded on the
-    // driver over the collected 2080 rows) — an array-of-structs Generate
-    // paid a per-cell struct allocation that measured ~1.25× slower at the
-    // 100× scale point (59 s → 47 s)
-    val idx = sequence(lit(0), lit(Dims - 1))
-    val tri = qv
-      .select(posexplode(flatten(transform(idx, i =>
-        transform(sequence(i, lit(Dims - 1)), j =>
-          element_at(col("q"), i + 1) *
-            element_at(col("q"), j + 1))))).as(Seq("pos", "p")))
-      .groupBy("pos")
-      .agg(sum(col("p").cast("decimal(38,0)")).as("s"))
-    val mRows = qv
-      .select(posexplode(col("q")).as(Seq("d0", "x")))
-      .groupBy("d0").agg(sum(col("x")).as("m"))
-    // the same upper-triangle enumeration order the explode flattens in
-    val cellAt: Map[Int, (Int, Int)] =
+    // ONE pass, zero Generate volume: the GramMoments
+    // TypedImperativeAggregate folds each partition into a fixed
+    // 2145-cell exact buffer (upper-triangle Σxᵢxⱼ, per-dim Σxᵢ, N) and
+    // merges the per-task buffers on one reducer. The previous kernel
+    // (posexplode of a flat 2080-product array → 2080-group hash agg)
+    // generated 2080 rows PER INPUT ROW before the map-side combine — at
+    // the ×100 scalecheck point that Generate dominated at 42 s; here the
+    // scan IS the whole job. Hot path stays primitive-long adds with a
+    // data-driven exact BigInteger flush (see GramAgg.scala), so the
+    // result is exact at any N, not just under a documented row bound.
+    val nTri = Dims * (Dims + 1) / 2
+    val cells = qv
+      .agg(graft.functions.GramAgg.gramMoments(col("q"), Dims).as("g"))
+      .head().getSeq[java.math.BigDecimal](0)
+      .map(bd => BigInt(bd.toBigInteger)).toArray
+    // the same upper-triangle enumeration order the aggregate fills in
+    val cellAt: Map[(Int, Int), Int] =
       (for { i <- 0 until Dims; j <- i until Dims } yield (i, j))
-        .zipWithIndex.map { case (ij, pos) => pos -> ij }.toMap
-    // fixed-size collect (2080 + 64 + 1 values, d²-bounded at any N)
-    val s2 = tri.collect().map(r =>
-      cellAt(r.getInt(0)) -> BigInt(r.getDecimal(1).toBigInteger))
-      .toMap
-    val m = mRows.collect().map(r => r.getInt(0) -> BigInt(r.getLong(1)))
-      .toMap
-    val n = BigInt(qv.count())
+        .zipWithIndex.toMap
+    val s2 = cellAt.map { case (ij, pos) => ij -> cells(pos) }
+    val m = (0 until Dims).map(i => i -> cells(nTri + i)).toMap
+    val n = cells(nTri + Dims)
     val c = Array.tabulate(Dims, Dims) { (i, j) =>
       val sij = s2.getOrElse(if (i <= j) (i, j) else (j, i), BigInt(0))
       n * sij - m(i) * m(j)
