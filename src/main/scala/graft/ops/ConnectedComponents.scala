@@ -92,9 +92,19 @@ object ConnectedComponents {
     // does. localCheckpoint (eager) materializes the partitions AND cuts
     // the plan back to a leaf; on a production cluster with executor churn
     // this becomes checkpoint() to reliable storage.
-    var labels = sym.select(col("u").as("node")).distinct()
-      .withColumn("lbl", col("node"))
-      .localCheckpoint(true)
+    // dropOriginStats is NOT optional: localCheckpoint carries the
+    // pre-cut plan's size estimate across the cut, and the pointer-
+    // doubling self-join below SQUARES it every round — the estimate's
+    // BigInt digit count doubles per iteration and past ~16 rounds (deep
+    // diameters, exactly where doubling matters) Catalyst's stats visitor
+    // hangs multiplying million-digit integers (pinned by
+    // CcLongChainSpec). Resetting to the leaf default keeps every
+    // product 128-bit; AQE still re-plans from runtime sizes.
+    def cut(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graft.bridge.dropOriginStats(
+        df.localCheckpoint(true))
+    var labels = cut(sym.select(col("u").as("node")).distinct()
+      .withColumn("lbl", col("node")))
     var converged = false
     var iter = 0
     var lastChanged = -1L
@@ -132,7 +142,7 @@ object ConnectedComponents {
           coalesce(sum(when(col("newLbl") =!= col("old"), 1L)), lit(0L))
             .as("n"))
         .select(col("node"), col("newLbl").as("lbl"))
-      val next = staged.localCheckpoint(true) // materialize AND cut lineage
+      val next = cut(staged) // materialize AND cut lineage + stats
       val changed = staged.queryExecution
         .observedMetrics(s"cc_chg_$iter").getAs[Long]("n")
       // the previous round's checkpoint blocks are freed by the
