@@ -160,21 +160,39 @@ object Exprs {
     * both engines perform identically. [[roundDivSql]] is the
     * character-equivalent oracle form; keep the two in lockstep.
     *
-    * Overflow bound: |a|·10^scale must fit a BIGINT (|a| ≤ 4.6e18/10^scale)
-    * — every declared call site is a count or a scaled DECIMAL sum orders
-    * of magnitude below that.
+    * Input contract (keep [[roundDivSql]] in lockstep): `num`/`den` must be
+    * INTEGER-VALUED expressions (counts, scaled-integer DECIMAL sums) with
+    * den > 0. The entry casts normalize representation only — Spark's
+    * `.cast("long")` truncates a fractional value toward zero while
+    * DuckDB's `CAST(... AS BIGINT)` rounds half-to-even, so a caller
+    * passing a genuinely fractional DECIMAL diverges between engines
+    * BEFORE the rounding formula runs. Every declared call site passes
+    * exact integers; new callers must too.
+    *
+    * The scaled numerator (2|a|·10^scale + b) and the final rounded
+    * magnitude are computed in decimal(38,0), so intermediate magnitudes
+    * beyond BIGINT cannot silently wrap (Spark non-ANSI LongType wraps;
+    * DuckDB's HUGEINT path does not — a silent cross-engine divergence if
+    * this ever left exact arithmetic). Only the RESULT magnitude
+    * |a|·10^scale/b (≤ |a|·10^scale by b ≥ 1) must fit a BIGINT.
     */
   def roundDiv(num: Column, den: Column, scale: Int): Column = {
     val p = math.pow(10, scale).toLong
     val a = num.cast("long")
     val b = den.cast("long")
-    val mag = intDivFloor(abs(a) * lit(2L) * lit(p) + b, b * lit(2L))
+    val aD = abs(a).cast("decimal(38,0)")
+    val bD = b.cast("decimal(38,0)")
+    val mag = intDivFloor(aD * lit(2L) * lit(p) + bD, bD * lit(2L))
     (when(a < 0, -mag).otherwise(mag)).cast("double") / lit(p.toDouble)
   }
 
   /** DuckDB oracle rendering of [[roundDiv]] — same integer formula, same
     * final BIGINT/10^scale float division. `a`/`b` are SQL expressions of
-    * BIGINT type, b > 0.
+    * BIGINT type, b > 0, and (as for [[roundDiv]], whose contract this
+    * shares) both must be INTEGER-VALUED: DuckDB's CAST rounds a
+    * fractional value half-to-even where Spark's cast truncates. DuckDB
+    * promotes the scaled numerator through HUGEINT natively, matching the
+    * Spark side's decimal(38,0) route.
     */
   def roundDivSql(a: String, b: String, scale: Int): String = {
     val p = math.pow(10, scale).toLong

@@ -56,6 +56,14 @@ object HammingJoin {
     * joins probe×corpus bucket rows instead of corpus×corpus and filtering
     * afterwards. Exact because doc_a < doc_b makes "pairs whose smaller id
     * satisfies aPred" precisely "pairs whose A-side row satisfies aPred".
+    *
+    * Geometry contract: requires maxDist + requiredMatches ≤ 14 (throws
+    * otherwise). The first-match dedup below resolves through a
+    * driver-built 2^(maxDist+requiredMatches) lookup table shipped into
+    * codegen as a literal array; past 14 blocks the table itself becomes
+    * per-task payload and the build cost quadratic-ish on the driver
+    * (this bound was 20 before round 11 — callers in the 15..20 range
+    * that used to run slowly now fail fast at plan time).
     */
   def pairsWithin(
       sig: DataFrame,

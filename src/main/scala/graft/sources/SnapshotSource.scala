@@ -102,6 +102,13 @@ private[sources] class SnapshotScanBuilder(fullSchema: StructType,
       case _ => false
     }
     pushed = ours
+    // Order-independence guard (ADVICE r11): the pushLimit acceptance
+    // below is sound ONLY with zero pushed filters. Spark today calls
+    // pushFilters before pushLimit, but nothing in the DSv2 contract
+    // promises that — if any filter lands AFTER a limit was accepted,
+    // revoke the limit here so planInputPartitions can never prune pages
+    // by raw line counts while the reader drops filtered rows.
+    if (ours.nonEmpty) limit = None
     residual
   }
   override def pushedFilters(): Array[Filter] = pushed
