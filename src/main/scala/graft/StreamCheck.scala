@@ -87,10 +87,15 @@ object StreamCheck {
     //    the checkpoint, compare post-resume state to the uninterrupted
     //    run. Driven at the LARGEST dir (1M events when tmp/sf1 exists). ───
     val recovery = recoveryRuns(spark, dirs.last)
+    // the 10M-event transformWithState leg (VERDICT r11 ask #7) — runs
+    // against tmp/sf10 (ScaleGen ×100) when present, records a skip when
+    // not, so the artifact never silently omits the scale point
+    val tws10mDir = sys.env.getOrElse("SPARK_GRAFT_TWS10M_DIR", "tmp/sf10")
+    val tws10mRec = tws10m(spark, tws10mDir)
 
     val record =
       s"""{"runs":${records.mkString("[", ",", "]")},""" +
-        s""""recovery":$recovery}"""
+        s""""recovery":$recovery,"tws_10m":$tws10mRec}"""
     println(record)
     val out = ToolPaths.resolve("tools/streamcheck.json")
     val w = new java.io.PrintWriter(out)
@@ -205,60 +210,8 @@ object StreamCheck {
           f"tombstoned=$nTomb equal=$cdcEqual")
 
       // ── transformWithState (RocksDB ValueState) ────────────────────────
-      val provKey = "spark.sql.streaming.stateStore.providerClass"
-      val prevProv = spark.conf.getOption(provKey)
-      spark.conf.set(provKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      val (twsEqual, twsKilled, twsResumed, twsWall) = try {
-        // final state per key = the update with max n (n is monotone per
-        // key, so batch replays after the kill are absorbed by the max)
-        val state = new java.util.concurrent.ConcurrentHashMap[Long, (Long, String)]()
-        def leg(ckpt: String, stopAfter: Option[Int]): Int = {
-          import spark.implicits._
-          val schema = events.schema
-          val src = spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1).parquet(staging.toString)
-          val q = src.select(col("user_id").cast("long"),
-              col("value").cast("decimal(18,2)").cast("string"))
-            .as[(Long, String)]
-            .groupByKey(_._1)
-            .transformWithState(new graft.streaming.Streams.RunningTotalsProcessor,
-              org.apache.spark.sql.streaming.TimeMode.None(),
-              org.apache.spark.sql.streaming.OutputMode.Update())
-            .toDF("user_id", "n", "total")
-            .writeStream.outputMode("update")
-            .foreachBatch { (b: DataFrame, _: Long) =>
-              b.collect().foreach { r =>
-                val (u, n, t) = (r.getLong(0), r.getLong(1), r.getString(2))
-                state.merge(u, (n, t),
-                  (old, nw) => if (nw._1 > old._1) nw else old)
-              }
-              ()
-            }
-            .option("checkpointLocation", ckpt)
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          stopAndCount(q, stopAfter)
-        }
-        val ckU = java.nio.file.Files.createTempDirectory("graft-tws-u").toString
-        leg(ckU, None)
-        val truth = Map.from(scala.jdk.CollectionConverters
-          .ConcurrentMapHasAsScala(state).asScala)
-        state.clear()
-        val ckR = java.nio.file.Files.createTempDirectory("graft-tws-r").toString
-        val tws0 = System.nanoTime()
-        val k = leg(ckR, Some(killAfter))
-        val r = leg(ckR, None)
-        val wall = (System.nanoTime() - tws0) / 1e9
-        val resumed = Map.from(scala.jdk.CollectionConverters
-          .ConcurrentMapHasAsScala(state).asScala)
-        (resumed == truth, k, r, wall)
-      } finally {
-        prevProv match {
-          case Some(v) => spark.conf.set(provKey, v)
-          case None => spark.conf.unset(provKey)
-        }
-      }
+      val (twsEqual, twsKilled, twsResumed, twsWall, _) =
+        twsRecovery(spark, staging.toString, killAfter)
       System.err.println(
         f"[streamcheck] recovery tws    $dir%-22s events=$nEvents%7d " +
           f"killed_after=$twsKilled resumed=$twsResumed equal=$twsEqual")
@@ -355,6 +308,108 @@ object StreamCheck {
         s""""sink_rows":$joinRecRows,""" +
         s""""truth_rows":$joinTruthRows,""" +
         s""""state_equal":$joinEqual}}"""
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(staging).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  /** Kill/resume recovery for the transformWithState RocksDB leg over a
+    * staged 16-file events directory: uninterrupted run → truth map, then
+    * fresh checkpoint, kill after `killAfter` batches, resume, compare.
+    * Extracted so the SAME leg runs at both 1M (inside [[recoveryRuns]])
+    * and 10M events (VERDICT r11 ask #7 — confirm the state-store
+    * behavior isn't 1M-specific). Returns (state_equal, killed-run
+    * batches, resumed-run batches, recovery wall sec, distinct keys).
+    *
+    * Final state per key = the update with max n (n is monotone per key,
+    * so micro-batches replayed after the kill are absorbed by the max).
+    */
+  private def twsRecovery(spark: SparkSession, stagingDir: String,
+      killAfter: Int): (Boolean, Int, Int, Double, Int) = {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val schema = spark.read.parquet(stagingDir).schema
+      val state = new java.util.concurrent.ConcurrentHashMap[Long, (Long, String)]()
+      def leg(ckpt: String, stopAfter: Option[Int]): Int = {
+        import spark.implicits._
+        val src = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(stagingDir)
+        val q = src.select(col("user_id").cast("long"),
+            col("value").cast("decimal(18,2)").cast("string"))
+          .as[(Long, String)]
+          .groupByKey(_._1)
+          .transformWithState(new graft.streaming.Streams.RunningTotalsProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+          .toDF("user_id", "n", "total")
+          .writeStream.outputMode("update")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.collect().foreach { r =>
+              val (u, n, t) = (r.getLong(0), r.getLong(1), r.getString(2))
+              state.merge(u, (n, t),
+                (old, nw) => if (nw._1 > old._1) nw else old)
+            }
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        stopAndCount(q, stopAfter)
+      }
+      val ckU = java.nio.file.Files.createTempDirectory("graft-tws-u").toString
+      leg(ckU, None)
+      val truth = Map.from(scala.jdk.CollectionConverters
+        .ConcurrentMapHasAsScala(state).asScala)
+      state.clear()
+      val ckR = java.nio.file.Files.createTempDirectory("graft-tws-r").toString
+      val tws0 = System.nanoTime()
+      val k = leg(ckR, Some(killAfter))
+      val r = leg(ckR, None)
+      val wall = (System.nanoTime() - tws0) / 1e9
+      val resumed = Map.from(scala.jdk.CollectionConverters
+        .ConcurrentMapHasAsScala(state).asScala)
+      (resumed == truth, k, r, wall, truth.size)
+    } finally {
+      prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
+  /** The 10M-event transformWithState recovery leg (VERDICT r11 ask #7):
+    * stages `dir`'s events into 16 files (16 micro-batches ≈ 625k
+    * events/batch through the RocksDB store), runs the same
+    * kill-at-4/resume protocol, and returns the JSON fragment — or a
+    * `"skipped"` marker when the 10M directory doesn't exist (ScaleGen
+    * hasn't been run on this box).
+    */
+  private def tws10m(spark: SparkSession, dir: String): String = {
+    if (!new java.io.File(s"$dir/events.parquet").exists())
+      return s"""{"dir":"$dir","skipped":"no events at $dir"}"""
+    val staging = java.nio.file.Files.createTempDirectory("graft-tws10m")
+    try {
+      graft.model.Tables.events(spark, dir)
+        .repartition(16).write.mode("overwrite").parquet(staging.toString)
+      val nEvents = spark.read.parquet(staging.toString).count()
+      val (equal, killed, resumed, wall, keys) =
+        twsRecovery(spark, staging.toString, killAfter = 4)
+      System.err.println(
+        f"[streamcheck] recovery tws10m $dir%-22s events=$nEvents%8d " +
+          f"keys=$keys%6d killed_after=$killed resumed=$resumed " +
+          f"wall=$wall%.1fs equal=$equal")
+      s"""{"dir":"$dir","events":$nEvents,"distinct_keys":$keys,""" +
+        s""""kill_after_batches":4,"killed_run_batches":$killed,""" +
+        s""""resumed_run_batches":$resumed,""" +
+        f""""recovery_wall_sec":$wall%.1f,"state_equal":$equal}"""
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(staging).iterator().asScala.toSeq

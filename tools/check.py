@@ -29,7 +29,11 @@ def bench_report():
         sp = spreads.get(q, {}).get("spread", 0.0)
         reps = spreads.get(q, {}).get("reps", 0)
         ratio = t / r
-        flag = ("REGRESSION" if ratio > 2 and sp < 0.25 else
+        # REGRESSION requires >=4 reps agreeing (Bench guarantees >=4 for
+        # any >1.8x reading since r12); a >2x at <4 reps is stale-bench
+        # evidence, not adjudicable -> "needs-reps".
+        flag = ("REGRESSION" if ratio > 2 and sp < 0.25 and reps >= 4 else
+                "needs-reps" if ratio > 2 and sp < 0.25 else
                 "noisy" if ratio > 2 else "")
         rows.append((ratio, q, t, r, sp, reps, flag))
     rows.sort(reverse=True)
