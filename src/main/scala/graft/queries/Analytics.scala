@@ -249,7 +249,12 @@ object Analytics {
             .observe(s"pr_delta_$iters",
               coalesce(max(abs(col("rk") - col("prev"))), lit(0L)).as("d"))
             .select("node", "rk")
-          val next = staged.localCheckpoint()
+          // dropOriginStats: ranks' carried size estimate would otherwise
+          // square every round through the contribs join (digits double
+          // per iteration until the stats visitor dominates planning —
+          // the ConnectedComponents deep-loop lesson, see bridge.scala)
+          val next = org.apache.spark.sql.graft.bridge.dropOriginStats(
+            staged.localCheckpoint())
           delta = staged.queryExecution
             .observedMetrics(s"pr_delta_$iters").getAs[Long]("d")
           ranks = next
@@ -337,7 +342,10 @@ object Analytics {
               coalesce(sum(when(col("dist") =!= col("old"), 1L)), lit(0L))
                 .as("n"))
             .select("node", "dist")
-          val next = staged.localCheckpoint()
+          // dropOriginStats: same loop-carried stats compounding as
+          // q_pagerank (dist⋈cand squares the estimate per round)
+          val next = org.apache.spark.sql.graft.bridge.dropOriginStats(
+            staged.localCheckpoint())
           changed = staged.queryExecution
             .observedMetrics(s"bfs_chg_$iters").getAs[Long]("n")
           dist = next
@@ -655,11 +663,15 @@ object Analytics {
                   org.apache.spark.sql.types.StringType),
                 org.apache.spark.sql.types.StructField("rep",
                   org.apache.spark.sql.types.StringType))))
-            cur = cur.crossJoin(broadcast(param))
-              .select(col("doc_id"),
-                call_function("replace", col("s"), col("pat"), col("rep"))
-                  .as("s"))
-              .localCheckpoint()
+            // dropOriginStats: cur's carried estimate only grows linearly
+            // here (1-row param join, 10 rounds) but the loop-carried
+            // checkpoint discipline is uniform — see bridge.scala
+            cur = org.apache.spark.sql.graft.bridge.dropOriginStats(
+              cur.crossJoin(broadcast(param))
+                .select(col("doc_id"),
+                  call_function("replace", col("s"), col("pat"), col("rep"))
+                    .as("s"))
+                .localCheckpoint())
             iters += 1
           }
         }
@@ -759,11 +771,14 @@ object Analytics {
                   org.apache.spark.sql.types.StringType),
                 org.apache.spark.sql.types.StructField("rep",
                   org.apache.spark.sql.types.StringType))))
-            cur = cur.crossJoin(broadcast(param))
-              .select(col("doc_id"), col("n0"),
-                call_function("replace", col("s"), col("pat"), col("rep"))
-                  .as("s"))
-              .localCheckpoint()
+            // dropOriginStats: uniform loop-carried checkpoint discipline
+            // (see q_bpe above / bridge.scala)
+            cur = org.apache.spark.sql.graft.bridge.dropOriginStats(
+              cur.crossJoin(broadcast(param))
+                .select(col("doc_id"), col("n0"),
+                  call_function("replace", col("s"), col("pat"), col("rep"))
+                    .as("s"))
+                .localCheckpoint())
             iters += 1
           }
         }

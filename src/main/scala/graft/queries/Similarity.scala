@@ -746,7 +746,12 @@ object Similarity {
             // pcid feeds only the observation — project it away before
             // the checkpoint (CollectMetrics still executes below)
             .select("vec_id", "cid")
-          val next = staged.localCheckpoint()
+          // dropOriginStats: the loop-carried frame's size estimate would
+          // otherwise compound through the assign⋈cent⋈assign round plan
+          // (digits grow per round until the stats visitor dominates —
+          // the ConnectedComponents deep-loop lesson, see bridge.scala)
+          val next = org.apache.spark.sql.graft.bridge.dropOriginStats(
+            staged.localCheckpoint())
           changed = staged.queryExecution
             .observedMetrics(s"kmeans_chg_$iters").getAs[Long]("n")
           assign = next
