@@ -1350,6 +1350,98 @@ object Similarity {
           .orderBy("qid", "rk")
     },
 
+    // ── Okapi BM25 top-k retrieval (round 12): the classic lexical ranker
+    //    the hybrid leg's plain idf-sum deliberately simplified away — tf
+    //    saturation (k1 = 1.2) and document-length normalization
+    //    (b = 0.75), the retrieval scorer an LLM-curation stack actually
+    //    deploys for lexical recall mining. Engine-exactness: with
+    //    avgdl = sl/nd the per-term score rationalizes to
+    //      idf · 22·tf·sl ∕ (10·sl·tf + 3·sl + 9·len·nd)
+    //    — every factor an exact BIGINT — so each term is ONE roundDiv on
+    //    the 1e-6 idf grid (idf6 = the hybrid leg's proven
+    //    DECIMAL(18,6) ln quantization, scaled integral) and the per-doc
+    //    score is an exact BIGINT SUM — order-free, no float accumulation
+    //    anywhere. Scale: postings is tf-groupBy rows joined on tok
+    //    against a broadcast constant query set (Q = 5); lens/df are
+    //    map-combined aggregates; ranks come from per-qid windows over Q
+    //    partitions. Oracle BIGINT headroom: 2·idf6·22·tf·sl must fit —
+    //    holds to ~10¹⁰ corpus tokens; past that, divide sl out of the
+    //    rational first (the Spark side already routes through
+    //    decimal(38,0) and has no such bound). ─────────────────────────────
+    Q("q_bm25",
+      s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |       FROM documents),
+         |tfd AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |        FROM tk GROUP BY 1, 2),
+         |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len
+         |         FROM tk GROUP BY 1),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+         |sl AS (SELECT CAST(count(*) AS BIGINT) AS sl FROM tk),
+         |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+         |        FROM tfd GROUP BY 1),
+         |idf AS (SELECT tok,
+         |          CAST(CAST(round(ln((nd + 1) / CAST(df + 1 AS DOUBLE)), 6)
+         |                    AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS idf6
+         |        FROM dfq CROSS JOIN nd),
+         |qd AS (SELECT DISTINCT doc_id AS qid, tok FROM tk WHERE doc_id < 5),
+         |terms AS (SELECT q.qid, t.doc_id AS id,
+         |    CAST(${graft.ops.Exprs.roundDivSql(
+                  "i.idf6 * (t.tf * 22 * sl.sl)",
+                  "t.tf * 10 * sl.sl + 3 * sl.sl + 9 * l.len * nd.nd", 0)}
+         |         AS BIGINT) AS t6
+         |  FROM qd q JOIN tfd t USING (tok) JOIN idf i USING (tok)
+         |       JOIN lens l ON l.doc_id = t.doc_id
+         |       CROSS JOIN sl CROSS JOIN nd
+         |  WHERE t.doc_id <> q.qid),
+         |sc AS (SELECT qid, id, CAST(sum(t6) AS BIGINT) AS s6
+         |       FROM terms GROUP BY 1, 2)
+         |SELECT qid, rk, id, CAST(s6 AS DOUBLE) / 1000000.0 AS bm25
+         |FROM (SELECT qid, id, s6,
+         |        CAST(row_number() OVER (PARTITION BY qid
+         |          ORDER BY s6 DESC, id) AS BIGINT) AS rk
+         |      FROM sc)
+         |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin) {
+      (s, d) =>
+        val HQ = 5; val TopK = 10
+        val docs = spread(documents(s, d))
+        // one tokenize pass feeds tf, lens, df, sl and the query side
+        val tok = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .cache()
+        val tfd = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val lens = tok.groupBy("doc_id").agg(count(lit(1)).as("len"))
+        val nd = docs.agg(count(lit(1)).as("nd"))
+        val sl = tok.agg(count(lit(1)).as("sl"))
+        // the hybrid leg's idf recipe verbatim (proven cross-engine), on
+        // the 1e6 integer grid: DECIMAL(18,6) × 10⁶ is exact, cast exact
+        val idf6 = tfd.groupBy("tok").agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(nd))
+          .select(col("tok"),
+            (round(log((col("nd") + 1) / (col("df") + 1).cast("double")), 6)
+              .cast("decimal(18,6)") * 1000000).cast("long").as("idf6"))
+        val qd = tok.filter(col("doc_id") < HQ)
+          .select(col("doc_id").as("qid"), col("tok")).distinct()
+        val w = Window.partitionBy("qid").orderBy(col("s6").desc, col("id"))
+        broadcast(qd).join(tfd, "tok")
+          .filter(col("doc_id") =!= col("qid"))
+          .join(idf6, "tok")
+          .join(lens, "doc_id")
+          .crossJoin(broadcast(sl))
+          .crossJoin(broadcast(nd))
+          .select(col("qid"), col("doc_id").as("id"),
+            graft.ops.Exprs.roundDiv(
+              col("idf6") * (col("tf") * lit(22L) * col("sl")),
+              col("tf") * lit(10L) * col("sl") + lit(3L) * col("sl") +
+                lit(9L) * col("len") * col("nd"),
+              0).cast("long").as("t6"))
+          .groupBy("qid", "id").agg(sum("t6").as("s6"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= TopK)
+          .select(col("qid"), col("rk"), col("id"),
+            (col("s6").cast("double") / lit(1000000.0)).as("bm25"))
+          .orderBy("qid", "rk")
+    },
+
     // ── embedding-dedup clustering: connected components over the cosine
     //    candidate-pair graph — the same closure the MinHash family gets
     //    from q_dedup_clusters, so the embedding path is a full dedup
@@ -1575,6 +1667,72 @@ object Similarity {
             col("o").as("n_major"),
             graft.ops.Exprs.roundDiv(col("o"), col("n_c"), 6).as("purity"))
           .orderBy("cell")
+    },
+
+    // ── leave-one-out 1-NN label accuracy (round 12): the standard
+    //    embedding-quality eval q_cell_purity's coarse-cell view doesn't
+    //    give — per true label, how often does a vector's nearest OTHER
+    //    vector carry the same label? Probe-bounded like every recall
+    //    query (vec_id < 50, constant at any SF because ids are dense
+    //    from 0), so the exact side is O(Q·N) with constant Q — at
+    //    deployment the probe's neighbor comes from q_ann_ivf and this
+    //    query is the calibration of that index against labels. The label
+    //    rides the scan projection into the candidate frame (the
+    //    q_cell_purity lesson — joining labels back on vec_id would
+    //    shuffle the corpus for a column already in the row). Accuracy is
+    //    an exact 1e-6 roundDiv of integer counts. ────────────────────────
+    Q("q_knn_loo",
+      s"""WITH $normsCte,
+         |nl AS (SELECT n.vec_id, emb.label, n.e, n.nrm
+         |       FROM n JOIN embeddings emb USING (vec_id)),
+         |q AS (SELECT vec_id AS qid, label AS qlabel, e AS qe, nrm AS qn
+         |      FROM nl WHERE vec_id < 50),
+         |sp AS (SELECT q.qid, q.qlabel, c.vec_id AS cid, c.label AS clabel,
+         |        CASE WHEN q.qn * c.nrm > 0
+         |             THEN ${dotSqlIdx("q.qe", "c.e")} / sqrt(q.qn * c.nrm)
+         |        END AS sim
+         |      FROM q JOIN nl c ON c.vec_id <> q.qid),
+         |p AS (SELECT qid, qlabel, clabel FROM (
+         |        SELECT qid, qlabel, clabel,
+         |          row_number() OVER (PARTITION BY qid
+         |            ORDER BY sim DESC, cid) AS rk
+         |        FROM sp) WHERE rk = 1)
+         |SELECT qlabel AS label,
+         |  CAST(count(*) AS BIGINT) AS n_probes,
+         |  CAST(sum(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_correct,
+         |  ${graft.ops.Exprs.roundDivSql(
+              "sum(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END)",
+              "count(*)", 6)} AS acc
+         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin) {
+      (s, d) =>
+        val LooProbes = 50
+        val nl = spread(embeddings(s, d))
+          .select(col("vec_id"), col("label"),
+            transform(col("embedding"), _.cast("double")).as("e"))
+          .withColumn("nrm", dotProduct(col("e"), col("e")))
+        val q = nl.filter(col("vec_id") < LooProbes)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+            col("e").as("qe"), col("nrm").as("qn"))
+        val wNn = Window.partitionBy("qid")
+          .orderBy(col("sim").desc, col("cid"))
+        val p = broadcast(q)
+          .join(nl.select(col("vec_id").as("cid"), col("label").as("clabel"),
+            col("e").as("ce"), col("nrm").as("cn")),
+            col("cid") =!= col("qid"))
+          .select(col("qid"), col("qlabel"), col("cid"), col("clabel"),
+            cosSim(dotProduct(col("qe"), col("ce")),
+              col("qn") * col("cn")).as("sim"))
+          .withColumn("rk", row_number().over(wNn))
+          .filter(col("rk") === 1)
+        p.groupBy(col("qlabel").as("label"))
+          .agg(count(lit(1)).as("n_probes"),
+            sum(when(col("clabel") === col("qlabel"), 1L).otherwise(0L))
+              .as("n_correct"))
+          .select(col("label"), col("n_probes"), col("n_correct"),
+            graft.ops.Exprs.roundDiv(col("n_correct"), col("n_probes"), 6)
+              .as("acc"))
+          .orderBy("label")
     },
 
     // ── principal-axis histogram (round 11): the corpus projected onto
