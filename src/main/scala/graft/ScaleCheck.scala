@@ -97,7 +97,10 @@ object ScaleCheck {
     // (source, tok) frame, and the d²-bounded covariance explode
     "q_ks_test", "q_gtest_sources", "q_pmi_terms", "q_pca_power",
     "q_resample_target", "q_axis_histogram", "q_cell_purity",
-    "q_bpe_heldout", "q_hard_negatives")
+    "q_bpe_heldout", "q_hard_negatives",
+    // round-12 additions: BM25 postings join (broadcast constant query
+    // set) and the probe-bounded leave-one-out 1-NN eval
+    "q_bm25", "q_knn_loo")
 
   /** query → DECLARED growth model, recorded next to the measured exponent
     * so a reading is judged against the design instead of against a blanket
@@ -131,12 +134,14 @@ object ScaleCheck {
     "q_ks_test" -> "1.0: one map-combined groupBy(source, n_chars); grid/window/argmax run on |S|*V rows with V bounded by the value domain",
     "q_gtest_sources" -> "1.0: one map-combined groupBy to |S|*|L| cells, broadcast marginals",
     "q_pmi_terms" -> "1.0: one tokenize + cached (source,tok) groupBy; marginals and top-k window are |S|*V-bounded",
-    "q_pca_power" -> "1.0: one 2080-cells/row explode map-side combined; collected state and driver iteration are d^2-bounded, independent of N",
+    "q_pca_power" -> "1.0: one scan folded by the GramMoments TypedImperativeAggregate (fixed 2145-cell buffer per task); driver state d^2-bounded, independent of N",
     "q_resample_target" -> "1.0: two corpus scans (histogram groupBy, broadcast-rate filter + groupBy), zero windows",
     "q_axis_histogram" -> "1.0: the d^2-bounded axis + one zip_with projection pass, 1-row bounds broadcast, <= 16-group aggregate",
     "q_cell_purity" -> "1.5: the N*sqrt(N) ivf assignment (map-side broadcast); everything after is cells*|labels| rows",
     "q_bpe_heldout" -> "1.0 per round like q_bpe: fixed 10-merge budget, per-round pair aggregate over the train split + one narrow replace",
-    "q_hard_negatives" -> "1.0: the adaptive-banded candidate kernel (never all-pairs) + band-bounded pair-frame joins and windows")
+    "q_hard_negatives" -> "1.0: the adaptive-banded candidate kernel (never all-pairs) + band-bounded pair-frame joins and windows",
+    "q_bm25" -> "1.0: tf/len/df are map-combined groupBys; the postings join is Q-constant broadcast x tf rows; ranks window over Q partitions",
+    "q_knn_loo" -> "1.0: exact side is Q*N with constant Q=50 (the recall-family probe discipline)")
 
   /** query → its final-plan observe() node, for iteration capture. */
   val LoopMetric: Map[String, String] = Map(

@@ -169,6 +169,57 @@ object SetSimilarity {
       bands: Int = 6,
       rows: Int = 3,
       seedPrefix: String = "jperm"): DataFrame = {
+    val jacc = col("shared").cast("double") /
+      (col("na") + col("nb") - col("shared"))
+    bandedSharedCounts(e, idCol, elemCol, bands, rows, seedPrefix)
+      .filter(jacc >= threshold)
+      .select(col("doc_a"), col("doc_b"), jacc.as("jacc"))
+  }
+
+  /** Asymmetric containment over the SAME banded candidates: pairs where
+    * the smaller set is (nearly) a subset of the larger —
+    * `shared / min(na, nb) >= threshold` — with the contained side's id
+    * surfaced. Catches quote-inclusion / boilerplate-wrapping that
+    * symmetric Jaccard under-scores (J = shared/(na+nb−shared) shrinks as
+    * the containing document grows even at perfect containment).
+    *
+    * Recall contract (inherits the Jaccard banding): a containment-τ pair
+    * with size ratio ρ = max(na,nb)/min(na,nb) has J ≥ τ/(1+ρ−τ), so at
+    * τ = 0.9 the banding's J ≈ 0.28 design point guarantees candidate
+    * coverage for ρ ≤ 3; wider-ratio containments are candidate-limited
+    * here and belong to the span/substring family (q_dedup_substring
+    * catches doc-in-doc at ANY ratio, at span granularity). Emitted
+    * containment values are exact for every candidate.
+    */
+  def bandedContainmentPairs(
+      e: DataFrame,
+      idCol: String,
+      elemCol: String,
+      threshold: Double,
+      bands: Int = 6,
+      rows: Int = 3,
+      seedPrefix: String = "jperm"): DataFrame = {
+    val cont = col("shared").cast("double") / least(col("na"), col("nb"))
+    bandedSharedCounts(e, idCol, elemCol, bands, rows, seedPrefix)
+      .filter(cont >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        when(col("na") <= col("nb"), col("doc_a")).otherwise(col("doc_b"))
+          .as("contained"),
+        cont.as("cont"))
+  }
+
+  /** Candidate generation + exact verification shared by
+    * [[bandedJaccardPairs]] and [[bandedContainmentPairs]]: MinHash-banded
+    * candidate pairs with exact shared-element and set-size counts —
+    * (doc_a, doc_b, shared, na, nb), doc_a < doc_b, shared >= 1.
+    */
+  def bandedSharedCounts(
+      e: DataFrame,
+      idCol: String,
+      elemCol: String,
+      bands: Int = 6,
+      rows: Int = 3,
+      seedPrefix: String = "jperm"): DataFrame = {
     import graft.ops.Exprs.{md5Long, md5LongLocal}
     val base = e.select(col(idCol).as("doc_id"), col(elemCol).as("g"))
     // hashed postings, computed once for signatures, sizes, and the
@@ -214,12 +265,10 @@ object SetSimilarity {
     val pb = hc.select(col("doc_id").as("doc_b"), col("hv"))
     val pr = cand.join(pa, "doc_a").join(pb, Seq("doc_b", "hv"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
-    val jacc = col("shared").cast("double") /
-      (col("na") + col("nb") - col("shared"))
     pr.join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-      .filter(jacc >= threshold)
-      .select(col("doc_a"), col("doc_b"), jacc.as("jacc"))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        col("na"), col("nb"))
   }
 
   /** Reference inverted-index formulation — the textbook plan, kept for the

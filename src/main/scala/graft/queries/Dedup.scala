@@ -766,6 +766,39 @@ object Dedup {
               .as("recall"))
     },
 
+    // ── asymmetric containment dedup (round 12): pairs where the smaller
+    //    shingle set is (nearly) a subset of the larger —
+    //    shared/min(na,nb) ≥ 0.9 — with the contained doc surfaced. The
+    //    doc-in-doc class symmetric Jaccard under-scores: J shrinks as the
+    //    CONTAINING document grows even at perfect containment, so a quote
+    //    wrapped in boilerplate never crosses a Jaccard threshold. Same
+    //    adaptive banded candidate kernel as q_dedup_ngram_jaccard (never
+    //    all-pairs); recall contract documented on bandedContainmentPairs:
+    //    candidate coverage is guaranteed for size ratio ≤ 3 at τ = 0.9
+    //    (all 25 true pairs here are within it — the oracle's exact counts
+    //    confirm banded = exact at every verify SF); wider ratios belong
+    //    to q_dedup_substring, which catches them at span granularity. ───
+    Q("q_dedup_containment",
+      s"""WITH $NgramBandedCte,
+        |cp AS (SELECT doc_a, doc_b,
+        |    CASE WHEN sa.n <= sb.n THEN doc_a ELSE doc_b END AS contained,
+        |    CAST(shared AS DOUBLE) / least(sa.n, sb.n) AS cont
+        |  FROM pr JOIN sz sa ON sa.doc_id = doc_a
+        |          JOIN sz sb ON sb.doc_id = doc_b
+        |  WHERE CAST(shared AS DOUBLE) / least(sa.n, sb.n) >= 0.9)
+        |SELECT doc_a, doc_b, contained, cont FROM cp
+        |ORDER BY doc_a, doc_b""".stripMargin) {
+      (s, d) =>
+        val e = spread(documents(s, d))
+          .select(col("doc_id"),
+            explode(array_distinct(wordShingles(toks, 2))).as("g"))
+        val (bands, rows) =
+          graft.ops.SetSimilarity.adaptiveBanding(docCount(s, d))
+        graft.ops.SetSimilarity.bandedContainmentPairs(e, "doc_id", "g",
+            0.9, bands, rows)
+          .orderBy("doc_a", "doc_b")
+    },
+
     // ── hard-negative mining for contrastive training (round 11): per
     //    anchor document, the top-2 HIGH-lexical-overlap documents from a
     //    DIFFERENT source — the pairs an embedding model must learn to
