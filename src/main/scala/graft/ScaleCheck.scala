@@ -99,8 +99,9 @@ object ScaleCheck {
     "q_resample_target", "q_axis_histogram", "q_cell_purity",
     "q_bpe_heldout", "q_hard_negatives",
     // round-12 additions: BM25 postings join (broadcast constant query
-    // set) and the probe-bounded leave-one-out 1-NN eval
-    "q_bm25", "q_knn_loo")
+    // set), the probe-bounded leave-one-out 1-NN eval, and asymmetric
+    // containment over the banded candidate kernel
+    "q_bm25", "q_knn_loo", "q_dedup_containment")
 
   /** query → DECLARED growth model, recorded next to the measured exponent
     * so a reading is judged against the design instead of against a blanket
@@ -141,7 +142,8 @@ object ScaleCheck {
     "q_bpe_heldout" -> "1.0 per round like q_bpe: fixed 10-merge budget, per-round pair aggregate over the train split + one narrow replace",
     "q_hard_negatives" -> "1.0: the adaptive-banded candidate kernel (never all-pairs) + band-bounded pair-frame joins and windows",
     "q_bm25" -> "1.0: tf/len/df are map-combined groupBys; the postings join is Q-constant broadcast x tf rows; ranks window over Q partitions",
-    "q_knn_loo" -> "1.0: exact side is Q*N with constant Q=50 (the recall-family probe discipline)")
+    "q_knn_loo" -> "1.0: exact side is Q*N with constant Q=50 (the recall-family probe discipline)",
+    "q_dedup_containment" -> "1.0: same banded candidate kernel as q_dedup_ngram_jaccard; the containment projection adds no stage")
 
   /** query → its final-plan observe() node, for iteration capture. */
   val LoopMetric: Map[String, String] = Map(
