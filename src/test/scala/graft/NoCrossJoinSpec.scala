@@ -82,7 +82,11 @@ class NoCrossJoinSpec extends SparkTestBase {
     "q_ann_incremental", // broadcast-centroid assignment of the increment
     "q_kmeans_step", // same broadcast-centroid assignment (Lloyd refine)
     "q_zorder", // one-row skipping-count frames cross-joined at the end
-    "q_triangles" // two one-row count frames cross-joined at the end
+    "q_triangles", // two one-row count frames cross-joined at the end
+    "q_bm25", // one-row corpus-total frames (sl, nd) cross-joined into the
+    // scoring projection (the avgdl substitution's exact denominators)
+    "q_knn_loo" // broadcast CONSTANT Q=50 probe frame, streamed candidates
+    // (the q_cosine_topk discipline — O(Q·N), never O(N²))
     // (q_dedup_ngram_jaccard left this list in round 8: the banded
     // MinHash rebuild replaced the bitmask all-pairs stage with pure
     // equi-joins — no nested loop remains anywhere in its plan)
