@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DecimalType, Decimal}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{ArrayType, DataType, DecimalType, Decimal, LongType}
 
 /** Partial-aggregation buffer for [[GramMoments]]: the upper-triangle Gram
   * sums, the per-dimension first moments, and the row count, all exact.
@@ -81,6 +82,18 @@ case class GramMoments(
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(DecimalType(38, 0), containsNull = false)
+
+  /** Pin the element type at ANALYSIS time: the hot loop reads raw words
+    * via `UnsafeArrayData.getLong`, so an array<int> (or any narrower
+    * element) child would read misaligned 8-byte words and produce
+    * silently WRONG sums — the runtime `require`s only guard lengths,
+    * nulls, and magnitude, not element width.
+    */
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"GramMoments requires array<bigint> input, got ${other.catalogString}")
+  }
 
   override def createAggregationBuffer(): GramBuf = new GramBuf(nCells)
 

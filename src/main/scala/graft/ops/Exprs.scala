@@ -200,4 +200,37 @@ object Exprs {
       s"((2*abs(CAST(($a) AS BIGINT))*$p + CAST(($b) AS BIGINT)) // " +
       s"(2*CAST(($b) AS BIGINT))) / $p.0)"
   }
+
+  /** [[roundDiv]] for a numerator that is ALREADY an exact integer-valued
+    * DECIMAL(38,0) expression wider than BIGINT (e.g. a product of longs
+    * that the caller promoted to decimal BEFORE multiplying, precisely so
+    * it can't wrap LongType). Skips [[roundDiv]]'s `.cast("long")` entry
+    * normalization on the numerator — that cast would overflow (→ null
+    * non-ANSI, throw ANSI) for values past 2^63. The denominator stays a
+    * BIGINT-ranged integer expression (b > 0), as in [[roundDiv]].
+    * [[roundDivSqlHuge]] is the character-equivalent oracle form (HUGEINT
+    * where this uses decimal(38,0)); keep the two in lockstep. Result
+    * magnitude |a|·10^scale/b must fit a double exactly (< 2^53) — same
+    * final BIGINT/10^scale float step as [[roundDiv]].
+    */
+  def roundDivDec(num: Column, den: Column, scale: Int): Column = {
+    val p = math.pow(10, scale).toLong
+    val aD = abs(num).cast("decimal(38,0)")
+    val bD = den.cast("long").cast("decimal(38,0)")
+    val mag = intDivFloor(aD * lit(2L) * lit(p) + bD, bD * lit(2L))
+    (when(num < 0, -mag).otherwise(mag)).cast("double") / lit(p.toDouble)
+  }
+
+  /** DuckDB oracle rendering of [[roundDivDec]]: the numerator expression
+    * `a` must itself be computed in HUGEINT by the caller (cast a factor
+    * to HUGEINT before the wide multiply — DuckDB ERRORS on BIGINT
+    * overflow, it does not wrap), mirroring the Spark caller promoting to
+    * decimal(38,0) before multiplying. `b` stays BIGINT-ranged, b > 0.
+    */
+  def roundDivSqlHuge(a: String, b: String, scale: Int): String = {
+    val p = math.pow(10, scale).toLong
+    s"((CASE WHEN ($a) < 0 THEN -1 ELSE 1 END) * " +
+      s"((2*abs(CAST(($a) AS HUGEINT))*$p + CAST(($b) AS HUGEINT)) // " +
+      s"(2*CAST(($b) AS HUGEINT))) / $p.0)"
+  }
 }

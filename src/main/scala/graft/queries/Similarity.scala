@@ -1364,10 +1364,13 @@ object Similarity {
     //    anywhere. Scale: postings is tf-groupBy rows joined on tok
     //    against a broadcast constant query set (Q = 5); lens/df are
     //    map-combined aggregates; ranks come from per-qid windows over Q
-    //    partitions. Oracle BIGINT headroom: 2·idf6·22·tf·sl must fit —
-    //    holds to ~10¹⁰ corpus tokens; past that, divide sl out of the
-    //    rational first (the Spark side already routes through
-    //    decimal(38,0) and has no such bound). ─────────────────────────────
+    //    partitions. Headroom (round 13, was a shared BIGINT bound on both
+    //    engines before): the term numerator idf6·22·tf·sl passes ~2^63 at
+    //    ~10¹⁰ corpus tokens, so BOTH sides now promote idf6 to a wide
+    //    integer BEFORE the multiply — Spark via decimal(38,0)
+    //    (Exprs.roundDivDec), the oracle via HUGEINT
+    //    (Exprs.roundDivSqlHuge) — and the only remaining bound is the
+    //    RESULT magnitude ≈ idf6·22/10 ≲ 10⁸, safe at any corpus size. ─────
     Q("q_bm25",
       s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
          |       FROM documents),
@@ -1385,8 +1388,8 @@ object Similarity {
          |        FROM dfq CROSS JOIN nd),
          |qd AS (SELECT DISTINCT doc_id AS qid, tok FROM tk WHERE doc_id < 5),
          |terms AS (SELECT q.qid, t.doc_id AS id,
-         |    CAST(${graft.ops.Exprs.roundDivSql(
-                  "i.idf6 * (t.tf * 22 * sl.sl)",
+         |    CAST(${graft.ops.Exprs.roundDivSqlHuge(
+                  "CAST(i.idf6 AS HUGEINT) * (t.tf * 22 * sl.sl)",
                   "t.tf * 10 * sl.sl + 3 * sl.sl + 9 * l.len * nd.nd", 0)}
          |         AS BIGINT) AS t6
          |  FROM qd q JOIN tfd t USING (tok) JOIN idf i USING (tok)
@@ -1429,8 +1432,9 @@ object Similarity {
           .crossJoin(broadcast(sl))
           .crossJoin(broadcast(nd))
           .select(col("qid"), col("doc_id").as("id"),
-            graft.ops.Exprs.roundDiv(
-              col("idf6") * (col("tf") * lit(22L) * col("sl")),
+            graft.ops.Exprs.roundDivDec(
+              col("idf6").cast("decimal(38,0)") *
+                (col("tf") * lit(22L) * col("sl")),
               col("tf") * lit(10L) * col("sl") + lit(3L) * col("sl") +
                 lit(9L) * col("len") * col("nd"),
               0).cast("long").as("t6"))

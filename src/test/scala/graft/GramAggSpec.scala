@@ -75,4 +75,18 @@ class GramAggSpec extends SparkTestBase {
     }
     assert(e.getMessage != null)
   }
+
+  test("wrong element type fails at ANALYSIS, not with silently wrong sums") {
+    // The hot loop reads raw 8-byte words (UnsafeArrayData.getLong); an
+    // array<int> child would read misaligned words and produce garbage
+    // sums with no runtime error. checkInputDataTypes must reject it
+    // before any task runs (ADVICE r12).
+    import spark.implicits._
+    val ints = Seq(Seq(3, 4), Seq(5, 6)).toDF("q")
+    val e = intercept[Exception] {
+      ints.agg(GramAgg.gramMoments(col("q"), 2)).head()
+    }
+    assert(e.getMessage.contains("array<bigint>"),
+      s"expected analysis-time type error, got: ${e.getMessage}")
+  }
 }
