@@ -216,6 +216,19 @@ object StreamCheck {
         f"[streamcheck] recovery tws    $dir%-22s events=$nEvents%7d " +
           f"killed_after=$twsKilled resumed=$twsResumed equal=$twsEqual")
 
+      // ── MinHash near-dup dedup (q_stream_dedup_minhash's operator,
+      //    VERDICT r12 ask #5): dropDuplicatesWithinWatermark state over
+      //    LSH band-signature keys, killed mid-run and resumed on the same
+      //    checkpoint. Emissions are at-least-once across the replayed
+      //    batch, so equality is on the emitted KEY SET (exactly the
+      //    dedup-bucket set the declared query hash-checks); committed
+      //    batches must not re-emit — that's the state under test. ─────────
+      val (mhEqual, mhKilled, mhResumed, mhWall, mhKeys) =
+        mhDedupRecovery(spark, dir, killAfter)
+      System.err.println(
+        f"[streamcheck] recovery mhdedup $dir%-21s keys=$mhKeys%7d " +
+          f"killed_after=$mhKilled resumed=$mhResumed equal=$mhEqual")
+
       // ── stream-stream join + transactional FILE SINK (4th durable-state
       //    shape): symmetric join state buffered on BOTH sides of the
       //    q_stream_join attribution shape, and the parquet file sink's
@@ -301,6 +314,11 @@ object StreamCheck {
         s""""resumed_run_batches":$twsResumed,""" +
         s""""recovery_wall_sec":${fmt(twsWall)},""" +
         s""""state_equal":$twsEqual},""" +
+        s""""mhdedup":{"killed_run_batches":$mhKilled,""" +
+        s""""resumed_run_batches":$mhResumed,""" +
+        s""""recovery_wall_sec":${fmt(mhWall)},""" +
+        s""""band_keys":$mhKeys,""" +
+        s""""state_equal":$mhEqual},""" +
         s""""join":{"kill_after_batches":$killAfterJoin,""" +
         s""""killed_run_batches":$joinKilled,""" +
         s""""resumed_run_batches":$joinResumed,""" +
@@ -382,6 +400,72 @@ object StreamCheck {
         case Some(v) => spark.conf.set(provKey, v)
         case None => spark.conf.unset(provKey)
       }
+    }
+  }
+
+  /** Kill/resume recovery for the streaming MinHash near-dup dedup
+    * (q_stream_dedup_minhash's operator): documents staged into 16 files,
+    * band signatures computed statelessly per micro-batch,
+    * `dropDuplicatesWithinWatermark` state on (band, sig) under the same
+    * kill-at-K/resume-on-checkpoint protocol as the other legs. The truth
+    * and recovered runs are compared as emitted KEY SETS: foreachBatch
+    * delivery is at-least-once across the one replayed batch (duplicate
+    * emissions of that batch's keys are expected and collapse in the set),
+    * while the checkpointed dedup state must stop every COMMITTED batch's
+    * keys from re-emitting — a state loss would not change the set (keys
+    * re-emit, same set), but a state CORRUPTION dropping keys would, and
+    * the set must also equal the uninterrupted run's batch-DISTINCT
+    * exactly. Returns (state_equal, killed batches, resumed batches,
+    * recovery wall sec, truth key count).
+    */
+  private def mhDedupRecovery(spark: SparkSession, dir: String,
+      killAfter: Int): (Boolean, Int, Int, Double, Int) = {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    val staging = java.nio.file.Files.createTempDirectory("graft-mhdedup")
+    try {
+      graft.model.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"),
+          timestamp_seconds(lit(1700000000L) + pmod(col("doc_id"), lit(3600L)))
+            .as("ts"))
+        .repartition(16).write.mode("overwrite").parquet(staging.toString)
+      val schema = spark.read.parquet(staging.toString).schema
+      val keys = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, String)]()
+      def leg(ckpt: String, stopAfter: Option[Int]): Int = {
+        val src = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(staging.toString)
+        val q = graft.streaming.Streams.minhashBandSignatures(src)
+          .withWatermark("ts", "30 days")
+          .dropDuplicatesWithinWatermark("band", "sig")
+          .select(col("band"), col("sig"))
+          .writeStream.outputMode("append")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.collect().foreach(r => keys.add((r.getLong(0), r.getString(1))))
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        stopAndCount(q, stopAfter)
+      }
+      val ckU = java.nio.file.Files.createTempDirectory("graft-mhd-u").toString
+      leg(ckU, None)
+      val truth = Set.from(scala.jdk.CollectionConverters
+        .SetHasAsScala(keys).asScala)
+      keys.clear()
+      val ckR = java.nio.file.Files.createTempDirectory("graft-mhd-r").toString
+      val t0 = System.nanoTime()
+      val k = leg(ckR, Some(killAfter))
+      val r = leg(ckR, None)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val resumed = Set.from(scala.jdk.CollectionConverters
+        .SetHasAsScala(keys).asScala)
+      (resumed == truth, k, r, wall, truth.size)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(staging).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
 

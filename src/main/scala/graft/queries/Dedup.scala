@@ -45,8 +45,11 @@ object Dedup {
   /** The MinHash banding pipeline as a DuckDB CTE chain ending in
     * `pairs(doc_a, doc_b)` — shared by the pair query and the clustering
     * query so both oracles derive from the identical candidate graph.
+    * `private[queries]`: q_stream_dedup_minhash (StreamingExec.scala)
+    * oracles its distinct band-signature set from the same `bands` CTE,
+    * so the streaming and batch LSH index derivations can never drift.
     */
-  private val MinhashPairsCte: String =
+  private[queries] val MinhashPairsCte: String =
     """tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
       |sh AS (SELECT doc_id,
       |    CASE WHEN len(ts) >= 3

@@ -264,6 +264,23 @@ object StreamingExec {
       (s, d) =>
         graft.streaming.Streams.dedupFromSnapshot(s, d)
           .orderBy("user_id", "event_type")
+    },
+
+    // Streaming NEAR-dup dedup (round 13): MinHash band signatures computed
+    // STATELESSLY per arriving document, then watermark-bounded
+    // dropDuplicatesWithinWatermark on (band, sig) — the streaming build of
+    // the LSH dedup index. Key-only projection (which doc claims a bucket
+    // is arrival-order-dependent; the bucket set is not), and the oracle is
+    // the batch `bands` CTE that q_dedup_minhash's candidate pairs derive
+    // from — so the streaming signature computation is hash-pinned against
+    // the batch one.
+    Q("q_stream_dedup_minhash",
+      s"""WITH ${Dedup.MinhashPairsCte}
+         |SELECT DISTINCT band, sig FROM bands
+         |ORDER BY band, sig""".stripMargin) {
+      (s, d) =>
+        graft.streaming.Streams.minhashDedupFromSnapshot(s, d)
+          .orderBy("band", "sig")
     }
   )
 }
