@@ -299,17 +299,66 @@ object ScaleCheck {
 
     val factors = 1.0 +: points.map(_._2)
     def f(d: Double) = f"$d%.3f"
+    def finalExponent(times: Seq[Double]): Double =
+      if (times.size >= 3)
+        math.log(times.last / times(times.size - 2)) /
+          math.log(factors.last / factors(factors.size - 2))
+      else math.log(times.last / times.head) / math.log(factors.last)
+    /** Declared growth-model exponent: the leading number of the Model
+      * string; 1.0 (linear) for undeclared queries.
+      */
+    def modelExp(n: String): Double =
+      Model.get(n).flatMap(_.split(":").headOption)
+        .flatMap(s => scala.util.Try(s.trim.toDouble).toOption)
+        .getOrElse(1.0)
+
+    // ── exponent noise band (VERDICT r12 ask #6): a final-segment exponent
+    //    past its model by >0.1 has so far been adjudicated as end-point
+    //    noise BY HAND each round (q_bpe 1.17↔1.00, q_entity_match 1.11 vs
+    //    0.63). Mechanize it: every such query gets ONE more min-of-Reps
+    //    interleaved measurement of BOTH final points in the same JVM, and
+    //    the artifact records both readings as `exponent_band` — a real
+    //    superlinear regression reads high TWICE (the band floor stays
+    //    above the model), where an ambient-load flip collapses on the
+    //    re-run. check.py --scale flags only band floors above model+0.1. ──
+    val overModel = results.collect {
+      case (n, times, _, _)
+          if times.nonEmpty && finalExponent(times) > modelExp(n) + 0.1 => n
+    }
+    val rerunTimes = scala.collection.mutable.Map[(String, Int),
+      scala.collection.mutable.ListBuffer[Double]]()
+    if (overModel.nonEmpty) {
+      System.err.println(s"[scalecheck] exponent-band re-run " +
+        s"(${overModel.size}): ${overModel.mkString(", ")}")
+      val lastTwo = Seq(dirs.size - 2, dirs.size - 1)
+      for (pi <- lastTwo; rep <- 1 to Reps; name <- overModel) {
+        try {
+          val t = once(name, dirs(pi)._1)
+          rerunTimes.getOrElseUpdate((name, pi),
+            scala.collection.mutable.ListBuffer[Double]()) += t
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[scalecheck] $name re-run FAILED " +
+              s"@${dirs(pi)._1}: ${e.getMessage}")
+        }
+      }
+    }
+    val rerunExp: Map[String, Double] = overModel.flatMap { n =>
+      (rerunTimes.get((n, dirs.size - 2)), rerunTimes.get((n, dirs.size - 1))) match {
+        case (Some(t1), Some(t2)) if t1.nonEmpty && t2.nonEmpty =>
+          Some(n -> math.log(t2.min / t1.min) /
+            math.log(factors.last / factors(factors.size - 2)))
+        case _ => None
+      }
+    }.toMap
+
     val qjson = results.map { case (n, times, spreads, iters) =>
       if (times.isEmpty) s""""$n":{"error":true}"""
       else {
         val ratio = times.last / times.head
         // growth exponent between the two LARGEST points: slope of
         // log-time over log-factor — ≤ ~1 is linear, ~2 is quadratic
-        val expo =
-          if (times.size >= 3)
-            math.log(times.last / times(times.size - 2)) /
-              math.log(factors.last / factors(factors.size - 2))
-          else math.log(ratio) / math.log(factors.last)
+        val expo = finalExponent(times)
         val itArr = iters.map(_.map(_.toString).getOrElse("null"))
           .mkString("[", ",", "]")
         // per-iteration ratio for the convergence loops: total ratio
@@ -322,10 +371,14 @@ object ScaleCheck {
         }
         val model = Model.get(n)
           .map(m => s""","model":"${m.replace("\"", "'")}"""").getOrElse("")
+        val band = rerunExp.get(n).map { e2 =>
+          s""","exponent_rerun":${f(e2)},"exponent_band":[""" +
+            s"${f(math.min(expo, e2))},${f(math.max(expo, e2))}]"
+        }.getOrElse("")
         s""""$n":{"times":${times.map(f).mkString("[", ",", "]")},""" +
           s""""spread":${spreads.map(f).mkString("[", ",", "]")},""" +
           s""""ratio":${f(ratio)},"exponent":${f(expo)},""" +
-          s""""iters":$itArr,"per_iter_ratio":$perIter$model}"""
+          s""""iters":$itArr,"per_iter_ratio":$perIter$model$band}"""
       }
     }.mkString("{", ",", "}")
     val errs = results.collect {

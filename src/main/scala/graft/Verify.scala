@@ -21,6 +21,12 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts NANOS
       .config("spark.ui.enabled", "false")
+      // SPARK_GRAFT_ANSI=true sweeps the whole surface under Spark-4 ANSI
+      // semantics (cast overflow / x÷0 / array-index THROW instead of
+      // null/wrap) — proves the exact-arithmetic discipline holds where
+      // SURVEY §5.3 only asserted it (tools/ansicheck.json, round 13)
+      .config("spark.sql.ansi.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_ANSI", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -46,8 +46,90 @@ def bench_report():
     print(f"calibration: scan={cal.get('q_scan_parquet')} "
           f"ref={cal.get('ref_q_scan_parquet')} ref_total={cal.get('ref_total')}")
     n_reg = sum(1 for r in rows if r[6] == "REGRESSION")
-    print(f"== {len(rows)} compared, {n_reg} load-robust regressions ==")
-    sys.exit(1 if n_reg else 0)
+    # needs-reps is NOT a pass (ADVICE r12): Bench's >=4-rep guarantee only
+    # holds when the extra passes SUCCEED — a flaky >2x low-spread reading
+    # is exactly the regressed regime, so it must not exit 0. Distinct
+    # status 2 so callers can tell "re-run Bench" from "real regression".
+    n_need = sum(1 for r in rows if r[6] == "needs-reps")
+    print(f"== {len(rows)} compared, {n_reg} load-robust regressions, "
+          f"{n_need} needs-reps ==")
+    sys.exit(1 if n_reg else (2 if n_need else 0))
+
+
+def refdiff_report(new_ref_path):
+    """Gate a bench_ref re-baseline (ADVICE r12): compare the CANDIDATE
+    reference against the committed tools/bench_ref.json per query, so a
+    wholesale refresh can't silently absorb a real slowdown into the new
+    baseline. Flags any query whose new ref is >1.5x the old one.
+    Usage: python3 tools/check.py --refdiff <candidate_ref.json>
+    """
+    import os
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    old = json.load(open(f"{root}/tools/bench_ref.json"))
+    newd = json.load(open(new_ref_path))
+    if isinstance(old, dict) and "queries" in old:
+        old = old["queries"]
+    if isinstance(newd, dict) and "queries" in newd:
+        newd = newd["queries"]
+    rows = []
+    for q, t_new in sorted(newd.items()):
+        t_old = old.get(q)
+        if not isinstance(t_new, (int, float)) or t_new <= 0 or \
+           not isinstance(t_old, (int, float)) or t_old <= 0:
+            continue
+        rows.append((t_new / t_old, q, t_old, t_new))
+    rows.sort(reverse=True)
+    print(f"{'query':26s} {'old_ref':>8s} {'new_ref':>8s} {'ratio':>6s}")
+    for ratio, q, t_old, t_new in rows[:15]:
+        flag = "DRIFT" if ratio > 1.5 else ""
+        print(f"{q:26s} {t_old:8.2f} {t_new:8.2f} {ratio:6.2f} {flag}")
+    n_drift = sum(1 for r in rows if r[0] > 1.5)
+    print(f"== {len(rows)} compared, {n_drift} refs drifted >1.5x — "
+          f"adjudicate each before committing the new baseline ==")
+    sys.exit(1 if n_drift else 0)
+
+def scale_report(path=None):
+    """Adjudicate scalecheck exponents mechanically (VERDICT r12 ask #6):
+    a query is flagged only when its final-segment exponent exceeds its
+    declared model (+0.1 tolerance) AND the band floor from ScaleCheck's
+    same-JVM re-run stays above the model too — a one-off ambient-load
+    flip collapses on the re-run, a real superlinear regression doesn't.
+    Usage: python3 tools/check.py --scale [scalecheck.json]
+    """
+    import os
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    data = json.load(open(path or f"{root}/tools/scalecheck.json"))
+    n_flag = n_noise = n_err = 0
+    for q, rec in sorted(data.get("queries", {}).items()):
+        if rec.get("error"):
+            print(f"ERROR {q}: measurement failed")
+            n_err += 1
+            continue
+        model = 1.0
+        m = rec.get("model", "")
+        try:
+            model = float(m.split(":")[0])
+        except (ValueError, IndexError):
+            pass
+        expo = rec.get("exponent")
+        if expo is None or expo <= model + 0.1:
+            continue
+        band = rec.get("exponent_band")
+        if band and min(band) <= model + 0.1:
+            print(f"noise {q}: exponent {expo:.2f} vs model {model:.1f}, "
+                  f"re-run band [{band[0]:.2f}, {band[1]:.2f}] touches model")
+            n_noise += 1
+        elif band:
+            print(f"FLAG  {q}: exponent {expo:.2f} vs model {model:.1f}, "
+                  f"band floor {min(band):.2f} STAYS above — real growth")
+            n_flag += 1
+        else:
+            print(f"FLAG  {q}: exponent {expo:.2f} vs model {model:.1f}, "
+                  f"no re-run band recorded (old artifact?) — adjudicate")
+            n_flag += 1
+    print(f"== {n_flag} flagged, {n_noise} noise-banded, {n_err} errored ==")
+    sys.exit(1 if (n_flag or n_err) else 0)
+
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -64,6 +146,12 @@ def norm_cell(v):
 def main():
     if sys.argv[1:2] == ["--bench"]:
         bench_report()
+        return
+    if sys.argv[1:2] == ["--refdiff"]:
+        refdiff_report(sys.argv[2])
+        return
+    if sys.argv[1:2] == ["--scale"]:
+        scale_report(sys.argv[2] if len(sys.argv) > 2 else None)
         return
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
