@@ -25,12 +25,57 @@ object Multimodal {
   /** Resize target: every payload normalized to 128 bytes. */
   private val ResizeBytes = 128
 
+  /** DuckDB CTE chain `cp` → `b(doc_id, bytes)`: the document payload as its
+    * UTF-8 BYTE values (integer list). Round 13: the original oracles read
+    * bytes via character-based `ascii(substr(...))`/`CAST(text AS BLOB)`,
+    * which agrees with the Spark side's real binary payload ONLY on ASCII
+    * text — the seed-variant sweep (tools/datavariants.json) materialized
+    * that divergence the moment the token rename introduced multi-byte
+    * characters. DuckDB 1.0 has no usable BLOB ops (no md5/substring/index
+    * on BLOB), so the oracle expands each code point to its UTF-8 bytes
+    * arithmetically — byte-exact against Spark's `cast(text as binary)` for
+    * ANY input, pinned by the variant sweep.
+    */
+  private val Utf8BytesCte: String =
+    """cp AS (SELECT doc_id, list_transform(range(1, length(text) + 1),
+      |         i -> ascii(substr(text, i, 1))) AS cps
+      |       FROM documents),
+      |b AS (SELECT doc_id, flatten(list_transform(cps, a ->
+      |        CASE WHEN a < 128 THEN [a]
+      |             WHEN a < 2048 THEN [192 + a//64, 128 + a%64]
+      |             WHEN a < 65536 THEN [224 + a//4096, 128 + (a//64)%64,
+      |                                  128 + a%64]
+      |             ELSE [240 + a//262144, 128 + (a//4096)%64,
+      |                   128 + (a//64)%64, 128 + a%64]
+      |        END)) AS bytes
+      |      FROM cp)""".stripMargin
+
+  /** 55-bit polynomial content hash of a byte sequence: left fold
+    * h → (h·31 + byte) mod 2⁵⁵ from 0 — the stub "decoder" hash for
+    * byte SLICES (frames, resized payloads), where md5 can't serve as the
+    * cross-engine hash because a byte slice may split a multi-byte char
+    * (not valid UTF-8, and DuckDB md5 only takes VARCHAR). 2⁵⁵ keeps
+    * h·31 + 255 under 2⁶⁰ — exact BIGINT on both engines, no wrap.
+    * [[fnv55]] is the Scala fold; keep the two in lockstep.
+    */
+  private def foldHashSql(listExpr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), $listExpr), " +
+      s"(h, x) -> (h*31 + x) % ${1L << 55})"
+
+  /** Scala twin of [[foldHashSql]] over a byte-array slice. */
+  private def fnv55(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0L
+    var i = from
+    while (i < until) { h = (h * 31 + (bytes(i) & 0xff)) % (1L << 55); i += 1 }
+    h
+  }
+
 
   val all: Seq[Q] = Seq(
 
     Q("q_multimodal_meta",
       """SELECT doc_id,
-        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_hash,
         |  'raw' AS format
         |FROM documents ORDER BY doc_id""".stripMargin) {
@@ -52,20 +97,24 @@ object Multimodal {
           .orderBy("doc_id")
     },
 
-    // ── frame sampling: fixed-width frames from the binary payload, every
-    //    SampleEvery-th frame hashed (the video-frame-sample plumbing:
-    //    schema (doc_id, frame_idx, frame_hash), per-task batch decode, no
-    //    driver involvement). Oracle uses string substr — testdata is ASCII
-    //    so byte and char offsets coincide; real media bytes would keep the
-    //    Spark side unchanged and drop the oracle to a rows-only check. ──
+    // ── frame sampling: fixed-width BYTE frames from the binary payload,
+    //    every SampleEvery-th frame hashed (the video-frame-sample
+    //    plumbing: schema (doc_id, frame_idx, frame_hash), per-task batch
+    //    decode, no driver involvement). A frame is a byte slice that may
+    //    split a multi-byte char, so the cross-engine frame hash is the
+    //    fnv55 fold over bytes (round 13 — the md5-of-substr oracle was
+    //    ASCII-only; see Utf8BytesCte). ─────────────────────────────────────
     Q("q_multimodal_frames",
-      s"""WITH f AS (SELECT doc_id, fi,
-        |    substr(text, 1 + fi * $FrameBytes, $FrameBytes) AS frame
-        |  FROM documents
+      s"""WITH $Utf8BytesCte,
+        |t AS (SELECT doc_id, bytes, CAST(len(bytes) AS BIGINT) AS L FROM b),
+        |f AS (SELECT doc_id, fi,
+        |    bytes[fi * $FrameBytes + 1 : (fi + 1) * $FrameBytes] AS frame
+        |  FROM t
         |  CROSS JOIN LATERAL (SELECT unnest(range(0,
-        |    CAST(ceil(length(text) / ${FrameBytes.toDouble}) AS BIGINT))) AS fi))
-        |SELECT doc_id, fi AS frame_idx, md5(frame) AS frame_hash,
-        |  CAST(length(frame) AS BIGINT) AS frame_bytes
+        |    CAST(ceil(L / ${FrameBytes.toDouble}) AS BIGINT))) AS fi))
+        |SELECT doc_id, fi AS frame_idx,
+        |  ${foldHashSql("frame")} AS frame_hash,
+        |  CAST(len(frame) AS BIGINT) AS frame_bytes
         |FROM f WHERE fi % $SampleEvery = 0
         |ORDER BY doc_id, frame_idx""".stripMargin) {
       (s, d) =>
@@ -74,16 +123,12 @@ object Multimodal {
           .select(col("doc_id"), col("text").cast("binary").as("bin"))
           .as[DocBin]
         ds.mapPartitions { it =>
-          val md = java.security.MessageDigest.getInstance("MD5")
           it.flatMap { r =>
             val nFrames = math.ceil(r.bin.length / FrameBytes.toDouble).toLong
             (0L until nFrames).filter(_ % SampleEvery == 0).map { fi =>
               val from = (fi * FrameBytes).toInt
               val until = math.min(from + FrameBytes, r.bin.length)
-              val frame = java.util.Arrays.copyOfRange(r.bin, from, until)
-              md.reset()
-              val hex = md.digest(frame).map("%02x".format(_)).mkString
-              (r.doc_id, fi, hex, (until - from).toLong)
+              (r.doc_id, fi, fnv55(r.bin, from, until), (until - from).toLong)
             }
           }
         }.toDF("doc_id", "frame_idx", "frame_hash", "frame_bytes")
@@ -94,23 +139,28 @@ object Multimodal {
     //    zero-pad) — the image-resize plumbing stub: same schema/batch
     //    shape as a real resampler, deterministic output. ────────────────
     Q("q_multimodal_resize",
-      s"""SELECT doc_id,
-        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS orig_bytes,
+      s"""WITH $Utf8BytesCte
+        |SELECT doc_id,
+        |  CAST(len(bytes) AS BIGINT) AS orig_bytes,
         |  CAST($ResizeBytes AS BIGINT) AS resized_bytes,
-        |  md5(rpad(substr(text, 1, $ResizeBytes), $ResizeBytes, chr(0))) AS resized_hash
-        |FROM documents ORDER BY doc_id""".stripMargin) {
+        |  ${foldHashSql(
+             // flatten-concat zero pad, NOT list_resize: DuckDB 1.0's
+             // list_resize throws std::bad_array_new_length on non-constant
+             // slices shorter than the target (measured on short docs)
+             s"flatten([bytes[1:$ResizeBytes], list_transform(" +
+               s"range(greatest(0, $ResizeBytes - len(bytes))), x -> 0)])")}
+        |    AS resized_hash
+        |FROM b ORDER BY doc_id""".stripMargin) {
       (s, d) =>
         import s.implicits._
         val ds = documents(s, d)
           .select(col("doc_id"), col("text").cast("binary").as("bin"))
           .as[DocBin]
         ds.mapPartitions { it =>
-          val md = java.security.MessageDigest.getInstance("MD5")
           it.map { r =>
             val out = java.util.Arrays.copyOf(r.bin, ResizeBytes) // trunc/pad0
-            md.reset()
-            val hex = md.digest(out).map("%02x".format(_)).mkString
-            (r.doc_id, r.bin.length.toLong, ResizeBytes.toLong, hex)
+            (r.doc_id, r.bin.length.toLong, ResizeBytes.toLong,
+              fnv55(out, 0, ResizeBytes))
           }
         }.toDF("doc_id", "orig_bytes", "resized_bytes", "resized_hash")
           .orderBy("doc_id")
@@ -119,12 +169,10 @@ object Multimodal {
     // ── feature extraction: per-payload byte statistics as the stubbed
     //    "embedding" (a real pipeline would emit a model feature vector
     //    here; the batch shape, schema and partitioning are identical).
-    //    Byte values via ascii() in the oracle — ASCII testdata again. ──
+    //    Byte values via the UTF-8 expansion CTE (round 13 — ascii() reads
+    //    CODE POINTS, which diverge from Spark's real bytes off-ASCII). ──
     Q("q_multimodal_features",
-      """WITH b AS (SELECT doc_id,
-        |    list_transform(range(1, length(text) + 1),
-        |                   i -> ascii(substr(text, i, 1))) AS bytes
-        |  FROM documents)
+      s"""WITH $Utf8BytesCte
         |SELECT doc_id,
         |  CAST(len(bytes) AS BIGINT) AS n_bytes,
         |  CAST(list_min(bytes) AS BIGINT) AS min_byte,
@@ -170,16 +218,12 @@ object Multimodal {
     //    60 bits, not 64: DuckDB raises on 1<<63). Near-dup pairs at
     //    hamming ≤ 8 via the SAME adaptive pigeonhole kernel as SimHash —
     //    an equi-join on packed block combos, never all-pairs; the oracle
-    //    verifies by theta join at its own scale. Oracle reads bytes via
-    //    character-based ascii()/length() while Spark hashes UTF-8 bytes —
-    //    exact ONLY for ASCII payloads (the testdata's documents.text is
-    //    ASCII; a non-ASCII regen must switch the oracle to
-    //    octet_length/BLOB indexing like the n_bytes queries above). ──────
+    //    verifies by theta join at its own scale, reading REAL UTF-8 bytes
+    //    via the expansion CTE (round 13 — the ascii() form was
+    //    ASCII-only, and only passed the seed variant vacuously because
+    //    divergent signatures still produced the same ≤8-hamming set). ────
     Q("q_phash_pairs",
-      """WITH b AS (SELECT doc_id,
-        |    list_transform(range(1, length(text) + 1),
-        |                   i -> ascii(substr(text, i, 1))) AS bytes
-        |  FROM documents),
+      s"""WITH $Utf8BytesCte,
         |t AS (SELECT doc_id, bytes, CAST(len(bytes) AS BIGINT) AS L,
         |        CAST(list_sum(bytes) AS BIGINT) AS total
         |      FROM b),
