@@ -30,6 +30,17 @@ object ConnectedComponents {
     *              bounded greedy-selection collect (SURVEY §7.4): collect
     *              only what is bounded by construction. Set to 0 to force
     *              the distributed path (the equivalence spec does).
+    *
+    *              DRIVER-MEMORY CONTRACT (raise the limit consciously): the
+    *              probe holds `limit+1` GenericRows of two boxed Longs
+    *              (~120 B each with row + array + boxing overhead), and the
+    *              union-find re-materializes them as an `Array[(Long,
+    *              Long)]` (~56 B each) plus a LongMap of ≤ 2·limit entries
+    *              (~32 B/entry) — altogether ≲ 250 B per edge, i.e. ~250 MB
+    *              at the 1M default, peaking while BOTH the probe rows and
+    *              the tuple array are live. A 10× limit needs ~2.5 GB of
+    *              driver headroom; past that, let the distributed
+    *              pointer-doubling fallback do its job instead.
     * @return (node, component) — component = min node id reachable.
     */
   def components(

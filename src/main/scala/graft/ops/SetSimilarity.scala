@@ -42,6 +42,13 @@ object SetSimilarity {
     // and the rare-tail anti-join when the dictionary overflows) would each
     // recompute upstream shingling otherwise — the most expensive scalar
     // work in the pipeline.
+    // DRIVER-MEMORY CONTRACT of the dictionary collect below: it holds
+    // vocabCap+1 gram STRINGS on the driver — word n-grams here, so
+    // ~100 B/entry with String overhead, i.e. ~100 KB at the 1024 default
+    // and still ~100 MB at a (pointless) 1M cap. The real cost of raising
+    // vocabCap is executor-side: nWords = cap/64 bitmask words per doc in
+    // the encoding aggregate, so memory there grows linearly with the cap
+    // times the doc count per partition.
     val base = e.select(col(idCol).as("doc_id"), col(elemCol).as("g")).cache()
     val top = base.groupBy("g").agg(count(lit(1)).as("k"))
       .orderBy(desc("k"), col("g")).limit(vocabCap + 1)
