@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dev utility (not part of the library surface): synthesize a larger scale
@@ -92,11 +92,28 @@ object ScaleGen {
     raw("nation").write.mode("overwrite").parquet(s"$out/nation.parquet")
 
     def off(c: String, s: Long) = (col(c) + col("__r") * s).as(c)
-    write(rep(raw("customer")).select(off("c_custkey", sc), col("c_name"),
-      col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")),
+    // entity names are REGENERATED from the offset key (round 13): TPC-H's
+    // name↔key invariant ("Customer#%09d") must hold at every scale, or
+    // each replica carries an exact duplicate of every original name and
+    // q_entity_match's (masked-name, nation) blocks grow ∝ replicas —
+    // candidate pairs then grow quadratically in the replica count
+    // (measured: 30→100× exponent band [1.10, 1.15] on duplicated names,
+    // the one flag of the round-13 sweep; a real registry grows NAMES with
+    // N, which is exactly what the rewrite restores).
+    def keyName(prefix: String, k: Column) =
+      concat(lit(prefix), lpad(k.cast("string"), 9, "0"))
+    write(rep(raw("customer"))
+      .select(off("c_custkey", sc), col("c_nationkey"), col("c_acctbal"),
+        col("c_mktsegment"))
+      .select(col("c_custkey"), keyName("Customer#", col("c_custkey"))
+        .as("c_name"), col("c_nationkey"), col("c_acctbal"),
+        col("c_mktsegment")),
       "customer", 4)
-    write(rep(raw("supplier")).select(off("s_suppkey", ss), col("s_name"),
-      col("s_nationkey"), col("s_acctbal")), "supplier", 2)
+    write(rep(raw("supplier"))
+      .select(off("s_suppkey", ss), col("s_nationkey"), col("s_acctbal"))
+      .select(col("s_suppkey"), keyName("Supplier#", col("s_suppkey"))
+        .as("s_name"), col("s_nationkey"), col("s_acctbal")),
+      "supplier", 2)
     write(rep(raw("part")).select(off("p_partkey", sp), col("p_name"),
       col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice")),
       "part", 4)
