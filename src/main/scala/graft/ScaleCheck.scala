@@ -101,7 +101,14 @@ object ScaleCheck {
     // round-12 additions: BM25 postings join (broadcast constant query
     // set), the probe-bounded leave-one-out 1-NN eval, and asymmetric
     // containment over the banded candidate kernel
-    "q_bm25", "q_knn_loo", "q_dedup_containment")
+    "q_bm25", "q_knn_loo", "q_dedup_containment",
+    // round-13 additions: the 4-pass fixed-point GD training loop
+    // (bounded 1-row collects, cached feature projection), the
+    // per-dimension moment aggregate (64-row exchange), and the two-pass
+    // median/MAD outlier gate (exact per-group percentiles — the one
+    // declared query whose exact evaluator is the documented non-scale
+    // path, kept here to MEASURE that cost against the sketch swap)
+    "q_logreg_train", "q_embed_stats", "q_outlier_mad")
 
   /** query → DECLARED growth model, recorded next to the measured exponent
     * so a reading is judged against the design instead of against a blanket

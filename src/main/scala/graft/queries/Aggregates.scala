@@ -203,6 +203,57 @@ object Aggregates {
           .orderBy("event_type")
     },
 
+    // ── robust outlier detection per event_type (round 13): the median/
+    //    MAD rule (|v − median| > 3·MAD) — the anomaly gate a metrics
+    //    pipeline runs where mean/σ would be dragged by the very outliers
+    //    it hunts. Complements q_winsorize (which TAMES the tail; this
+    //    FLAGS it). Medians are exact quantile_cont/percentile
+    //    (interpolation proven engine-identical by q_percentile); the
+    //    deviation median needs a second pass because MAD is a median OF
+    //    residuals against the first median. Every declared number is
+    //    either one of those exact medians or an integer count/roundDiv
+    //    ratio, so doubles never accumulate. Scale: two percentile
+    //    aggregates over the fact table (|event_type| rows out), each
+    //    joined back as a BROADCAST dim — no fact-table window, no global
+    //    sort; at 100 TB you'd swap the exact percentile for the
+    //    accuracy-gated sketch q_sketch_quantile pins, keeping this
+    //    query's arithmetic as the truth gate. ─────────────────────────────
+    Q("q_outlier_mad",
+      s"""WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |           FROM events GROUP BY 1),
+        |a AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS adev
+        |      FROM events e JOIN m USING (event_type)),
+        |d AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |      FROM a GROUP BY 1)
+        |SELECT a.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  max(a.med) AS med, max(d.mad) AS mad,
+        |  CAST(count(*) FILTER (a.adev > 3 * d.mad) AS BIGINT) AS n_outliers,
+        |  ${graft.ops.Exprs.roundDivSql(
+             "count(*) FILTER (a.adev > 3 * d.mad)", "count(*)", 6)}
+        |    AS outlier_rate
+        |FROM a JOIN d USING (event_type)
+        |GROUP BY a.event_type ORDER BY a.event_type""".stripMargin) {
+      (s, d) =>
+        val ev = events(s, d)
+        val med = ev.groupBy("event_type")
+          .agg(expr("percentile(value, 0.5)").as("med"))
+        val adev = ev.join(broadcast(med), Seq("event_type"))
+          .select(col("event_type"), col("med"),
+            abs(col("value") - col("med")).as("adev"))
+        val mad = adev.groupBy("event_type")
+          .agg(expr("percentile(adev, 0.5)").as("mad"))
+        adev.join(broadcast(mad), Seq("event_type"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), max(col("med")).as("med"),
+            max(col("mad")).as("mad"),
+            count(when(col("adev") > col("mad") * 3, 1)).as("n_outliers"))
+          .select(col("event_type"), col("n"), col("med"), col("mad"),
+            col("n_outliers"),
+            graft.ops.Exprs.roundDiv(col("n_outliers"), col("n"), 6)
+              .as("outlier_rate"))
+          .orderBy("event_type")
+    },
+
     // ── sketch quantiles, accuracy-gated (the q_sketch_distinct pattern,
     //    closing the sketch family: cardinality + quantiles). At 100 TB
     //    approx_percentile's mergeable fixed-size summary replaces the

@@ -975,6 +975,50 @@ object Similarity {
           .orderBy("vec_id")
     },
 
+    // ── per-dimension moment statistics (round 13): the standardization /
+    //    whitening-diagonal pass an embedding store runs before indexing —
+    //    per dimension n, min, max, mean and raw second moment, from which
+    //    the caller derives z-score scale and variance. The DISTRIBUTED work
+    //    is exactly these 64 aggregate rows; applying them is a broadcast
+    //    map afterwards (the q_kmeans broadcast-parameters rule), so this
+    //    query pins the stats. Domain discipline: elements are quantized
+    //    ONCE to exact integers q = floor(x·10⁶ + 0.5) (the q_kmeans
+    //    domain — float sums are merge-order-dependent, integer sums are
+    //    not), sums accumulate in decimal(38,0)/HUGEINT, and the declared
+    //    moments are roundDivDec rationals. Scales chosen so the rounded
+    //    magnitude stays double-exact (< 2^53): mean_q at 6 dp needs
+    //    |x̄|≤10⁵ real units; m2_q at 2 dp needs q²·100 < 2^53 ⇔ |x|≤300 —
+    //    far above any normalized embedding. Plan: one posexplode pass,
+    //    then a 64-group partial-aggregated exchange — 64 rows of shuffle
+    //    at ANY corpus size. ───────────────────────────────────────────────
+    Q("q_embed_stats",
+      s"""WITH x AS (SELECT d - 1 AS dim,
+         |    CAST(floor(embedding[d]::DOUBLE * 1000000 + 0.5) AS BIGINT) AS q
+         |  FROM embeddings CROSS JOIN range(1, ${Dims + 1}) t(d)),
+         |g AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+         |        sum(q) AS sq, sum(q * q) AS sqq,
+         |        min(q) AS q_min, max(q) AS q_max
+         |      FROM x GROUP BY dim)
+         |SELECT dim, n, q_min, q_max,
+         |  ${roundDivSqlHuge("sq", "n", 6)} AS mean_q,
+         |  ${roundDivSqlHuge("sqq", "n", 2)} AS m2_q
+         |FROM g ORDER BY dim""".stripMargin) {
+      (s, d) =>
+        spread(embeddings(s, d))
+          .select(posexplode(transform(col("embedding"),
+            x => floor(x.cast("double") * 1000000 + 0.5).cast("long")))
+            .as(Seq("dim", "q")))
+          .groupBy(col("dim").cast("long").as("dim"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("q").cast("decimal(38,0)")).as("sq"),
+            sum((col("q") * col("q")).cast("decimal(38,0)")).as("sqq"),
+            min(col("q")).as("q_min"), max(col("q")).as("q_max"))
+          .select(col("dim"), col("n"), col("q_min"), col("q_max"),
+            roundDivDec(col("sq"), col("n"), 6).as("mean_q"),
+            roundDivDec(col("sqq"), col("n"), 2).as("m2_q"))
+          .orderBy("dim")
+    },
+
     // ── quantization quality, closed the way every other family closes:
     //    recall@3 of int8-quantized cosine against the exact float top-3
     //    over the same CONSTANT-size query sample (vec_id < 20, the

@@ -53,6 +53,14 @@ object TextAnalysis {
       |      (a, v) -> a + v) AS score
       |  FROM t CROSS JOIN wl CROSS JOIN bias)""".stripMargin
 
+  // Fixed-point scale for q_logreg_train's weights: a weight w means the
+  // real value w / LrS. All training arithmetic stays in exact integers so
+  // the DuckDB oracle reproduces every epoch bit-for-bit. `final` +
+  // literal ⇒ compile-time constant, and declared BEFORE `all` because the
+  // oracle strings interpolate it at object init (initialization order —
+  // a val below `all` reads as 0 there).
+  private final val LrS = 1000000L
+
   val all: Seq[Q] = Seq(
 
     // ── language-ID: argmax over marker-set hit counts, fixed tie order ──
@@ -402,6 +410,91 @@ object TextAnalysis {
             graft.ops.Exprs.roundDiv(col("ssum"), col("n"), 6)
               .as("mean_score"))
           .orderBy("bin")
+    },
+
+    // ── learned quality filter, TRAINING shape (round 13): the gradient-
+    //    descent loop that PRODUCES a linear model — closing the classifier
+    //    family's loop (q_feature_hash encodes, THIS trains, _classifier
+    //    scores, _auc ranks, _calibration sanity-checks). Three full-batch
+    //    epochs of logistic regression over an 8-bucket hashed feature
+    //    space (label = lang='en'), entirely in fixed-point integers: the
+    //    hard-sigmoid surrogate p̂ = clamp(½ + m∕4, 0, 1) replaces exp()
+    //    (whose last-ULP behavior differs across engines), so every margin,
+    //    residual, gradient sum and weight update is EXACT and the oracle
+    //    replays the whole optimization bit-for-bit — the declared rows are
+    //    the per-epoch weight vectors and training accuracy, i.e. the
+    //    training CURVE is what's hash-gated. Scale: one narrow 9-column
+    //    projection per document (8 HOF bucket counts, no explode, no
+    //    shuffle), then ONE partial-aggregating 1-row gradient reduce per
+    //    epoch — the classic distributed-GD shape: 4 corpus passes total at
+    //    any size, each a scan + 12-sum map-side-combined aggregate; weight
+    //    frames are 1-row broadcasts (the parameter-join pattern, 4 BNLJs).
+    //    BIGINT bounds: |r|≤10⁶ and fⱼ≤tokens/doc keep per-row products
+    //    long-safe; the SUMS route through decimal(38,0)/HUGEINT (exact to
+    //    ~10³⁰ docs — the q_bm25 lesson applied at design time); margins
+    //    |m| ≤ |b|+Σ|wⱼ|fⱼ ≤ 3·8·10⁵·L² stay long-safe for documents up to
+    //    ~10⁵ tokens. Loop discipline: each epoch COLLECTS its one 19-value
+    //    aggregate row (the q_bpe bounded-collect contract — 4 rows × ~200
+    //    bytes total driver memory) and the update runs in driver BigInt;
+    //    weights re-enter the next pass as a broadcast 1-row PARAMETER
+    //    table, not literals, so all four passes compile to the same
+    //    codegen text (Janino caches it) — and the plan depth stays
+    //    constant in E where the plan-only chain would nest epoch e's
+    //    aggregate inside epoch e+1's and recompute O(E²) passes. ───────────
+    Q("q_logreg_train",
+      s"""WITH $lrFeatSql,
+        |w0 AS (SELECT CAST(0 AS BIGINT) AS b, ${(0 to 7)
+             .map(j => s"CAST(0 AS BIGINT) AS w$j").mkString(", ")}),
+        |${lrStepSql(1)},
+        |${lrUpdSql(1)},
+        |${lrStepSql(2)},
+        |${lrUpdSql(2)},
+        |${lrStepSql(3)},
+        |${lrUpdSql(3)},
+        |${lrStepSql(4)}
+        |SELECT * FROM (${lrReportSql(1, "a2")}
+        |  UNION ALL ${lrReportSql(2, "a3")}
+        |  UNION ALL ${lrReportSql(3, "a4")}) u
+        |ORDER BY epoch""".stripMargin) {
+      (s, d) =>
+        // feat is reused by 4 epoch passes — cache the 9-long projection
+        // (72 B/doc; at 10⁹ docs ~72 GB cluster-wide, the standard iterative
+        // persist; uncached it would be 4 parquet scans, also correct)
+        val feat = lrFeat(s, d).cache()
+        import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+        val wSchema = StructType(
+          StructField("b", LongType) +:
+            (0 to 7).map(j => StructField(s"w$j", LongType)))
+        def wDf(b: Long, w: Seq[Long]) = s.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row.fromSeq(b +: w)), wSchema)
+        def roundHalfAway(a: BigInt, bb: BigInt): Long =
+          (((a.abs * 2 + bb) / (bb * 2)) * (if (a < 0) -1 else 1)).toLong
+        var b = 0L
+        var w: Seq[Long] = Vector.fill(8)(0L)
+        val out = Vector.newBuilder[org.apache.spark.sql.Row]
+        for (e <- 1 to 4) {
+          val r = lrStep(feat, wDf(b, w)).collect()(0)
+          val n = r.getAs[Long]("n"); val nc = r.getAs[Long]("nc")
+          def grad(c: String): BigInt =
+            BigInt(r.getAs[java.math.BigDecimal](c).toBigIntegerExact)
+          // pass e evaluates AT the pre-update weights w_{e-1}: its
+          // n_correct is epoch e-1's declared accuracy row
+          if (e >= 2) {
+            val acc = roundHalfAway(BigInt(nc) * 1000000, BigInt(n)) / 1.0e6
+            out += org.apache.spark.sql.Row.fromSeq(
+              (e - 1).toLong +: b +: w :+ nc :+ acc)
+          }
+          if (e <= 3) { // GD update at lr 1/10, exact BigInt rationals
+            b -= roundHalfAway(grad("gb"), BigInt(10) * n)
+            w = (0 to 7).map(j => w(j) - roundHalfAway(grad(s"g$j"), BigInt(10) * n))
+          }
+        }
+        val outSchema = StructType(
+          (StructField("epoch", LongType) +: wSchema.fields.toSeq) :+
+            StructField("n_correct", LongType) :+
+            StructField("accuracy", DoubleType))
+        s.createDataFrame(java.util.List.of(out.result(): _*), outSchema)
+          .orderBy("epoch")
     },
 
     // ── Zipf head (round 11): the exact top-50 token mass curve — rank,
@@ -933,4 +1026,100 @@ object TextAnalysis {
       .select(col("doc_id"), tokens.as("ts"),
         (col("lang") === "en").as("pos"))
       .select(col("doc_id"), scoreOf(col("ts")).as("score"), col("pos"))
+
+  // ───────────────────────── q_logreg_train machinery ──────────────────────
+  // LrS itself lives above `all` (the ClassifierScoreCte rule: `all`
+  // interpolates the oracle SQL at object init, and a val declared BELOW it
+  // would still read 0 there — exactly the bug this comment prevents
+  // reintroducing).
+
+  /** (y, f0..f7) per document: label = `lang='en'`, features = token counts
+    * in 8 hash buckets over an independent channel `lt:` — eight HOF
+    * `filter` passes computed IN the document scan (the labeledScores
+    * compose-don't-join rule): no explode, no shuffle, scan-speed at any
+    * corpus size.
+    */
+  private def lrFeat(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val fs = (0 to 7).map { j =>
+      size(filter(tokens, x => md5Long(concat(lit("lt:"), x)) % 8 === j))
+        .cast("long").as(s"f$j")
+    }
+    spread(documents(s, d)).select(
+      when(col("lang") === "en", 1L).otherwise(0L).as("y") +: fs: _*)
+  }
+
+  /** One full-batch pass at the weights carried by the 1-row frame `w`
+    * (columns b, w0..w7, fixed-point ×LrS): margin m = b + Σ wⱼfⱼ, the
+    * hard-sigmoid surrogate p̂ = clamp(LrS/2 + m/4, 0, LrS) (exact integers —
+    * exp()'s last-ULP behavior differs across engines, the piecewise-linear
+    * sigmoid doesn't), residual r = p̂ − y·LrS, and ONE aggregate returning
+    * the carried weights, n, correct-count at these weights, and the nine
+    * gradient sums Σr, Σr·fⱼ accumulated in decimal(38,0) (r ≤ 10⁶, fⱼ ≤
+    * tokens/doc, so BIGINT would wrap near 10¹⁰ docs; decimal is exact to
+    * ~10³⁰ — DuckDB's HUGEINT sum matches).
+    */
+  private def lrStep(feat: org.apache.spark.sql.DataFrame,
+      w: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val m = col("b") + (0 to 7).map(j => col(s"w$j") * col(s"f$j"))
+      .reduce(_ + _)
+    // trunc-toward-zero m/4 (floor on the magnitude — both engines agree)
+    val mQ = when(m < 0, -intDivFloor(abs(m), lit(4L)))
+      .otherwise(intDivFloor(abs(m), lit(4L)))
+    val phat = least(lit(LrS), greatest(lit(0L), lit(LrS / 2) + mQ))
+    val r = phat - col("y") * LrS
+    val carried = (col("b") +: (0 to 7).map(j => col(s"w$j"))) ++
+      (col("y") +: (0 to 7).map(j => col(s"f$j")))
+    val aggs: Seq[Column] =
+      (max(col("b")).as("b") +:
+        (0 to 7).map(j => max(col(s"w$j")).as(s"w$j"))) ++ Seq(
+        count(lit(1)).as("n"),
+        sum(when((col("m") > 0) === (col("y") === 1L), 1L).otherwise(0L))
+          .as("nc"),
+        sum(col("r").cast("decimal(38,0)")).as("gb")) ++
+        (0 to 7).map(j =>
+          sum((col("r") * col(s"f$j")).cast("decimal(38,0)")).as(s"g$j"))
+    feat.crossJoin(broadcast(w))
+      .select(carried :+ m.as("m") :+ r.as("r"): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  // DuckDB rendering of the same training loop, CTE per epoch. sum(BIGINT)
+  // is HUGEINT there — the exact-integer twin of the decimal(38,0) route.
+  private def lrFeatSql: String =
+    "feat AS (SELECT CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y, " +
+      (0 to 7).map(j =>
+        "CAST(len(list_filter(string_split(text, ' '), x -> " +
+          s"('0x' || substr(md5('lt:' || x), 1, 15))::BIGINT % 8 = $j)) AS BIGINT) AS f$j")
+        .mkString(", ") + " FROM documents)"
+
+  private def lrStepSql(i: Int): String = {
+    val margin = "b + " + (0 to 7).map(j => s"w$j * f$j").mkString(" + ")
+    val wCols = "b, " + (0 to 7).map(j => s"w$j").mkString(", ")
+    s"""a$i AS (SELECT max(b) AS b, ${(0 to 7).map(j => s"max(w$j) AS w$j").mkString(", ")},
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN (m > 0) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+       |    sum(r) AS gb, ${(0 to 7).map(j => s"sum(r * f$j) AS g$j").mkString(", ")}
+       |  FROM (SELECT y, ${(0 to 7).map(j => s"f$j").mkString(", ")}, $wCols, m,
+       |          least(${LrS}, greatest(0, ${LrS / 2} +
+       |            (CASE WHEN m < 0 THEN -1 ELSE 1 END) * (abs(m) // 4)))
+       |            - y * ${LrS} AS r
+       |        FROM (SELECT feat.*, wp.*, $margin AS m
+       |              FROM feat CROSS JOIN w${i - 1} wp) s1) s2)""".stripMargin
+  }
+
+  private def lrUpdSql(i: Int): String = {
+    def upd(g: String, w: String): String =
+      s"$w - CAST((CASE WHEN $g < 0 THEN -1 ELSE 1 END) * " +
+        s"((2 * abs($g) + 10 * n) // (2 * 10 * n)) AS BIGINT)"
+    s"w$i AS (SELECT ${upd("gb", "b")} AS b, " +
+      (0 to 7).map(j => upd(s"g$j", s"w$j") + s" AS w$j").mkString(", ") +
+      s" FROM a$i)"
+  }
+
+  private def lrReportSql(epoch: Int, a: String): String =
+    s"SELECT CAST($epoch AS BIGINT) AS epoch, b, " +
+      (0 to 7).map(j => s"w$j").mkString(", ") +
+      s", nc AS n_correct, ${graft.ops.Exprs.roundDivSql("nc", "n", 6)}" +
+      s" AS accuracy FROM $a"
 }
