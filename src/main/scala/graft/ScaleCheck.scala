@@ -150,7 +150,10 @@ object ScaleCheck {
     "q_hard_negatives" -> "1.0: the adaptive-banded candidate kernel (never all-pairs) + band-bounded pair-frame joins and windows",
     "q_bm25" -> "1.0: tf/len/df are map-combined groupBys; the postings join is Q-constant broadcast x tf rows; ranks window over Q partitions",
     "q_knn_loo" -> "1.0: exact side is Q*N with constant Q=50 (the recall-family probe discipline)",
-    "q_dedup_containment" -> "1.0: same banded candidate kernel as q_dedup_ngram_jaccard; the containment projection adds no stage")
+    "q_dedup_containment" -> "1.0: same banded candidate kernel as q_dedup_ngram_jaccard; the containment projection adds no stage",
+    "q_logreg_train" -> "1.0: four full-batch passes (fixed E=3+eval) over the cached 9-long feature projection, each a 19-sum map-combined 1-row aggregate",
+    "q_embed_stats" -> "1.0: one posexplode pass, 64-group map-combined aggregate — the exchange is 64 rows at any N",
+    "q_outlier_mad" -> "1.0: three scans (two exact per-group percentiles + the flag aggregate); exact percentile holds a group's values on one task — the documented non-scale path the sketch swap replaces at 100 TB")
 
   /** query → its final-plan observe() node, for iteration capture. */
   val LoopMetric: Map[String, String] = Map(

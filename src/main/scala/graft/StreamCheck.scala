@@ -229,6 +229,18 @@ object StreamCheck {
         f"[streamcheck] recovery mhdedup $dir%-21s keys=$mhKeys%7d " +
           f"killed_after=$mhKilled resumed=$mhResumed equal=$mhEqual")
 
+      // ── ListState top-k (q_stream_topk's processor, round 13): the list
+      //    get→clear→appendList round-trip under kill/resume — a lost or
+      //    truncated LIST would re-rank from the replayed batch alone and
+      //    diverge from the uninterrupted top-3; yet another replay
+      //    boundary (killAfter+2). ─────────────────────────────────────────
+      val killAfterTopk = killAfter + 2
+      val (tkEqual, tkKilled, tkResumed, tkWall, tkKeys) =
+        topkRecovery(spark, staging.toString, killAfterTopk)
+      System.err.println(
+        f"[streamcheck] recovery topk   $dir%-22s keys=$tkKeys%7d " +
+          f"killed_after=$tkKilled resumed=$tkResumed equal=$tkEqual")
+
       // ── stream-stream join + transactional FILE SINK (4th durable-state
       //    shape): symmetric join state buffered on BOTH sides of the
       //    q_stream_join attribution shape, and the parquet file sink's
@@ -319,6 +331,12 @@ object StreamCheck {
         s""""recovery_wall_sec":${fmt(mhWall)},""" +
         s""""band_keys":$mhKeys,""" +
         s""""state_equal":$mhEqual},""" +
+        s""""topk":{"kill_after_batches":$killAfterTopk,""" +
+        s""""killed_run_batches":$tkKilled,""" +
+        s""""resumed_run_batches":$tkResumed,""" +
+        s""""recovery_wall_sec":${fmt(tkWall)},""" +
+        s""""keys":$tkKeys,""" +
+        s""""state_equal":$tkEqual},""" +
         s""""join":{"kill_after_batches":$killAfterJoin,""" +
         s""""killed_run_batches":$joinKilled,""" +
         s""""resumed_run_batches":$joinResumed,""" +
@@ -331,6 +349,75 @@ object StreamCheck {
       java.nio.file.Files.walk(staging).iterator().asScala.toSeq
         .sortBy(-_.getNameCount)
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  /** Kill/resume recovery for the ListState top-k leg (q_stream_topk's
+    * processor) — the [[twsRecovery]] protocol applied to the LIST state
+    * shape: uninterrupted run → per-key truth map merged by max-n, fresh
+    * checkpoint, kill after `killAfter` batches, resume on the same
+    * checkpoint, compare. Passing requires the list's
+    * get → clear → appendList round-trip to survive the RocksDB
+    * checkpoint: a lost list re-ranks from the replayed batch alone and
+    * diverges from the truth top-3 (where the monotone `seen` counter
+    * alone would still merge clean — the list content IS the test).
+    */
+  private def topkRecovery(spark: SparkSession, stagingDir: String,
+      killAfter: Int): (Boolean, Int, Int, Double, Int) = {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val schema = spark.read.parquet(stagingDir).schema
+      val state = new java.util.concurrent.ConcurrentHashMap[Long, (Long, String)]()
+      def leg(ckpt: String, stopAfter: Option[Int]): Int = {
+        import spark.implicits._
+        val src = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(stagingDir)
+        val q = src.select(col("user_id").cast("long"),
+            col("value").cast("double"), col("event_id").cast("long"))
+          .as[(Long, Double, Long)]
+          .groupByKey(_._1)
+          .transformWithState(
+            new graft.streaming.Streams.TopKEventsProcessor(3),
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+          .toDF("user_id", "n", "ids")
+          .writeStream.outputMode("update")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.collect().foreach { r =>
+              val (u, n, ids) = (r.getLong(0), r.getLong(1), r.getString(2))
+              state.merge(u, (n, ids),
+                (old, nw) => if (nw._1 > old._1) nw else old)
+            }
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        stopAndCount(q, stopAfter)
+      }
+      val ckU = java.nio.file.Files.createTempDirectory("graft-topk-u").toString
+      leg(ckU, None)
+      val truth = Map.from(scala.jdk.CollectionConverters
+        .ConcurrentMapHasAsScala(state).asScala)
+      state.clear()
+      val ckR = java.nio.file.Files.createTempDirectory("graft-topk-r").toString
+      val t0 = System.nanoTime()
+      val k = leg(ckR, Some(killAfter))
+      val r = leg(ckR, None)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val resumed = Map.from(scala.jdk.CollectionConverters
+        .ConcurrentMapHasAsScala(state).asScala)
+      (resumed == truth, k, r, wall, truth.size)
+    } finally {
+      prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
     }
   }
 

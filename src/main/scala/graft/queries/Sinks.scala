@@ -269,6 +269,50 @@ object Sinks {
     //    PushdownSpec), so at scale the query reads 1/3 of the lake, not
     //    1/3 of each file. The aggregate matches the unpartitioned oracle
     //    exactly: a layout change must never change results. ───────────────
+    // ── schema evolution read (round 13): the lake-ops semantics every
+    //    long-lived table eventually needs — an old generation written
+    //    WITHOUT a column (here event_type, the "column added later" case)
+    //    must union with the new generation under mergeSchema, the missing
+    //    column null-filling for old files. The declared aggregate groups
+    //    on the evolved column with nulls mapped to a sentinel, so BOTH
+    //    halves of the union (and the null-fill itself) are under the hash
+    //    gate; the oracle re-derives the same rows from the source table
+    //    with the generation rule inlined — a schema-evolution read must
+    //    never change data. Scale: mergeSchema reconciles footers across
+    //    files (a bounded per-file metadata read, distributed by Spark's
+    //    schema-merge job); production tables pin the merged schema in a
+    //    catalog instead of re-deriving it per read — this query pins the
+    //    SEMANTICS that catalog entry must reproduce. ──────────────────────
+    Q("q_schema_merge",
+      """SELECT CASE WHEN event_id % 2 = 1 THEN event_type
+        |       ELSE '(pre-schema)' END AS etype,
+        |  count(*) AS n,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM events GROUP BY 1 ORDER BY etype""".stripMargin) {
+      (s, d) =>
+        val ev = events(s, d)
+        val dir = stagingDir("graft-schema-merge", d)
+        // generation 1: the three original columns only
+        ev.filter(col("event_id") % 2 === 0)
+          .select(col("event_id"), col("user_id"), col("value"))
+          .write.mode("overwrite").parquet(s"$dir/gen1")
+        // generation 2: the schema grew an event_type column
+        ev.filter(col("event_id") % 2 === 1)
+          .select(col("event_id"), col("user_id"), col("value"),
+            col("event_type"))
+          .write.mode("overwrite").parquet(s"$dir/gen2")
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$dir/gen1", s"$dir/gen2")
+          .groupBy(coalesce(col("event_type"), lit("(pre-schema)"))
+            .as("etype"))
+          .agg(count(lit(1)).as("n"),
+            count_distinct(col("user_id")).as("n_users"),
+            sum(col("value").cast("decimal(18,2)")).cast("double")
+              .as("sum_v"))
+          .orderBy("etype")
+    },
+
     // ── JSON-lines round-trip: same sink+source discipline as
     //    q_csv_roundtrip over the line-delimited JSON format — completes
     //    the bundled format matrix (parquet everywhere, JSON source via

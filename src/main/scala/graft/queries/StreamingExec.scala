@@ -281,6 +281,25 @@ object StreamingExec {
       (s, d) =>
         graft.streaming.Streams.minhashDedupFromSnapshot(s, d)
           .orderBy("band", "sig")
+    },
+
+    // Streaming per-key top-k (round 13): Spark 4 transformWithState with
+    // a RocksDB-backed LIST state — the state shape q_stream_tws's
+    // ValueState doesn't exercise. The per-user top-3 events by
+    // (value DESC, event_id ASC) merge is associative + commutative under
+    // the deterministic tie-break, so the final list is micro-batching-
+    // and arrival-order-independent, and the batch window oracle checks
+    // the streamed result exactly. State is O(k) per key forever.
+    Q("q_stream_topk",
+      """WITH r AS (SELECT user_id, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id) AS rank
+        |  FROM events)
+        |SELECT user_id, CAST(rank AS BIGINT) AS rank, event_id
+        |FROM r WHERE rank <= 3 ORDER BY user_id, rank""".stripMargin) {
+      (s, d) =>
+        graft.streaming.Streams.topkFromSnapshot(s, d)
+          .orderBy("user_id", "rank")
     }
   )
 }

@@ -3,7 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+  ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
+  ValueState}
 
 /** Structured-Streaming surface (SURVEY.md §2.9): the reference's whole job
   * is an externally-scheduled batch micro-run (Cloud Scheduler cron,
@@ -681,6 +682,76 @@ object Streams {
       }
         .groupBy("user_id")
         .agg(max("n").as("n"), max_by(col("total"), col("n")).as("total"))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  /** Spark 4 `transformWithState` processor #2 (round 13): per-user exact
+    * top-k events by (value DESC, event_id ASC) in a RocksDB-backed
+    * `ListState` — the state SHAPE [[RunningTotalsProcessor]]'s ValueState
+    * doesn't exercise (list get/put round-trips through the store). The
+    * merge (union, re-sort, truncate) is associative and commutative under
+    * the deterministic tie-break, so the final list is independent of
+    * micro-batch boundaries and arrival order — the property that lets the
+    * batch oracle check a streamed top-k at all. State is O(k) per key at
+    * any stream length; `seen` makes per-batch emissions monotone so the
+    * sink-side max_by picks the final list.
+    */
+  final class TopKEventsProcessor(k: Int)
+      extends StatefulProcessor[Long, (Long, Double, Long), (Long, Long, String)] {
+    @transient private var st: ListState[(Double, Long)] = _
+    @transient private var seen: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      st = getHandle.getListState("topk",
+        Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong),
+        TTLConfig.NONE)
+      seen = getHandle.getValueState("seen", Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double, Long)],
+        tv: TimerValues): Iterator[(Long, Long, String)] = {
+      val incoming = rows.map(r => (r._2, r._3)).toList
+      val merged = (st.get().toList ++ incoming)
+        .sortBy { case (v, id) => (-v, id) }.take(k)
+      st.clear()
+      st.appendList(merged.toArray)
+      val n = (if (seen.exists()) seen.get() else 0L) + incoming.size
+      seen.update(n)
+      Iterator((key, n, merged.map(_._2).mkString(",")))
+    }
+  }
+
+  /** REAL streaming top-k per key over the Spark 4 ListState surface; final
+    * per-key list equals the batch window top-3. Same RocksDB-provider
+    * scoping as [[transformWithStateFromSnapshot]].
+    */
+  def topkFromSnapshot(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      replaySnapshot(spark, sfDir, "graft-stream-topk", OutputMode.Update()) {
+        st =>
+          import st.sparkSession.implicits._
+          st.select(col("user_id").cast("long"), col("value").cast("double"),
+            col("event_id").cast("long"))
+            .as[(Long, Double, Long)]
+            .groupByKey(_._1)
+            .transformWithState(new TopKEventsProcessor(3),
+              TimeMode.None(), OutputMode.Update())
+            .toDF("user_id", "n", "ids")
+      }
+        .groupBy("user_id")
+        .agg(max_by(col("ids"), col("n")).as("ids"))
+        .select(col("user_id"),
+          posexplode(split(col("ids"), ",")).as(Seq("pos", "eid")))
+        .select(col("user_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("eid").cast("long").as("event_id"))
     } finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)

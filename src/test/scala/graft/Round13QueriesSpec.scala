@@ -88,6 +88,40 @@ class Round13QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q_stream_topk: streamed ListState top-3 equals a driver recomputation") {
+    val raw = graft.model.Tables.events(spark, sfDir)
+      .select("user_id", "value", "event_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val expected = raw.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      es.sortBy { case (_, v, id) => (-v, id) }.take(3)
+        .zipWithIndex.map { case ((_, _, id), i) => (u, (i + 1).toLong, id) }
+    }.sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("q_stream_topk")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+  }
+
+  test("q_schema_merge: old-generation rows really null-fill the new column") {
+    val rows = SparkEntry.queries("q_schema_merge")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val ev = graft.model.Tables.events(spark, sfDir)
+      .select("event_id", "event_type", "user_id", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    def agg(p: ((Long, String, Long, Double)) => Boolean, label: String) = {
+      val g = ev.filter(p)
+      (label, g.length.toLong, g.map(_._3).distinct.length.toLong,
+        g.map(e => BigDecimal(e._4).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble)
+    }
+    val expected = (ev.map(_._2).distinct.sorted
+      .map(t => agg(e => e._1 % 2 == 1 && e._2 == t, t)) :+
+      agg(e => e._1 % 2 == 0, "(pre-schema)")).sortBy(_._1)
+    assert(rows.toSeq === expected)
+    // the sentinel group exists — i.e. the evolved column null-filled
+    // for the old generation instead of dropping or erroring
+    assert(rows.exists(_._1 == "(pre-schema)"))
+  }
+
   test("q_outlier_mad matches a driver-side median/MAD recomputation") {
     val raw = graft.model.Tables.events(spark, sfDir)
       .select("event_type", "value").collect()
