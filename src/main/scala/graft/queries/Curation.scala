@@ -871,6 +871,73 @@ object Curation {
             roundDiv(coalesce(col("n_after"), lit(0L)),
               greatest(col("na"), lit(1L)), 6).as("share_after"))
           .orderBy("bucket")
+    },
+
+    // ── dataset version diff (round 13): the release-notes audit every
+    //    corpus version bump publishes — which documents were added,
+    //    removed, changed, or untouched between generation v1 and v2. A
+    //    DETERMINISTIC v2 is derived from v1 (doc_id%10==3 dropped,
+    //    %10==7 edited by an appended token, %10==0 cloned as new docs at
+    //    doc_id+stride with stride = max(doc_id)+1 — data-derived, never a
+    //    literal) and WRITTEN to a staging parquet generation, so the diff
+    //    below runs against a real second table, not a plan alias. Status
+    //    classification is the canonical shape: FULL OUTER join on doc_id
+    //    with md5(text) content hashes compared — null left ⇒ added, null
+    //    right ⇒ removed, hash mismatch ⇒ changed. Scale: each side is one
+    //    scan computing (id, source, md5) in-line; the join is the single
+    //    doc_id-hash exchange a 100 TB diff needs (both sides narrow
+    //    3-column projections, never the text); the result aggregate is
+    //    |status|×|sources| rows. ───────────────────────────────────────────
+    Q("q_dataset_diff",
+      """WITH v1 AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+        |mx AS (SELECT max(doc_id) + 1 AS stride FROM documents),
+        |v2 AS (SELECT doc_id, source, md5(text) AS h FROM documents
+        |         WHERE doc_id % 10 NOT IN (3, 7)
+        |       UNION ALL
+        |       SELECT doc_id, source, md5(text || ' rev2') FROM documents
+        |         WHERE doc_id % 10 = 7
+        |       UNION ALL
+        |       SELECT d.doc_id + mx.stride, d.source,
+        |           md5('added ' || d.text)
+        |         FROM documents d CROSS JOIN mx WHERE d.doc_id % 10 = 0),
+        |j AS (SELECT CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |             WHEN v2.doc_id IS NULL THEN 'removed'
+        |             WHEN v1.h = v2.h THEN 'unchanged'
+        |             ELSE 'changed' END AS status,
+        |        coalesce(v1.source, v2.source) AS source
+        |      FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT status, source, count(*) AS n
+        |FROM j GROUP BY status, source ORDER BY status, source""".stripMargin) {
+      (s, d) =>
+        val docs = documents(s, d)
+        val mx = docs.agg((max(col("doc_id")) + 1).as("stride"))
+        val v2src = docs
+          .filter(!(col("doc_id") % 10).isin(3, 7))
+          .select(col("doc_id"), col("source"), col("text"))
+          .unionAll(docs.filter(col("doc_id") % 10 === 7)
+            .select(col("doc_id"), col("source"),
+              concat(col("text"), lit(" rev2")).as("text")))
+          .unionAll(docs.filter(col("doc_id") % 10 === 0)
+            .crossJoin(broadcast(mx))
+            .select((col("doc_id") + col("stride")).as("doc_id"),
+              col("source"), concat(lit("added "), col("text")).as("text")))
+        val dir = Sinks.stagingDir("graft-dataset-diff", d)
+        v2src.write.mode("overwrite").parquet(dir)
+        val v1 = docs.select(col("doc_id"), col("source"),
+          md5(col("text")).as("h"))
+        val v2 = s.read.parquet(dir).select(col("doc_id"), col("source"),
+          md5(col("text")).as("h"))
+        v1.as("a").join(v2.as("b"),
+            col("a.doc_id") === col("b.doc_id"), "full_outer")
+          .select(
+            when(col("a.doc_id").isNull, "added")
+              .when(col("b.doc_id").isNull, "removed")
+              .when(col("a.h") === col("b.h"), "unchanged")
+              .otherwise("changed").as("status"),
+            coalesce(col("a.source"), col("b.source")).as("source"))
+          .groupBy("status", "source")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("status", "source")
     }
   )
 }

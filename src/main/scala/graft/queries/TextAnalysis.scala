@@ -986,6 +986,76 @@ object TextAnalysis {
             graft.ops.Exprs.roundDiv(col("sum_score"), col("n_docs"), 6)
               .as("mean_score"))
           .orderBy("source")
+    },
+
+    // ── bootstrap confidence interval (round 13): the error bar every
+    //    corpus statistic should ship with — per source, a 32-replica
+    //    half-sample bootstrap of mean document length, CI = the 2.5/97.5
+    //    percentile of the replica means. Replica membership is the
+    //    engine's determinism rule applied to resampling: doc ∈ replica b
+    //    ⇔ md5('bs:'||b||':'||doc_id) is even — reproducible across
+    //    engines, runs, and cluster sizes where random() is none of those.
+    //    Replica means are exact integer rationals through roundDiv (so
+    //    the percentile interpolates over 1e-6-grid doubles — parity
+    //    pinned by q_percentile); B=32 is a compile-time constant, so
+    //    Spark computes ALL replica sums in ONE corpus pass (64
+    //    conditional aggregates, map-side combined: no 32× explode, no
+    //    second scan) and unpivots the 32·|S| resulting cells with stack().
+    //    The oracle takes the explode+groupBy shape — different plan, same
+    //    exact values. Scale: one scan + a |S|-group exchange carrying 64
+    //    numbers per source. ──────────────────────────────────────────────
+    Q("q_bootstrap_ci",
+      s"""WITH r AS (SELECT d.source, b.b, d.n_chars
+        |      FROM documents d CROSS JOIN range(0, 32) b(b)
+        |      WHERE ('0x' || substr(md5('bs:' || b.b::VARCHAR || ':'
+        |              || d.doc_id::VARCHAR), 1, 15))::BIGINT % 2 = 0),
+        |m AS (SELECT source, b, ${graft.ops.Exprs.roundDivSql(
+             "sum(n_chars)", "count(*)", 6)} AS mean_b
+        |      FROM r GROUP BY source, b),
+        |f AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |        ${graft.ops.Exprs.roundDivSql(
+             "sum(n_chars)", "count(*)", 6)} AS mean_full
+        |      FROM documents GROUP BY source)
+        |SELECT f.source, f.n_docs, f.mean_full,
+        |  CAST(count(m.b) AS BIGINT) AS n_replicas,
+        |  quantile_cont(m.mean_b, 0.025) AS ci_lo,
+        |  quantile_cont(m.mean_b, 0.975) AS ci_hi
+        |FROM f JOIN m ON m.source = f.source
+        |GROUP BY f.source, f.n_docs, f.mean_full
+        |ORDER BY f.source""".stripMargin) {
+      (s, d) =>
+        import org.apache.spark.sql.Column
+        val B = 32
+        def inRep(b: Int): Column =
+          (md5Long(concat(lit(s"bs:$b:"), col("doc_id").cast("string")))
+            % 2) === 0
+        val aggs: Seq[Column] =
+          (0 until B).map(b =>
+            sum(when(inRep(b), col("n_chars"))).as(s"s$b")) ++
+            (0 until B).map(b =>
+              count(when(inRep(b), 1)).as(s"c$b")) ++
+            Seq(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("s_all"))
+        val g = spread(documents(s, d))
+          .groupBy("source").agg(aggs.head, aggs.tail: _*)
+        val stackExpr = s"stack($B, " + (0 until B)
+          .map(b => s"$b, s$b, c$b").mkString(", ") + ") as (b, sb, cb)"
+        val means = g.select(col("source"), col("n_docs"), col("s_all"),
+            expr(stackExpr))
+          .select(col("source"), col("n_docs"), col("s_all"),
+            graft.ops.Exprs.roundDiv(col("sb"), col("cb"), 6).as("mean_b"))
+          // an EMPTY half-sample replica (P ≈ 2^-n_docs — never at any
+          // real size) stacks to a null mean here but simply has no GROUP
+          // BY row in the oracle; align the two by dropping it
+          .filter(col("mean_b").isNotNull)
+        means.groupBy("source", "n_docs", "s_all")
+          .agg(count(lit(1)).as("n_replicas"),
+            expr("percentile(mean_b, 0.025)").as("ci_lo"),
+            expr("percentile(mean_b, 0.975)").as("ci_hi"))
+          .select(col("source"), col("n_docs"),
+            graft.ops.Exprs.roundDiv(col("s_all"), col("n_docs"), 6)
+              .as("mean_full"),
+            col("n_replicas"), col("ci_lo"), col("ci_hi"))
+          .orderBy("source")
     }
   )
 

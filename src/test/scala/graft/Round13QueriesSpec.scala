@@ -122,19 +122,74 @@ class Round13QueriesSpec extends SparkTestBase {
     assert(rows.exists(_._1 == "(pre-schema)"))
   }
 
+  test("q_dataset_diff statuses match the v2 derivation rules analytically") {
+    val docs = graft.model.Tables.documents(spark, sfDir)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // the derivation: %10==3 removed, %10==7 changed (token appended —
+    // content hash always differs), %10==0 cloned as added, rest unchanged
+    val expected = docs.flatMap { case (id, src) =>
+      val base = (id % 10) match {
+        case 3 => Seq(("removed", src))
+        case 7 => Seq(("changed", src))
+        case 0 => Seq(("unchanged", src), ("added", src))
+        case _ => Seq(("unchanged", src))
+      }
+      base
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = SparkEntry.queries("q_dataset_diff")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === expected)
+  }
+
+  test("q_bootstrap_ci: replica means and CI match a driver recomputation") {
+    import graft.ops.Exprs.md5LongLocal
+    val docs = graft.model.Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def rdiv(a: BigInt, b: BigInt): Double =
+      (((a.abs * 2 * 1000000 + b) / (b * 2)) * (if (a < 0) -1 else 1))
+        .toLong / 1e6
+    // Spark Percentile's exact op order: lo*(hi-pos) + hi*(pos-lo) — NOT
+    // lo + (hi-lo)*frac, which differs in the last ulp on some inputs
+    def pctl(vs: Array[Double], q: Double): Double = {
+      val s = vs.sorted
+      val pos = q * (s.length - 1); val lo = pos.toInt
+      if (lo == s.length - 1) s(lo)
+      else s(lo) * (lo + 1 - pos) + s(lo + 1) * (pos - lo)
+    }
+    val rows = SparkEntry.queries("q_bootstrap_ci")(spark, sfDir).collect()
+    docs.groupBy(_._2).foreach { case (src, ds) =>
+      val means = (0 until 32).flatMap { b =>
+        val in = ds.filter(d => md5LongLocal(s"bs:$b:${d._1}") % 2 == 0)
+        if (in.isEmpty) None
+        else Some(rdiv(BigInt(in.map(_._3).sum), BigInt(in.length)))
+      }.toArray
+      val r = rows.find(_.getString(0) == src).get
+      assert(r.getLong(1) === ds.length.toLong)
+      assert(r.getDouble(2) === rdiv(BigInt(ds.map(_._3).sum), BigInt(ds.length)))
+      assert(r.getLong(3) === means.length.toLong)
+      assert(r.getDouble(4) === pctl(means, 0.025), s"$src ci_lo")
+      assert(r.getDouble(5) === pctl(means, 0.975), s"$src ci_hi")
+      // the interval brackets the full mean (half-sampling, huge overlap)
+      assert(r.getDouble(4) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(5))
+    }
+  }
+
   test("q_outlier_mad matches a driver-side median/MAD recomputation") {
     val raw = graft.model.Tables.events(spark, sfDir)
       .select("event_type", "value").collect()
       .map(r => (r.getString(0), r.getDouble(1)))
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     // Spark Percentile / DuckDB quantile_cont interpolation, replicated op
-    // for op (q_percentile proved the two engines agree; this pins both)
+    // for op (q_percentile proved the two engines agree; this pins both):
+    // the exact form is lo*(hi-pos) + hi*(pos-lo)
     def pctl(vs: Array[Double], q: Double): Double = {
       val s = vs.sorted
       val pos = q * (s.length - 1)
       val lo = pos.toInt
       if (lo == s.length - 1) s(lo)
-      else s(lo) + (s(lo + 1) - s(lo)) * (pos - lo)
+      else s(lo) * (lo + 1 - pos) + s(lo + 1) * (pos - lo)
     }
     val rows = SparkEntry.queries("q_outlier_mad")(spark, sfDir).collect()
     assert(rows.map(_.getString(0)).toSet === raw.keySet)
