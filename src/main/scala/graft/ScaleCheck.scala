@@ -108,7 +108,11 @@ object ScaleCheck {
     // median/MAD outlier gate (exact per-group percentiles — the one
     // declared query whose exact evaluator is the documented non-scale
     // path, kept here to MEASURE that cost against the sketch swap)
-    "q_logreg_train", "q_embed_stats", "q_outlier_mad")
+    "q_logreg_train", "q_embed_stats", "q_outlier_mad",
+    // round-13 second wave: the staged-write version diff (write v2 +
+    // full-outer hash join), the mergeSchema two-generation read, and the
+    // one-pass 64-sum bootstrap aggregate
+    "q_dataset_diff", "q_schema_merge", "q_bootstrap_ci")
 
   /** query → DECLARED growth model, recorded next to the measured exponent
     * so a reading is judged against the design instead of against a blanket
@@ -153,7 +157,10 @@ object ScaleCheck {
     "q_dedup_containment" -> "1.0: same banded candidate kernel as q_dedup_ngram_jaccard; the containment projection adds no stage",
     "q_logreg_train" -> "1.0: four full-batch passes (fixed E=3+eval) over the cached 9-long feature projection, each a 19-sum map-combined 1-row aggregate",
     "q_embed_stats" -> "1.0: one posexplode pass, 64-group map-combined aggregate — the exchange is 64 rows at any N",
-    "q_outlier_mad" -> "1.0: three scans (two exact per-group percentiles + the flag aggregate); exact percentile holds a group's values on one task — the documented non-scale path the sketch swap replaces at 100 TB")
+    "q_outlier_mad" -> "1.0: three scans (two exact per-group percentiles + the flag aggregate); exact percentile holds a group's values on one task — the documented non-scale path the sketch swap replaces at 100 TB",
+    "q_dataset_diff" -> "1.0: v2 write is one narrow pass; the diff is one doc_id-hash full-outer join of two 3-column projections",
+    "q_schema_merge" -> "1.0: two narrow writes + the mergeSchema union read + one map-combined groupBy over |event_type| groups",
+    "q_bootstrap_ci" -> "1.0: one corpus pass with 64 conditional sums (map-side combined), |S|-group exchange; stack/percentile run on 32*|S| cells")
 
   /** query → its final-plan observe() node, for iteration capture. */
   val LoopMetric: Map[String, String] = Map(
