@@ -112,7 +112,7 @@ object ScaleCheck {
     // round-13 second wave: the staged-write version diff (write v2 +
     // full-outer hash join), the mergeSchema two-generation read, and the
     // one-pass 64-sum bootstrap aggregate
-    "q_dataset_diff", "q_schema_merge", "q_bootstrap_ci")
+    "q_dataset_diff", "q_schema_merge", "q_bootstrap_ci", "q_phrase_search")
 
   /** query → DECLARED growth model, recorded next to the measured exponent
     * so a reading is judged against the design instead of against a blanket
@@ -160,7 +160,8 @@ object ScaleCheck {
     "q_outlier_mad" -> "1.0: three scans (two exact per-group percentiles + the flag aggregate); exact percentile holds a group's values on one task — the documented non-scale path the sketch swap replaces at 100 TB",
     "q_dataset_diff" -> "1.0: v2 write is one narrow pass; the diff is one doc_id-hash full-outer join of two 3-column projections",
     "q_schema_merge" -> "1.0: two narrow writes + the mergeSchema union read + one map-combined groupBy over |event_type| groups",
-    "q_bootstrap_ci" -> "1.0: one corpus pass with 64 conditional sums (map-side combined), |S|-group exchange; stack/percentile run on 32*|S| cells")
+    "q_bootstrap_ci" -> "1.0: one corpus pass with 64 conditional sums (map-side combined), |S|-group exchange; stack/percentile run on 32*|S| cells",
+    "q_phrase_search" -> "1.0: postings write is one narrow pass; the adjacency join co-shuffles both sides on doc_id once (positions are doc-local, no token hot-spot); top-bigram is a TakeOrdered head")
 
   /** query → its final-plan observe() node, for iteration capture. */
   val LoopMetric: Map[String, String] = Map(

@@ -1056,6 +1056,68 @@ object TextAnalysis {
               .as("mean_full"),
             col("n_replicas"), col("ci_lo"), col("ci_hi"))
           .orderBy("source")
+    },
+
+    // ── phrase search over a PERSISTED positional inverted index
+    //    (round 13): the IR primitive q_bm25's bag-of-words scoring can't
+    //    express — "docs containing these tokens ADJACENTLY". Postings
+    //    (doc_id, position, token) are written to parquet (the search-infra
+    //    layout; q_ann_persisted's discipline — the probe below reads the
+    //    FILES back, so index round-trip fidelity is inside the hash gate)
+    //    and phrase matching is the canonical positional join: postings ⋈
+    //    postings on (doc_id, p+1 = p). The probed phrase is data-derived —
+    //    the corpus's top bigram under the deterministic (count DESC, w1,
+    //    w2) order — never a literal. Declared rows: every matching doc
+    //    with its occurrence count and first position. Positions cap at
+    //    1024 tokens/doc, mirroring q_bpe's documented range(1,1024) bound
+    //    (DuckDB range() rejects subquery bounds): both engines ignore
+    //    pairs past the cap identically. Scale: the index build is one
+    //    narrow pass; the adjacency join co-shuffles both sides on doc_id
+    //    once (postings are (doc,pos)-local — never a token-keyed
+    //    hot-spot); the top-bigram is a TakeOrdered head and the phrase
+    //    probe a 1-row broadcast semi-filter. A serving deployment would
+    //    ADDITIONALLY bucket postings by token for term lookups — this
+    //    query pins the layout-independent semantics. ──────────────────────
+    Q("q_phrase_search",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |           FROM documents),
+        |post AS (SELECT doc_id, i AS p, ts[i] AS w
+        |         FROM t CROSS JOIN range(1, 1025) r(i)
+        |         WHERE i <= least(len(ts), 1024)),
+        |pr AS (SELECT a.doc_id, a.w AS w1, b.w AS w2, a.p
+        |       FROM post a JOIN post b
+        |         ON a.doc_id = b.doc_id AND b.p = a.p + 1),
+        |top AS (SELECT w1, w2 FROM pr GROUP BY w1, w2
+        |        ORDER BY count(*) DESC, w1, w2 LIMIT 1)
+        |SELECT pr.doc_id, max(top.w1) AS phrase_w1, max(top.w2) AS phrase_w2,
+        |  count(*) AS n_occ, CAST(min(pr.p) AS BIGINT) AS first_pos
+        |FROM pr JOIN top ON pr.w1 = top.w1 AND pr.w2 = top.w2
+        |GROUP BY pr.doc_id ORDER BY pr.doc_id""".stripMargin) {
+      (s, d) =>
+        val t = spread(documents(s, d))
+          .select(col("doc_id"), slice(tokens, 1, 1024).as("ts"))
+        val post = t
+          .select(col("doc_id"), posexplode(col("ts")).as(Seq("p0", "w")))
+          .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"),
+            col("w"))
+        val dir = Sinks.stagingDir("graft-phrase-index", d)
+        post.write.mode("overwrite").parquet(dir)
+        val idx = s.read.parquet(dir)
+        val pr = idx.as("a")
+          .join(idx.as("b"), col("a.doc_id") === col("b.doc_id") &&
+            col("b.p") === col("a.p") + 1)
+          .select(col("a.doc_id").as("doc_id"), col("a.w").as("w1"),
+            col("b.w").as("w2"), col("a.p").as("p"))
+        val top = pr.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(1)
+          .select("w1", "w2")
+        pr.join(broadcast(top), Seq("w1", "w2"))
+          .groupBy("doc_id")
+          .agg(max(col("w1")).as("phrase_w1"), max(col("w2")).as("phrase_w2"),
+            count(lit(1)).as("n_occ"), min(col("p")).as("first_pos"))
+          .select(col("doc_id"), col("phrase_w1"), col("phrase_w2"),
+            col("n_occ"), col("first_pos"))
+          .orderBy("doc_id")
     }
   )
 

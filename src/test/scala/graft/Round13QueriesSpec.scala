@@ -176,6 +176,28 @@ class Round13QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q_phrase_search matches a driver-side positional recomputation") {
+    val docs = graft.model.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").take(1024)))
+    val bigrams = docs.flatMap { case (id, ts) =>
+      ts.sliding(2).filter(_.length == 2)
+        .zipWithIndex.map { case (Array(a, b), i) => (id, a, b, i + 1L) }
+    }
+    val (tw1, tw2) = bigrams.groupBy(b => (b._2, b._3)).toSeq
+      .map { case (k, v) => (-v.length, k._1, k._2) }.min match {
+      case (_, a, b) => (a, b)
+    }
+    val expected = bigrams.filter(b => b._2 == tw1 && b._3 == tw2)
+      .groupBy(_._1).toSeq
+      .map { case (id, os) => (id, tw1, tw2, os.length.toLong, os.map(_._4).min) }
+      .sortBy(_._1)
+    val got = SparkEntry.queries("q_phrase_search")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === expected)
+  }
+
   test("q_outlier_mad matches a driver-side median/MAD recomputation") {
     val raw = graft.model.Tables.events(spark, sfDir)
       .select("event_type", "value").collect()
