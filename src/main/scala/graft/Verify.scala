@@ -69,10 +69,40 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
-      // filtered runs dump only the matching oracles, so check.py never
-      // reports spurious missing-result failures for unrequested queries
-      .filter { case (k, _) => only.isEmpty || only(k) }
+    // inverse of q's escaping, for re-reading a previous dump's oracle file
+    def unq(s: String): String = {
+      val b = new StringBuilder; var i = 0
+      while (i < s.length) {
+        if (s(i) == '\\' && i + 1 < s.length) s(i + 1) match {
+          case '"' => b += '"'; i += 2
+          case '\\' => b += '\\'; i += 2
+          case 'n' => b += '\n'; i += 2
+          case 'r' => b += '\r'; i += 2
+          case 't' => b += '\t'; i += 2
+          case 'u' => b += Integer.parseInt(s.substring(i + 2, i + 6), 16)
+            .toChar; i += 6
+          case c => b += c; i += 2
+        } else { b += s(i); i += 1 }
+      }
+      b.toString
+    }
+    // Filtered runs dump only the matching oracles so check.py never
+    // reports spurious missing-result failures for unrequested queries —
+    // but when the outDir ALREADY holds a previous dump, a filtered run is
+    // an incremental top-up (the round-13 pattern: add one new query to an
+    // existing 200-query sweep dir) and clobbering oracle_sql.json with the
+    // 1-entry subset silently shrinks the re-checked surface to 1. Merge:
+    // keep every existing oracle whose name isn't being re-dumped.
+    val existing: Map[String, String] = {
+      val p = Paths.get(s"$outDir/oracle_sql.json")
+      if (only.nonEmpty && Files.exists(p))
+        """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+          .findAllMatchIn(Files.readString(p))
+          .map(m => unq(m.group(1)) -> unq(m.group(2))).toMap
+      else Map.empty
+    }
+    val json = (existing ++ SparkEntry.oracleSql
+      .filter { case (k, _) => only.isEmpty || only(k) })
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Always written — {} on a clean run — so a comparator can distinguish
