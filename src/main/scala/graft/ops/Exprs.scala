@@ -206,8 +206,11 @@ object Exprs {
     * that the caller promoted to decimal BEFORE multiplying, precisely so
     * it can't wrap LongType). Skips [[roundDiv]]'s `.cast("long")` entry
     * normalization on the numerator — that cast would overflow (→ null
-    * non-ANSI, throw ANSI) for values past 2^63. The denominator stays a
-    * BIGINT-ranged integer expression (b > 0), as in [[roundDiv]].
+    * non-ANSI, throw ANSI) for values past 2^63. The denominator (b > 0,
+    * integer-valued) is likewise taken through decimal(38,0) directly —
+    * no long bottleneck — so a caller may pass a product of longs promoted
+    * to decimal before multiplying (q_quality_auc's 2·P·N) as well as a
+    * plain BIGINT-ranged expression.
     * [[roundDivSqlHuge]] is the character-equivalent oracle form (HUGEINT
     * where this uses decimal(38,0)); keep the two in lockstep. Result
     * magnitude |a|·10^scale/b must fit a double exactly (< 2^53) — same
@@ -216,7 +219,7 @@ object Exprs {
   def roundDivDec(num: Column, den: Column, scale: Int): Column = {
     val p = math.pow(10, scale).toLong
     val aD = abs(num).cast("decimal(38,0)")
-    val bD = den.cast("long").cast("decimal(38,0)")
+    val bD = den.cast("decimal(38,0)")
     val mag = intDivFloor(aD * lit(2L) * lit(p) + bD, bD * lit(2L))
     (when(num < 0, -mag).otherwise(mag)).cast("double") / lit(p.toDouble)
   }
@@ -225,7 +228,10 @@ object Exprs {
     * `a` must itself be computed in HUGEINT by the caller (cast a factor
     * to HUGEINT before the wide multiply — DuckDB ERRORS on BIGINT
     * overflow, it does not wrap), mirroring the Spark caller promoting to
-    * decimal(38,0) before multiplying. `b` stays BIGINT-ranged, b > 0.
+    * decimal(38,0) before multiplying. `b` (> 0) may be BIGINT-ranged or
+    * a HUGEINT-promoted product — same rule as `a`: promote a factor
+    * before any multiply that could pass 2^63, since DuckDB evaluates the
+    * expression BEFORE this function's outer CAST.
     */
   def roundDivSqlHuge(a: String, b: String, scale: Int): String = {
     val p = math.pow(10, scale).toLong

@@ -53,6 +53,54 @@ object TextAnalysis {
       |      (a, v) -> a + v) AS score
       |  FROM t CROSS JOIN wl CROSS JOIN bias)""".stripMargin
 
+  /** Oracle tail of the exact-AUC evaluator, reading CTE `c(score, p, ng,
+    * nb)` — the (distinct-score, pos-count, neg-count, negatives-below)
+    * groups. Wide-integer discipline: num2 = Σ p·(2·nb+ng) and the
+    * denominator 2·P·N are both products of N-sized counts, so each factor
+    * is promoted to HUGEINT BEFORE its multiply (DuckDB errors — does not
+    * wrap — on BIGINT overflow, so without the promotion the oracle would
+    * abort where Spark longs would silently wrap). Keep in lockstep with
+    * [[aucOfGroups]], the Spark side. Declared BEFORE `all` (init order).
+    */
+  private val AucFromGroupsSql: String =
+    s"""agg AS (SELECT SUM(CAST(p AS HUGEINT) * (2*nb + ng)) AS num2,
+       |          CAST(SUM(p) AS BIGINT) AS n_pos,
+       |          CAST(SUM(ng) AS BIGINT) AS n_neg
+       |        FROM c)
+       |SELECT n_pos, n_neg,
+       |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+       |    ${graft.ops.Exprs.roundDivSqlHuge(
+              "num2", "2*CAST(n_pos AS HUGEINT)*n_neg", 6)}
+       |  END AS auc
+       |FROM agg""".stripMargin
+
+  /** Spark side of [[AucFromGroupsSql]]: exact Mann-Whitney AUC from
+    * per-distinct-score (score, p, ng) group counts. The window runs over
+    * DISTINCT SCORES (bounded by the model's score range, not the corpus),
+    * and every N-sized product goes through decimal(38,0) before the
+    * multiply — num2 via the promoted p factor, the 2·P·N denominator via
+    * the promoted n_pos factor — so no LongType arithmetic ever sees an
+    * N²-scale value at any corpus size (AucWideSpec pins this past the old
+    * 2^63/2·10⁶ bound). private[graft] so the spec can drive it with
+    * synthetic counts.
+    */
+  private[graft] def aucOfGroups(
+      g: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("score")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    g.withColumn("nb", sum(col("ng")).over(w) - col("ng"))
+      .agg(
+        sum(col("p").cast("decimal(38,0)") * (col("nb") * 2 + col("ng")))
+          .as("num2"),
+        sum(col("p")).as("n_pos"), sum(col("ng")).as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          graft.ops.Exprs.roundDivDec(col("num2"),
+            col("n_pos").cast("decimal(38,0)") * col("n_neg") * 2, 6))
+          .as("auc"))
+  }
+
   // Fixed-point scale for q_logreg_train's weights: a weight w means the
   // real value w / LrS. All training arithmetic stays in exact integers so
   // the DuckDB oracle reproduces every epoch bit-for-bit. `final` +
@@ -319,13 +367,17 @@ object TextAnalysis {
     //    fold; the ONLY window runs over DISTINCT SCORES, whose count is
     //    bounded by the score range (|bias| + 1000·max_tokens — a
     //    model-geometry constant, not a corpus size), so the global
-    //    ordering never sees N rows. BIGINT bound: the binding constraint
-    //    is NOT the num2 sum itself (≤ 2·P·N ≤ N²/2, exact to N ~ 4e9)
-    //    but roundDiv's 2·10^6 scale multiplier — abs(num2)·2·10^6 must
-    //    stay under 2^63, so num2 ≤ ~4.6e12, i.e. N ≈ 3.0e6 docs. Past
-    //    that, route the final division through DECIMAL(38) on both
-    //    engines (Spark long arithmetic would wrap silently in this
-    //    expression shape; DuckDB HUGEINT would not). ─────────────────────
+    //    ordering never sees N rows. Overflow discipline (round 14, was a
+    //    documented N ≈ 3e6 silent-wrap bound): num2 and the 2·P·N
+    //    denominator are both products of N-sized counts, so BOTH are
+    //    promoted to a wide integer BEFORE any multiply — Spark via
+    //    decimal(38,0) (the q_bm25 rule, Exprs.roundDivDec), the oracle
+    //    via HUGEINT (Exprs.roundDivSqlHuge). Nothing N-dependent ever
+    //    touches LongType arithmetic, so there is no wrap at ANY corpus
+    //    size; the only residual bound is roundDivDec's result-fits-a-
+    //    double contract (auc·10⁶ ≤ 10⁶ — always). AucWideSpec drives the
+    //    shared aucOfGroups kernel with counts past the old 2^63 bound and
+    //    matches an exact BigInt recomputation. ──────────────────────────
     Q("q_quality_auc",
       s"""WITH $ClassifierScoreCte,
         |lab AS (SELECT doc_id, lang = 'en' AS pos FROM documents),
@@ -336,29 +388,13 @@ object TextAnalysis {
         |c AS (SELECT score, p, ng,
         |        CAST(SUM(ng) OVER (ORDER BY score) - ng AS BIGINT) AS nb
         |      FROM g),
-        |agg AS (SELECT CAST(SUM(p * (2*nb + ng)) AS BIGINT) AS num2,
-        |          CAST(SUM(p) AS BIGINT) AS n_pos,
-        |          CAST(SUM(ng) AS BIGINT) AS n_neg
-        |        FROM c)
-        |SELECT n_pos, n_neg,
-        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
-        |    ${graft.ops.Exprs.roundDivSql("num2", "2*n_pos*n_neg", 6)}
-        |  END AS auc
-        |FROM agg""".stripMargin) {
+        |$AucFromGroupsSql""".stripMargin) {
       (s, d) =>
         val g = labeledScores(s, d)
           .groupBy("score")
           .agg(count(when(col("pos"), 1)).as("p"),
             count(when(!col("pos"), 1)).as("ng"))
-        val w = org.apache.spark.sql.expressions.Window.orderBy("score")
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-        g.withColumn("nb", sum(col("ng")).over(w) - col("ng"))
-          .agg(sum(col("p") * (col("nb") * 2 + col("ng"))).as("num2"),
-            sum(col("p")).as("n_pos"), sum(col("ng")).as("n_neg"))
-          .select(col("n_pos"), col("n_neg"),
-            when(col("n_pos") > 0 && col("n_neg") > 0,
-              graft.ops.Exprs.roundDiv(col("num2"),
-                col("n_pos") * col("n_neg") * 2, 6)).as("auc"))
+        aucOfGroups(g)
     },
 
     // ── classifier calibration (round 11): the OTHER half of evaluating a
