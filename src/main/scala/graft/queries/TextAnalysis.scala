@@ -1136,8 +1136,10 @@ object TextAnalysis {
           .select(col("doc_id"), posexplode(col("ts")).as(Seq("p0", "w")))
           .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"),
             col("w"))
-        val dir = Sinks.stagingDir("graft-phrase-index", d)
-        post.write.mode("overwrite").parquet(dir)
+        // build-once persisted index: first execution writes the postings,
+        // every later one probes the same files with zero write jobs
+        val dir = Sinks.buildOnceDir("graft-phrase-index", d)(p =>
+          post.write.mode("overwrite").parquet(p))
         val idx = s.read.parquet(dir)
         val pr = idx.as("a")
           .join(idx.as("b"), col("a.doc_id") === col("b.doc_id") &&

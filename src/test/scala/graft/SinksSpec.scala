@@ -46,4 +46,34 @@ class SinksSpec extends SparkTestBase {
     assert(dropped.length == 2 && dropped.forall(!_.isNullAt(1)),
       "DROPMALFORMED must drop exactly the malformed row")
   }
+
+  test("buildOnceDir builds exactly once per (purpose, input dir)") {
+    var builds = 0
+    val d1 = graft.queries.Sinks.buildOnceDir("spec-once", sfDir) { p =>
+      builds += 1
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p, "x"), "1")
+      ()
+    }
+    // second call: same dir back, build closure NOT invoked (this is the
+    // "second run does zero index-write jobs" contract — the persisted-
+    // index queries' only write sits inside the closure)
+    val d2 = graft.queries.Sinks.buildOnceDir("spec-once", sfDir) { _ =>
+      builds += 1; ()
+    }
+    assert(d1 == d2 && builds == 1)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(d1, "x")))
+    // a different input dir is a different index
+    val d3 = graft.queries.Sinks.buildOnceDir("spec-once", "/elsewhere") {
+      _ => builds += 1; ()
+    }
+    assert(d3 != d1 && builds == 2)
+  }
+
+  test("q_phrase_search: repeat execution reuses the persisted index") {
+    val run = SparkEntry.queries("q_phrase_search")
+    val first = run(spark, sfDir).collect()
+    val again = run(spark, sfDir).collect()
+    assert(first.sameElements(again))
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
