@@ -79,8 +79,10 @@ object Verify {
           case 'n' => b += '\n'; i += 2
           case 'r' => b += '\r'; i += 2
           case 't' => b += '\t'; i += 2
-          case 'u' => b += Integer.parseInt(s.substring(i + 2, i + 6), 16)
-            .toChar; i += 6
+          case 'u' =>
+            require(i + 6 <= s.length,
+              s"truncated \\u escape in oracle_sql.json near …${s.drop(math.max(0, i - 20))}")
+            b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
           case c => b += c; i += 2
         } else { b += s(i); i += 1 }
       }
@@ -95,14 +97,32 @@ object Verify {
     // keep every existing oracle whose name isn't being re-dumped.
     val existing: Map[String, String] = {
       val p = Paths.get(s"$outDir/oracle_sql.json")
-      if (only.nonEmpty && Files.exists(p))
-        """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
-          .findAllMatchIn(Files.readString(p))
+      if (only.nonEmpty && Files.exists(p)) {
+        val txt = Files.readString(p)
+        val pair = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+        // loud-fail on a corrupted/reformatted dump: after removing every
+        // well-formed "k": "v" pair, only {} , and whitespace may remain —
+        // a regex that silently DROPPED a malformed entry would shrink the
+        // re-checked surface without any error (ADVICE r13)
+        val residue = pair.replaceAllIn(txt, "").replaceAll("[\\s,{}]", "")
+        require(residue.isEmpty,
+          s"malformed oracle_sql.json at $p (unparsed: ${residue.take(80)}…); " +
+            "refusing to merge — delete the file or fix it")
+        pair.findAllMatchIn(txt)
           .map(m => unq(m.group(1)) -> unq(m.group(2))).toMap
-      else Map.empty
+      } else Map.empty
     }
-    val json = (existing ++ SparkEntry.oracleSql
-      .filter { case (k, _) => only.isEmpty || only(k) })
+    // Merge rule (ADVICE r13, medium): for every name the CURRENT build
+    // knows, dump the CURRENT oracle SQL — even for queries not re-run this
+    // invocation — so a stale result parquet left in outDir is compared
+    // against today's oracle and fails loudly instead of silently passing
+    // against the oracle it was dumped with. Old-file entries survive only
+    // for names this build no longer declares (renamed/removed queries
+    // whose parquet still sits in the dir).
+    val json = (existing.map { case (k, v) =>
+        k -> SparkEntry.oracleSql.getOrElse(k, v)
+      } ++ SparkEntry.oracleSql
+        .filter { case (k, _) => only.isEmpty || only(k) })
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Always written — {} on a clean run — so a comparator can distinguish

@@ -20,7 +20,9 @@ class Round13QueriesSpec extends SparkTestBase {
     // features: 8 bucket counts over the independent 'lt:' channel
     val feat = docs.map { case (text, lang) =>
       val f = new Array[Long](8)
-      text.split(" ").foreach(w => f((md5LongLocal(s"lt:$w") % 8).toInt) += 1)
+      // split(" ", -1): keep trailing empty tokens, matching Spark split /
+      // DuckDB string_split (Java's 1-arg split drops them)
+      text.split(" ", -1).foreach(w => f((md5LongLocal(s"lt:$w") % 8).toInt) += 1)
       (if (lang == "en") 1L else 0L, f)
     }
     val n = feat.length.toLong
@@ -179,7 +181,7 @@ class Round13QueriesSpec extends SparkTestBase {
   test("q_phrase_search matches a driver-side positional recomputation") {
     val docs = graft.model.Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()
-      .map(r => (r.getLong(0), r.getString(1).split(" ").take(1024)))
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).take(1024)))
     val bigrams = docs.flatMap { case (id, ts) =>
       ts.sliding(2).filter(_.length == 2)
         .zipWithIndex.map { case (Array(a, b), i) => (id, a, b, i + 1L) }
