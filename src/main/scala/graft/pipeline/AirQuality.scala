@@ -265,6 +265,22 @@ object AirQuality {
     } finally out.close()
   }
 
+  /** K2 object-store upload (`main.py:296-303`): the reference writes its
+    * CSV to a local tempfile and uploads it to a GCS bucket with the cloud
+    * client. Spark-first there is no staging hop — [[writeCsv]] resolves
+    * its destination through the Hadoop FileSystem API
+    * (`Path.getFileSystem`), so the SAME sink writes `gs://bucket/...`
+    * wherever the GCS connector is registered (`fs.gs.impl` on the
+    * classpath), exactly as it serves `s3a://` or `abfs://`; the
+    * reference's local-tempfile-then-upload shape is an artifact of its
+    * client library, not a semantic step. This entry point names the K2
+    * operator explicitly; SinksSpec exercises it through a registered
+    * non-local scheme (`fs.<scheme>.impl` test double) end to end —
+    * BOM, header, and row bytes all travel through the foreign scheme.
+    */
+  def uploadCsv(result: DataFrame, destUri: String): Unit =
+    writeCsv(result, destUri)
+
   /** Flagship entry: the full pipeline over the inline OpenAQ-shaped
     * fixture (FIXTURES.md §A) — every quirk row included.
     */

@@ -8,6 +8,17 @@ import org.apache.spark.sql.types._
   * drop-malformed error-handling semantics of the CSV source (the §2.10
   * analog of SnapshotsSpec's JSON permissive-read pins).
   */
+/** Test double for the K2 object-store sink: a Hadoop FileSystem bound to
+  * a non-local scheme, registered via `fs.mockstore.impl` exactly the way
+  * the GCS/S3 connectors register theirs — the write path (Spark CSV
+  * committer + the BOM rewrite) exercises the same FS indirection a cloud
+  * deployment uses, backed by local disk.
+  */
+class MockObjectStoreFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "mockstore"
+  override def getUri: java.net.URI = java.net.URI.create("mockstore:///")
+}
+
 class SinksSpec extends SparkTestBase {
 
   private def tmp(prefix: String): String =
@@ -67,6 +78,40 @@ class SinksSpec extends SparkTestBase {
       _ => builds += 1; ()
     }
     assert(d3 != d1 && builds == 2)
+  }
+
+  test("K2: CSV upload through a non-local object-store scheme") {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    // register the test-double object store the way a real deployment
+    // registers GCS (fs.gs.impl) / S3 (fs.s3a.impl): a scheme→FileSystem
+    // binding the Hadoop FS API resolves at write time
+    conf.set("fs.mockstore.impl", classOf[MockObjectStoreFs].getName)
+    val dest = "mockstore:" + tmp("graft-k2-upload") + "/export"
+    val result = graft.pipeline.AirQuality.flagship(spark)
+    graft.pipeline.AirQuality.uploadCsv(result, dest)
+    val fs = new Path(dest).getFileSystem(conf)
+    assert(fs.isInstanceOf[MockObjectStoreFs],
+      s"dest must resolve to the mock scheme, got ${fs.getClass}")
+    val part = fs.listStatus(new Path(dest)).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".csv"))
+      .getOrElse(fail(s"no CSV part under $dest"))
+    val in = fs.open(part)
+    val bytes =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmpB = new Array[Byte](65536)
+        var n = in.read(tmpB)
+        while (n >= 0) { buf.write(tmpB, 0, n); n = in.read(tmpB) }
+        buf.toByteArray
+      } finally in.close()
+    // the reference's utf-8-sig BOM, then the fixed six-column header
+    assert(bytes.take(3).sameElements(
+      Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte)), "missing UTF-8 BOM")
+    val text = new String(bytes.drop(3), "UTF-8")
+    assert(text.linesIterator.next() ==
+      "city,location,parameter,value,unit,date")
+    assert(text.linesIterator.size - 1 == result.count())
   }
 
   test("q_phrase_search: repeat execution reuses the persisted index") {
