@@ -112,7 +112,11 @@ object ScaleCheck {
     // round-13 second wave: the staged-write version diff (write v2 +
     // full-outer hash join), the mergeSchema two-generation read, and the
     // one-pass 64-sum bootstrap aggregate
-    "q_dataset_diff", "q_schema_merge", "q_bootstrap_ci", "q_phrase_search")
+    "q_dataset_diff", "q_schema_merge", "q_bootstrap_ci", "q_phrase_search",
+    // round-14 addition: MMR diverse re-ranking — exact top-20 probe side
+    // is the O(Q·N) constant-Q kernel; the unrolled greedy runs on Q·K²
+    // cached rows
+    "q_mmr")
 
   /** query → DECLARED growth model, recorded next to the measured exponent
     * so a reading is judged against the design instead of against a blanket
@@ -161,7 +165,8 @@ object ScaleCheck {
     "q_dataset_diff" -> "1.0: v2 write is one narrow pass; the diff is one doc_id-hash full-outer join of two 3-column projections",
     "q_schema_merge" -> "1.0: two narrow writes + the mergeSchema union read + one map-combined groupBy over |event_type| groups",
     "q_bootstrap_ci" -> "1.0: one corpus pass with 64 conditional sums (map-side combined), |S|-group exchange; stack/percentile run on 32*|S| cells",
-    "q_phrase_search" -> "1.0: postings write is one narrow pass; the adjacency join co-shuffles both sides on doc_id once (positions are doc-local, no token hot-spot); top-bigram is a TakeOrdered head")
+    "q_phrase_search" -> "1.0: postings write is one narrow pass; the adjacency join co-shuffles both sides on doc_id once (positions are doc-local, no token hot-spot); top-bigram is a TakeOrdered head",
+    "q_mmr" -> "1.0: exact top-20 probe is O(Q*N) with constant Q=3 (broadcast queries, streamed candidates); all five greedy steps run on Q*K^2 <= 1140 cached rows")
 
   /** query → its final-plan observe() node, for iteration capture. */
   val LoopMetric: Map[String, String] = Map(

@@ -1834,8 +1834,150 @@ object Similarity {
             graft.ops.Exprs.roundDiv(count(lit(1)), first(col("nv")), 6)
               .as("share"))
           .orderBy("bin")
-    }
+    },
+
+    // ── MMR diverse re-ranking (round 14): the serving-side selection
+    //    step AFTER retrieval — from each query's exact top-20 cosine
+    //    candidates, greedily pick 5 under maximal marginal relevance
+    //    (λ=0.5): argmax λ·sim(q,c) − (1−λ)·max_{s∈picked} sim(c,s),
+    //    ties broken by cid. The oracle unrolls the 5 fixed steps as CTE
+    //    triples (picked-so-far, scored remainder, per-qid argmax); the
+    //    Spark side runs the SAME greedy as a bounded driver walk over the
+    //    collected Q·K²-bounded working set (see [[mmr]] — the
+    //    q_greedy_prefix contract). Float discipline: rel/pair sims are
+    //    the exact-integer-input cosines every ANN query already
+    //    hash-matches, and the MMR score 0.5·rel − 0.5·m is two IEEE
+    //    multiplies and a subtract applied in the same shape on both
+    //    engines. Scale: the ONLY corpus-wide work is the exact top-20
+    //    probe (broadcast CONSTANT Q=3 query frame, streamed candidates —
+    //    the q_cosine_topk O(Q·N) discipline); everything after runs on
+    //    Q·K = 60 candidate rows and Q·K·(K−1) = 1140 pair rows,
+    //    corpus-independent. ──────────────────────────────────────────────
+    Q("q_mmr", mmrOracleSql) { (s, d) => mmr(s, d) }
   )
+
+  /** Unrolled greedy-MMR oracle: r20 = exact top-20 per probe, ps = the
+    * candidate-pair cosine matrix, then one (p_i, sc_i, s_i) CTE triple
+    * per selection step — picked-so-far, scored remainder, argmax pick.
+    * Keep in lockstep with [[mmr]], the Spark side.
+    */
+  private def mmrOracleSql: String = {
+    def stepCte(i: Int): String =
+      s"""p${i - 1} AS (SELECT qid, cid FROM s1${(2 until i)
+        .map(j => s" UNION ALL SELECT qid, cid FROM s$j").mkString}),
+         |sc$i AS (SELECT c.qid, c.cid, c.rel, 0.5*c.rel - 0.5*m.m AS score
+         |  FROM r20 c
+         |  JOIN (SELECT ps.qid, ps.a AS cid, max(ps.ps) AS m
+         |        FROM ps JOIN p${i - 1} p
+         |          ON p.qid = ps.qid AND p.cid = ps.b
+         |        GROUP BY ps.qid, ps.a) m
+         |    ON m.qid = c.qid AND m.cid = c.cid
+         |  WHERE NOT EXISTS (SELECT 1 FROM p${i - 1} p
+         |                    WHERE p.qid = c.qid AND p.cid = c.cid)),
+         |s$i AS (SELECT qid, CAST($i AS BIGINT) AS step, cid, rel, score
+         |  FROM (SELECT qid, cid, rel, score, row_number() OVER (
+         |          PARTITION BY qid ORDER BY score DESC, cid) AS rk
+         |        FROM sc$i)
+         |  WHERE rk = 1)""".stripMargin
+    s"""WITH $normsCte,
+       |q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM n
+       |      WHERE vec_id < 3),
+       |r0 AS (SELECT qid, c.vec_id AS cid,
+       |         ${dotSqlIdx("qe", "c.e")} / sqrt(qn * c.nrm) AS rel
+       |       FROM q JOIN n c ON c.vec_id <> qid),
+       |r20 AS (SELECT qid, cid, rel FROM (
+       |         SELECT qid, cid, rel, row_number() OVER (
+       |           PARTITION BY qid ORDER BY rel DESC, cid) AS rk FROM r0)
+       |        WHERE rk <= 20),
+       |cv AS (SELECT r.qid, r.cid, n.e, n.nrm
+       |       FROM r20 r JOIN n ON n.vec_id = r.cid),
+       |ps AS (SELECT a.qid, a.cid AS a, b.cid AS b,
+       |         ${dotSqlIdx("a.e", "b.e")} / sqrt(a.nrm * b.nrm) AS ps
+       |       FROM cv a JOIN cv b ON a.qid = b.qid AND a.cid <> b.cid),
+       |s1 AS (SELECT qid, CAST(1 AS BIGINT) AS step, cid, rel,
+       |         0.5*rel AS score
+       |       FROM (SELECT qid, cid, rel, row_number() OVER (
+       |               PARTITION BY qid ORDER BY rel DESC, cid) AS rk
+       |             FROM r20)
+       |       WHERE rk = 1),
+       |${(2 to 5).map(stepCte).mkString(",\n")}
+       |SELECT qid, step, cid, rel, score FROM (
+       |  SELECT * FROM s1${(2 to 5)
+          .map(i => s" UNION ALL SELECT * FROM s$i").mkString})
+       |ORDER BY qid, step""".stripMargin
+  }
+
+  /** Spark side of [[mmrOracleSql]]. The DISTRIBUTED work is exactly the
+    * retrieval stage: the exact top-20 probe (broadcast constant-Q query
+    * frame, streamed candidates, per-qid window) and the candidate-pair
+    * cosine matrix — after which the whole MMR working set is
+    * Q·K + Q·K·(K−1) = 60 + 1140 rows, CONSTANT at any corpus size. The
+    * greedy itself is therefore a bounded driver walk over that collected
+    * state (the q_greedy_prefix / principalAxis contract: driver memory is
+    * a fixed, documented function of Q and K, never of N) — unrolling the
+    * five selection steps into the plan instead was measured at 16.6 s
+    * (each step references the previous one twice → exponentially nested
+    * plan), while this shape is two bounded collects. Double arithmetic
+    * mirrors the oracle op-for-op: strict left-fold dot products, then
+    * 0.5·rel − 0.5·max — bit-identical on both engines.
+    */
+  private def mmr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nrm = withNorms(s, d)
+    val q = nrm.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("e").as("qe"),
+        col("nrm").as("qn"))
+    val c = nrm.select(col("vec_id").as("cid"), col("e").as("ce"),
+      col("nrm").as("cn"))
+    val wRel = Window.partitionBy("qid").orderBy(col("rel").desc, col("cid"))
+    val pool = broadcast(q).join(c, col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        cosSim(dotProduct(col("qe"), col("ce")), col("qn") * col("cn"))
+          .as("rel"),
+        col("ce"), col("cn"))
+      .withColumn("rk", row_number().over(wRel))
+      .filter(col("rk") <= 20).drop("rk")
+      .cache() // Q·K rows — feeds both bounded collects
+    val rel: Map[Long, Seq[(Long, Double)]] = pool
+      .select("qid", "cid", "rel").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    val psim: Map[(Long, Long, Long), Double] = pool
+      .select(col("qid"), col("cid").as("a"), col("ce").as("ea"),
+        col("cn").as("na"))
+      .join(pool.select(col("qid"), col("cid").as("b"), col("ce").as("eb"),
+        col("cn").as("nb")), Seq("qid"))
+      .filter(col("a") =!= col("b"))
+      .select(col("qid"), col("a"), col("b"),
+        cosSim(dotProduct(col("ea"), col("eb")), col("na") * col("nb"))
+          .as("ps"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    val rows = rel.keys.toSeq.sorted.flatMap { qid =>
+      var picked = Vector.empty[Long]
+      var avail = rel(qid)
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Double, Double)]
+      for (step <- 1 to 5 if avail.nonEmpty) {
+        val scored = avail.map { case (cid, r) =>
+          val sc =
+            if (picked.isEmpty) 0.5 * r
+            else 0.5 * r - 0.5 * picked.map(p => psim((qid, cid, p))).max
+          (cid, r, sc)
+        }
+        val (cid, r, sc) = scored
+          .sortBy { case (cid2, _, sc2) => (-sc2, cid2) }.head
+        out += ((qid, step.toLong, cid, r, sc))
+        picked :+= cid
+        avail = avail.filterNot(_._1 == cid)
+      }
+      out
+    }
+    rows.toDF("qid", "step", "cid", "rel", "score")
+      .orderBy("qid", "step")
+  }
 
   /** Shared oracle CTE chain for the PCA family (q_pca_power,
     * q_axis_histogram): quantized coordinates `xi`, the exact integer

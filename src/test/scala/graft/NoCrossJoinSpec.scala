@@ -87,6 +87,9 @@ class NoCrossJoinSpec extends SparkTestBase {
     // scoring projection (the avgdl substitution's exact denominators)
     "q_knn_loo" // broadcast CONSTANT Q=50 probe frame, streamed candidates
     // (the q_cosine_topk discipline — O(Q·N), never O(N²))
+    // (q_mmr's broadcast Q=3 probe BNLJ runs at CONSTRUCTION time — its
+    // declared frame is the greedy walk's local result table, so the plan
+    // sweep sees no nested loop)
     // (q_dedup_ngram_jaccard left this list in round 8: the banded
     // MinHash rebuild replaced the bitmask all-pairs stage with pure
     // equi-joins — no nested loop remains anywhere in its plan)
