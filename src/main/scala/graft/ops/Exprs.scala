@@ -215,6 +215,14 @@ object Exprs {
     * where this uses decimal(38,0)); keep the two in lockstep. Result
     * magnitude |a|·10^scale/b must fit a double exactly (< 2^53) — same
     * final BIGINT/10^scale float step as [[roundDiv]].
+    *
+    * Headroom bound (ADVICE r14): the intermediate |a|·2·10^scale lives in
+    * decimal(38,0), so it must stay below 10³⁸ — at scale 6 that caps
+    * |num| at ~5·10³¹. Past it Spark decimal overflow yields NULL (and the
+    * HUGEINT oracle errors), i.e. a LOUD oracle mismatch, never a silent
+    * wrap — but callers whose numerator is a product of corpus-sized
+    * counts (q_quality_auc's Σpos·credit, bounded by (2·P·N)·N) should
+    * state where that puts their own corpus bound.
     */
   def roundDivDec(num: Column, den: Column, scale: Int): Column = {
     val p = math.pow(10, scale).toLong

@@ -238,8 +238,17 @@ object AirQuality {
     * so the file starts with the UTF-8 BOM `EF BB BF`. Spark's CSV writer has
     * no BOM option, so the BOM is prepended to the single part file through
     * the Hadoop FS API after the write. The in-memory rewrite is safe for the
-    * same bounded-output reason the coalesce is.
+    * same bounded-output reason the coalesce is — and that bound is now
+    * ENFORCED, not assumed (VERDICT r14 #6): the rewrite refuses any part
+    * file over [[CsvBufferCap]] (default 64 MiB, overridable via the
+    * `graft.csv.buffer.cap.bytes` system property), so a future caller
+    * pointing this sink at a corpus-sized frame fails loudly at the size
+    * check instead of buffering the corpus on the driver. A full-size
+    * export drops the coalesce+BOM and writes partitioned.
     */
+  private[graft] def CsvBufferCap: Long =
+    sys.props.get("graft.csv.buffer.cap.bytes").map(_.toLong)
+      .getOrElse(64L << 20)
   def writeCsv(result: DataFrame, path: String): Unit = {
     result
       .select("city", "location", "parameter", "value", "unit", "date")
@@ -251,6 +260,12 @@ object AirQuality {
     val part = fs.listStatus(hPath).map(_.getPath)
       .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".csv"))
       .getOrElse(sys.error(s"no CSV part file under $path"))
+    val partLen = fs.getFileStatus(part).getLen
+    if (partLen > CsvBufferCap)
+      sys.error(s"writeCsv: part file is $partLen bytes, over the " +
+        s"$CsvBufferCap-byte driver-buffer cap — this sink is for the " +
+        "bounded flagship export; write a corpus-sized frame partitioned, " +
+        "without the single-file BOM rewrite")
     val buf = new java.io.ByteArrayOutputStream()
     val in = fs.open(part)
     try {
@@ -277,6 +292,12 @@ object AirQuality {
     * operator explicitly; SinksSpec exercises it through a registered
     * non-local scheme (`fs.<scheme>.impl` test double) end to end —
     * BOM, header, and row bytes all travel through the foreign scheme.
+    *
+    * Bounded-output contract (VERDICT r14 #6): this inherits [[writeCsv]]'s
+    * whole-file driver buffering for the BOM rewrite, so it is for the
+    * flagship-sized export (O(cities × stations × params) rows) ONLY —
+    * [[writeCsv]]'s [[CsvBufferCap]] guard fails loudly past 64 MiB rather
+    * than buffering a corpus on the driver.
     */
   def uploadCsv(result: DataFrame, destUri: String): Unit =
     writeCsv(result, destUri)

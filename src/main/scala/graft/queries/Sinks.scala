@@ -495,17 +495,61 @@ object Sinks {
     * written directory. Contents are a pure function of the input dir
     * (the tag), so reuse can never change results; the tree still lives
     * under the process-owned temp root, deleted on JVM exit.
+    *
+    * Locking (ADVICE r14): the build — a full Spark index write, possibly
+    * minutes — must NOT run inside `computeIfAbsent`, which holds the
+    * map-bin lock for its duration: unrelated builds hashing to the same
+    * bin would serialize behind it, and a reentrant call from inside a
+    * build closure would die with CHM's opaque "recursive update". So the
+    * memo stores a per-key future claimed by `putIfAbsent` (lock held only
+    * for the pointer swap); the winning thread builds OUTSIDE any map
+    * lock and completes the future, losers await it. A same-key reentrant
+    * call is detected via the owner-thread map and fails with a named
+    * IllegalStateException; distinct keys never contend at all.
     */
-  private val builtOnce =
-    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private val builtOnce = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[String]]
+  private val buildOwner =
+    new java.util.concurrent.ConcurrentHashMap[String, Thread]
   private[graft] def buildOnceDir(prefix: String, sfDir: String)(
-      build: String => Unit): String =
-    builtOnce.computeIfAbsent(s"$prefix-${inputTag(sfDir)}", key => {
-      val p = stagingRoot.resolve(key)
-      java.nio.file.Files.createDirectories(p)
-      build(p.toString)
-      p.toString
-    })
+      build: String => Unit): String = {
+    val key = s"$prefix-${inputTag(sfDir)}"
+    val mine = new java.util.concurrent.CompletableFuture[String]
+    val prior = builtOnce.putIfAbsent(key, mine)
+    if (prior == null) {
+      buildOwner.put(key, Thread.currentThread())
+      try {
+        val p = stagingRoot.resolve(key)
+        java.nio.file.Files.createDirectories(p)
+        build(p.toString)
+        mine.complete(p.toString)
+      } catch {
+        case t: Throwable =>
+          // a FAILED build leaves no mapping, so the next caller rebuilds
+          // instead of probing a half-written directory (prior contract)
+          builtOnce.remove(key, mine)
+          mine.completeExceptionally(t)
+          throw t
+      } finally buildOwner.remove(key, Thread.currentThread())
+      awaitBuilt(mine)
+    } else {
+      if (!prior.isDone &&
+          (buildOwner.get(key) eq Thread.currentThread()))
+        throw new IllegalStateException(
+          s"reentrant buildOnceDir('$key') from inside its own build closure")
+      awaitBuilt(prior)
+    }
+  }
+  /** Await a memoized build, unwrapping the waiter-side CompletionException
+    * so callers see the original build failure either way.
+    */
+  private def awaitBuilt(
+      f: java.util.concurrent.CompletableFuture[String]): String =
+    try f.join()
+    catch {
+      case e: java.util.concurrent.CompletionException
+          if e.getCause != null => throw e.getCause
+    }
 
   private[graft] def stagingDir(prefix: String, sfDir: String): String = {
     val tag = inputTag(sfDir)

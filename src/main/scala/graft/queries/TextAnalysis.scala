@@ -374,8 +374,14 @@ object TextAnalysis {
     //    decimal(38,0) (the q_bm25 rule, Exprs.roundDivDec), the oracle
     //    via HUGEINT (Exprs.roundDivSqlHuge). Nothing N-dependent ever
     //    touches LongType arithmetic, so there is no wrap at ANY corpus
-    //    size; the only residual bound is roundDivDec's result-fits-a-
-    //    double contract (auc·10⁶ ≤ 10⁶ — always). AucWideSpec drives the
+    //    size that decimal(38,0) can hold; the residual bounds are (a)
+    //    roundDivDec's result-fits-a-double contract (auc·10⁶ ≤ 10⁶ —
+    //    always) and (b) its decimal(38,0) headroom (ADVICE r14): the
+    //    intermediate num2·2·10⁶ must stay under 10³⁸, i.e.
+    //    num2 ≤ 2·P·N ≲ 5·10³¹ → P·N ≲ 2.5·10³¹ docs² — ~10¹⁵ docs
+    //    balanced, far past any corpus, and an overflow surfaces as NULL
+    //    auc vs a HUGEINT oracle error (loud mismatch, never a silent
+    //    wrap). AucWideSpec drives the
     //    shared aucOfGroups kernel with counts past the old 2^63 bound and
     //    matches an exact BigInt recomputation. ──────────────────────────
     Q("q_quality_auc",

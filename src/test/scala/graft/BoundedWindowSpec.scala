@@ -4,7 +4,7 @@ import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
-import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec, TakeOrderedAndProjectExec, LocalTableScanExec, LeafExecNode}
+import org.apache.spark.sql.execution.{GlobalLimitExec, TakeOrderedAndProjectExec, LocalTableScanExec, LeafExecNode}
 
 /** Global single-partition-window guard (VERDICT r13 #4): an unpartitioned
   * `WindowExec` moves its ENTIRE input to one task, so it is legitimate only
@@ -48,7 +48,12 @@ class BoundedWindowSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
   private def reduced(p: SparkPlan): Boolean = p match {
     case _: BaseAggregateExec => true
     case _: TakeOrderedAndProjectExec => true
-    case _: GlobalLimitExec | _: LocalLimitExec => true
+    // GlobalLimit bounds the total row count; a bare LocalLimit does NOT
+    // (it caps rows PER PARTITION, so a global window above one could
+    // still see limit×numPartitions rows — ADVICE r14). Spark plans every
+    // limit as GlobalLimit(LocalLimit(…)) or TakeOrdered, so accepting
+    // only the global form loses no legitimate plan.
+    case _: GlobalLimitExec => true
     case _: LocalTableScanExec => true
     case _: LeafExecNode => false
     case other => other.children.forall(reduced)

@@ -80,6 +80,59 @@ class SinksSpec extends SparkTestBase {
     assert(d3 != d1 && builds == 2)
   }
 
+  test("buildOnceDir: failed build leaves no mapping; reentrancy is loud") {
+    // a failed build must NOT poison the memo — the next caller rebuilds
+    // instead of probing a half-written directory
+    var attempts = 0
+    val boom = intercept[RuntimeException] {
+      graft.queries.Sinks.buildOnceDir("spec-fail", sfDir) { _ =>
+        attempts += 1; sys.error("index build died")
+      }
+    }
+    assert(boom.getMessage.contains("index build died"))
+    val ok = graft.queries.Sinks.buildOnceDir("spec-fail", sfDir) { _ =>
+      attempts += 1; ()
+    }
+    assert(attempts == 2 && ok.nonEmpty)
+    // a SAME-KEY reentrant call from inside the build closure fails with a
+    // named error instead of deadlocking on its own future (ADVICE r14 —
+    // the old computeIfAbsent form died with CHM's opaque "recursive
+    // update"; distinct keys now never contend at all)
+    val re = intercept[IllegalStateException] {
+      graft.queries.Sinks.buildOnceDir("spec-reent", sfDir) { _ =>
+        graft.queries.Sinks.buildOnceDir("spec-reent", sfDir)(_ => ())
+        ()
+      }
+    }
+    assert(re.getMessage.contains("reentrant"))
+    // the reentrant failure propagated out of the owner's build, so the
+    // key is unmapped and a clean later build succeeds
+    val after = graft.queries.Sinks.buildOnceDir("spec-reent", sfDir)(_ => ())
+    assert(after.nonEmpty)
+  }
+
+  test("writeCsv refuses to driver-buffer a part file over the cap") {
+    // VERDICT r14 #6: the BOM rewrite buffers the whole part file on the
+    // driver — safe only under the flagship's bounded-output contract, and
+    // now guarded: over the cap the sink fails loudly BEFORE buffering.
+    val result = graft.pipeline.AirQuality.flagship(spark)
+    sys.props("graft.csv.buffer.cap.bytes") = "16"
+    try {
+      val e = intercept[RuntimeException] {
+        graft.pipeline.AirQuality.writeCsv(result, tmp("graft-csv-cap"))
+      }
+      assert(e.getMessage.contains("driver-buffer cap"))
+    } finally sys.props.remove("graft.csv.buffer.cap.bytes")
+    // under the default cap the same frame writes fine (BOM intact)
+    val dir = tmp("graft-csv-ok")
+    graft.pipeline.AirQuality.writeCsv(result, dir)
+    val part = new java.io.File(dir).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+      .getOrElse(fail(s"no CSV part under $dir"))
+    val head = java.nio.file.Files.readAllBytes(part.toPath).take(3)
+    assert(head.sameElements(Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte)))
+  }
+
   test("K2: CSV upload through a non-local object-store scheme") {
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration

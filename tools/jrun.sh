@@ -13,7 +13,13 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 MAIN="$1"; shift
-exec java $OPENS \
+# Mirror build.sbt's execution-mode hook: SPARK_CODEGEN_FACTORY=NO_CODEGEN
+# forces interpreted expression evaluation for a whole sweep.
+EXTRA=""
+if [ -n "${SPARK_CODEGEN_FACTORY:-}" ]; then
+  EXTRA="-Dspark.sql.codegen.factoryMode=${SPARK_CODEGEN_FACTORY}"
+fi
+exec java $OPENS $EXTRA \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
