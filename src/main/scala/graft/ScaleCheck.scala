@@ -116,7 +116,22 @@ object ScaleCheck {
     // round-14 addition: MMR diverse re-ranking — exact top-20 probe side
     // is the O(Q·N) constant-Q kernel; the unrolled greedy runs on Q·K²
     // cached rows
-    "q_mmr")
+    "q_mmr",
+    // round-16 additions (VERDICT r15 ask #3): the banded-recall truth for
+    // the n-gram family (its probe-bounded siblings q_minhash_recall /
+    // q_simhash_recall / q_ann_recall were all listed; this one — the
+    // third-most-expensive bench query — was simply never folded in), the
+    // end-to-end curation compose, the retraction-channel MV merge, and
+    // the edge-oriented triangle enumeration.
+    // Deliberately NOT listed: q_zorder / q_hilbert (one narrow
+    // hash+interleave projection pass plus a 64/4096-file footer-stats
+    // aggregate — pure scan-shape linear with bounded output, the same
+    // kernel family a dozen listed queries already measure) and
+    // q_pagerank_step (a single iteration of q_pagerank's measured loop;
+    // its per-round cost is exactly what q_pagerank's per_iter_ratio
+    // records — listing it would double-count the same kernel).
+    "q_dedup_ngram_recall", "q_curation_pipeline", "q_mv_refresh_cdc",
+    "q_triangles")
 
   /** query → DECLARED growth model, recorded next to the measured exponent
     * so a reading is judged against the design instead of against a blanket
@@ -178,7 +193,13 @@ object ScaleCheck {
     "q_dataset_diff" -> "1.0: v2 write is one narrow pass; the diff is one doc_id-hash full-outer join of two 3-column projections",
     "q_schema_merge" -> "1.0: two narrow writes + the mergeSchema union read + one map-combined groupBy over |event_type| groups",
     "q_bootstrap_ci" -> "1.0: one corpus pass with 64 conditional sums (map-side combined), |S|-group exchange; stack/percentile run on 32*|S| cells",
-    "q_mmr" -> "1.0: exact top-20 probe is O(Q*N) with constant Q=3 (broadcast queries, streamed candidates); all five greedy steps run on Q*K^2 <= 1140 cached rows")
+    "q_mmr" -> "1.0: exact top-20 probe is O(Q*N) with constant Q=3 (broadcast queries, streamed candidates); all five greedy steps run on Q*K^2 <= 1140 cached rows",
+    "q_bpe" -> "1.0 per round: fixed 10-merge budget; each round is one map-combined pair-count aggregate over the corpus — the irreducible linear term (the x100 constant IS that aggregate times 10 rounds; VERDICT r15 ask #5 model note)",
+    "q_phash_pairs" -> "1.0: the 64-bit frame-hash kernel is an embarrassingly parallel scan stage (zero shuffle growth at any N); the pigeonhole candidate join is band-bounded — linear constant accepted (VERDICT r15)",
+    "q_dedup_ngram_recall" -> "1.0: truth side is the probe-bounded inverted-index join (O(probe x gram-sharing), constant probe prefix); found/candidates ride the same adaptive-banded kernel as q_dedup_ngram_jaccard",
+    "q_curation_pipeline" -> "1.0: gates fuse into one scan-side filter; the only shuffles are the dedup window (key k) and the packing window (source), both unbounded-cardinality partition keys",
+    "q_mv_refresh_cdc" -> "1.0: one union + re-aggregate of base+delta retraction partials, O(base+delta) never O(history)",
+    "q_triangles" -> "1.0: constant 60-node key space caps edges at C(60,2) regardless of N — growth is the scan + edge-distinct groupBy only; the two enumeration joins run on the bounded edge set")
 
   /** query → its final-plan observe() node, for iteration capture. */
   val LoopMetric: Map[String, String] = Map(

@@ -218,9 +218,11 @@ object Exprs {
     *
     * Headroom bound (ADVICE r14): the intermediate |a|·2·10^scale lives in
     * decimal(38,0), so it must stay below 10³⁸ — at scale 6 that caps
-    * |num| at ~5·10³¹. Past it Spark decimal overflow yields NULL (and the
-    * HUGEINT oracle errors), i.e. a LOUD oracle mismatch, never a silent
-    * wrap — but callers whose numerator is a product of corpus-sized
+    * |num| at ~5·10³¹. Past it Spark decimal overflow yields NULL under
+    * the default (non-ANSI) mode and throws ArithmeticException under ANSI
+    * (the swept ansicheck mode) — either way LOUD (oracle mismatch or
+    * error), never a silent wrap — but callers whose numerator is a
+    * product of corpus-sized
     * counts (q_quality_auc's Σpos·credit, bounded by (2·P·N)·N) should
     * state where that puts their own corpus bound.
     */

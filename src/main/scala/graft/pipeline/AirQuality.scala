@@ -243,12 +243,21 @@ object AirQuality {
     * file over [[CsvBufferCap]] (default 64 MiB, overridable via the
     * `graft.csv.buffer.cap.bytes` system property), so a future caller
     * pointing this sink at a corpus-sized frame fails loudly at the size
-    * check instead of buffering the corpus on the driver. A full-size
-    * export drops the coalesce+BOM and writes partitioned.
+    * check instead of buffering the corpus on the driver. The check runs
+    * AFTER the coalesce(1) write (the part file's size is what's checked),
+    * so an over-cap frame still pays that single-task write before
+    * failing — only the driver-side whole-file buffering is prevented
+    * (ADVICE r15). A full-size export drops the coalesce+BOM and writes
+    * partitioned.
     */
   private[graft] def CsvBufferCap: Long =
-    sys.props.get("graft.csv.buffer.cap.bytes").map(_.toLong)
-      .getOrElse(64L << 20)
+    sys.props.get("graft.csv.buffer.cap.bytes").map { s =>
+      try s.toLong
+      catch {
+        case _: NumberFormatException => sys.error(
+          s"graft.csv.buffer.cap.bytes is not a long: '$s'")
+      }
+    }.getOrElse(64L << 20)
   def writeCsv(result: DataFrame, path: String): Unit = {
     result
       .select("city", "location", "parameter", "value", "unit", "date")

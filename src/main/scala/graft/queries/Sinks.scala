@@ -465,14 +465,12 @@ object Sinks {
     *    disk use stays bounded at ≤2 generations per purpose no matter how
     *    many times Bench/specs rebuild the query in one process.
     */
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+  }
   private lazy val stagingRoot: java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory("graft-staging-")
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(p.toFile)
-    }
+    sys.addShutdownHook { rmTree(p.toFile) }
     p
   }
   private val generation =
@@ -525,8 +523,13 @@ object Sinks {
         mine.complete(p.toString)
       } catch {
         case t: Throwable =>
-          // a FAILED build leaves no mapping, so the next caller rebuilds
-          // instead of probing a half-written directory (prior contract)
+          // a FAILED build leaves no mapping AND no files (ADVICE r15: the
+          // half-written staging dir used to survive, so the retry's build
+          // closure had to tolerate leftovers — e.g. a Spark write without
+          // overwrite mode fails on an existing path); delete the tree
+          // before unmapping so the next caller rebuilds from a clean dir
+          try rmTree(stagingRoot.resolve(key).toFile)
+          catch { case _: Exception => () }
           builtOnce.remove(key, mine)
           mine.completeExceptionally(t)
           throw t

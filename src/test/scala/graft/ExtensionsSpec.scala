@@ -292,9 +292,24 @@ class ExtensionsSpec extends SparkTestBase {
       val obs = df.queryExecution.observedMetrics.get("kmeans_convergence")
       assert(obs.isDefined, "kmeans_convergence observation missing")
       assert(obs.get.getAs[Long]("iterations") == 1L)
-      assert(obs.get.getAs[Long]("converged") == 0L,
-        s"a capped run must report converged=0: $obs")
-      assert(obs.get.getAs[Long]("final_changed") > 0L)
+      // The contract under test is "a binding cap is reported, not
+      // silent" — keyed off final_changed, not an assumption about the
+      // data (ADVICE r15: asserting converged=0 unconditionally would
+      // break with a confusing message if a regenerated sf0.001 happened
+      // to stabilize in one round from the k-means++ seeding). changed>0
+      // means the cap bound → converged must read 0; changed==0 means the
+      // data genuinely converged in round 1 → converged must read 1.
+      val changed = obs.get.getAs[Long]("final_changed")
+      val converged = obs.get.getAs[Long]("converged")
+      if (changed > 0L)
+        assert(converged == 0L,
+          s"cap bound (final_changed=$changed) but converged=$converged: $obs")
+      else {
+        info(s"sf0.001 data converged within the 1-round cap; " +
+          "cap-binding branch not exercised this run")
+        assert(converged == 1L,
+          s"stable run (final_changed=0) must report converged=1: $obs")
+      }
     } finally sys.props.remove("graft.kmeans.max.rounds")
   }
 }

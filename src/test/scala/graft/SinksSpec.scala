@@ -85,12 +85,21 @@ class SinksSpec extends SparkTestBase {
     // instead of probing a half-written directory
     var attempts = 0
     val boom = intercept[RuntimeException] {
-      graft.queries.Sinks.buildOnceDir("spec-fail", sfDir) { _ =>
+      graft.queries.Sinks.buildOnceDir("spec-fail", sfDir) { p =>
+        // leave a half-written file behind before dying: the retry's
+        // closure must find a CLEAN directory (ADVICE r15 — Spark writes
+        // without overwrite mode fail on an existing path)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(p, "partial.parquet"),
+          Array[Byte](1, 2, 3))
         attempts += 1; sys.error("index build died")
       }
     }
     assert(boom.getMessage.contains("index build died"))
-    val ok = graft.queries.Sinks.buildOnceDir("spec-fail", sfDir) { _ =>
+    val ok = graft.queries.Sinks.buildOnceDir("spec-fail", sfDir) { p =>
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(p, "partial.parquet")),
+        "failed build's half-written files must be deleted before retry")
       attempts += 1; ()
     }
     assert(attempts == 2 && ok.nonEmpty)
