@@ -28,7 +28,9 @@ object JobsX {
     spark.sharedState.cacheManager.clearCache()
 
     case class J(id: Int, var desc: String, var sub: Long, var end: Long,
-      var tasks: Int, var taskTime: Long, var stages: Int)
+      var tasks: Int, var taskTime: Long, var stages: Int,
+      var gc: Long = 0L, var cpu: Long = 0L, var shufR: Long = 0L,
+      var shufW: Long = 0L, var deser: Long = 0L)
     val jobs = mutable.LinkedHashMap.empty[Int, J]
     val stageToJob = mutable.HashMap.empty[Int, Int]
     val listener = new SparkListener {
@@ -45,6 +47,13 @@ object JobsX {
         stageToJob.get(e.stageId).flatMap(jobs.get).foreach { j =>
           j.tasks += 1
           if (e.taskInfo != null) j.taskTime += e.taskInfo.duration
+          if (e.taskMetrics != null) {
+            j.gc += e.taskMetrics.jvmGCTime
+            j.cpu += e.taskMetrics.executorCpuTime / 1000000L
+            j.deser += e.taskMetrics.executorDeserializeTime
+            j.shufR += e.taskMetrics.shuffleReadMetrics.totalBytesRead
+            j.shufW += e.taskMetrics.shuffleWriteMetrics.bytesWritten
+          }
         }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -58,7 +67,10 @@ object JobsX {
     jobs.values.foreach { j =>
       val w = (j.end - j.sub).max(0L); covered += w
       println(f"  job ${j.id}%3d  wall=${w / 1000.0}%7.3f  stages=${j.stages}%2d" +
-        f"  tasks=${j.tasks}%4d  taskTime=${j.taskTime / 1000.0}%8.3f  ${j.desc.take(80)}")
+        f"  tasks=${j.tasks}%4d  taskTime=${j.taskTime / 1000.0}%8.3f" +
+        f"  cpu=${j.cpu / 1000.0}%7.3f  gc=${j.gc / 1000.0}%6.3f" +
+        f"  deser=${j.deser / 1000.0}%6.3f" +
+        f"  shufR=${j.shufR / 1024}%6dK shufW=${j.shufW / 1024}%6dK  ${j.desc.take(60)}")
     }
     println(f"  sum(job walls)=${covered / 1000.0}%.3f s  (gap to total = driver-side planning/collect overhead)")
     spark.stop()

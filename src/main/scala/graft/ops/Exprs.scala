@@ -97,11 +97,25 @@ object Exprs {
     * higher-order functions so it runs distributed with no UDF.
     */
   def wordShingles(tokens: Column, n: Int): Column = {
-    val k = size(tokens)
-    when(k >= n,
-      transform(sequence(lit(1), k - (n - 1)),
-        i => array_join(slice(tokens, i, lit(n)), " ")))
-      .otherwise(array(array_join(tokens, " ")))
+    // The token array is bound ONCE as a lambda variable via
+    // `transform(array(tokens), t => ...)` before the per-position lambda
+    // references it. Without the binding, a call site that passes a raw
+    // `split(text, " ")` EXPRESSION (rather than a projected column) inlines
+    // that expression into the inner lambda, where `slice(t, i, n)` and
+    // `size(t)` re-evaluate it PER SHINGLE POSITION — an O(len²)-per-document
+    // re-split (the q_bpe trap, re-found in round 16: shingleHashes and the
+    // 2-gram Dedup call sites all passed `split(...)` directly and paid
+    // len× redundant splits on every corpus pass). A lambda variable is a
+    // slot read, so the binding makes every call site O(len) regardless of
+    // what Column expression the caller hands in.
+    val shingled = transform(array(tokens), { t =>
+      val k = size(t)
+      when(k >= n,
+        transform(sequence(lit(1), k - (n - 1)),
+          i => array_join(slice(t, i, lit(n)), " ")))
+        .otherwise(array(array_join(t, " ")))
+    })
+    element_at(shingled, 1)
   }
 
   /** Dot product of two double arrays: left-to-right multiply-accumulate

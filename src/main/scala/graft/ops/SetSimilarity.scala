@@ -242,9 +242,17 @@ object SetSimilarity {
         concat_ws("-", (0 until rows).map(k =>
           col(s"h${b * rows + k}").cast("string")): _*).as("sig"))
     }
+    // Cached: bnd feeds BOTH sides of the band self-join below. One side
+    // rides a BroadcastExchange, the other the probe side, and exchange
+    // reuse cannot dedup across a broadcast/stream boundary — uncached,
+    // the whole signature aggregate (the kernel's most CPU-expensive
+    // stage) executed twice, as two concurrent identical jobs (measured
+    // round 16: ~2× the aggregate's task time on every kernel query).
+    // Size: ids × bands rows of (long, long, short string) — tiny.
     val bnd = hs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"),
         col("bs.sig").as("sig"))
+      .cache()
     val ba = bnd.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
     val bb = bnd.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
     val cand = ba.join(bb, Seq("band", "sig"))
@@ -267,7 +275,10 @@ object SetSimilarity {
     // emitted row has shared >= 1).
     val candIds = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val hc = h.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    // Cached for the same reason as bnd: hc feeds BOTH posting sides of
+    // the verification join (pa broadcast-side, pb probe-side) — uncached
+    // the semi-join against the candidate ids ran twice.
+    val hc = h.join(broadcast(candIds), Seq("doc_id"), "left_semi").cache()
     val pa = hc.select(col("doc_id").as("doc_a"), col("hv"))
     val pb = hc.select(col("doc_id").as("doc_b"), col("hv"))
     val pr = cand.join(pa, "doc_a").join(pb, Seq("doc_b", "hv"))
@@ -295,6 +306,12 @@ object SetSimilarity {
       elemCol: String,
       threshold: Double,
       aPred: Column = lit(true)): DataFrame = {
+    // NOT cached here: every caller already passes a cached (or cheap)
+    // frame, and an unconditional cache of a frame that is itself an
+    // InMemoryTableScan projection costs an extra materialization pass +
+    // storage for zero reuse (measured round 16: q_minhash_recall 2.4 s →
+    // 3.8 s with a cache here). A caller whose input expression is
+    // expensive (e.g. an un-materialized hash pass) caches at its side.
     val base = e.select(col(idCol).as("doc_id"), col(elemCol).as("g"))
     val sz = base.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = base.filter(aPred).select(col("doc_id").as("doc_a"), col("g"))

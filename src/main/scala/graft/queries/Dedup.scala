@@ -757,7 +757,9 @@ object Dedup {
           .bandedJaccardPairs(e, "doc_id", "g", 0.28, bands, rows)
           .filter(col("doc_a") < ProbeDocs)
           .agg(count(lit(1)).as("n_found"))
-        val h = e.select(col("doc_id"), md5Long(col("g")).as("g"))
+        // cached: the truth kernel reads h three times (sizes + both
+        // inverted-index sides) — uncached, the md5 pass ran per consumer
+        val h = e.select(col("doc_id"), md5Long(col("g")).as("g")).cache()
         val truth = graft.ops.SetSimilarity
           .naiveJaccardPairs(h, "doc_id", "g", 0.28,
             aPred = col("doc_id") < ProbeDocs)
@@ -838,8 +840,12 @@ object Dedup {
             explode(array_distinct(wordShingles(toks, 2))).as("g"))
         val (bands, rows) =
           graft.ops.SetSimilarity.adaptiveBanding(docCount(s, d))
+        // Cached: jp feeds BOTH directions of the sym union — uncached,
+        // the entire banded candidate kernel executed twice (round 16).
+        // Pair volume is band-bounded, so the cached frame is small.
         val jp = graft.ops.SetSimilarity
           .bandedJaccardPairs(e, "doc_id", "g", 0.28, bands, rows)
+          .cache()
         val sym = jp.select(col("doc_a").as("d"), col("doc_b").as("n"),
             col("jacc"))
           .union(jp.select(col("doc_b").as("d"), col("doc_a").as("n"),
