@@ -640,34 +640,47 @@ object Similarity {
          |ORDER BY vec_id""".stripMargin) {
       (s, d) =>
         val K = 4
-        val xiDf = embeddings(s, d)
+        // PACKED layout (round 16, guide §2.4 "remove shuffles outright"):
+        // one row per vector with the quantized coordinates as a single
+        // array<bigint> column, instead of the posexplode'd (vec_id, d, xi)
+        // rows the pre-r16 version carried. Every per-round operation then
+        // runs WITHOUT touching a per-vector shuffle:
+        //   - distances: a per-row HOF fold over zip_with(xs, cd_j) — no
+        //     join by d, no groupBy(vec_id) re-aggregation (the two
+        //     exchanges every round paid before);
+        //   - centroids: ONE global aggregate (K conditional VecSum element
+        //     sums + K counts) whose partial buffers are D longs per task —
+        //     the only exchange per round, carrying one buffer per task
+        //     instead of N·D posexplode rows;
+        //   - the previous-assignment compare: pcid is a COLUMN of the
+        //     loop-carried frame (vec_id, cid, xs), so no join at all.
+        // Arithmetic is exactly the old integer domain — Σ(xi−c)² per
+        // dimension in ascending-d order vs. any order is the same exact
+        // BIGINT (addition is order-free on exact integers), the centroid
+        // means are the same `div nullif(count,0)` truncating division —
+        // so the oracle SQL is untouched and the hash cannot move.
+        // Trade-off at 100 TB: the loop-carried checkpoint re-materializes
+        // N·(D+2) longs per round LOCALLY (sequential block-manager write,
+        // no network) where the old layout checkpointed N·2 but shuffled
+        // N rows twice per round — shuffle removal wins at every scale.
+        val packed = embeddings(s, d)
           .select(col("vec_id"),
-            posexplode(transform(col("embedding"), _.cast("double")))
-              .as(Seq("d0", "x")))
-          .select(col("vec_id"), (col("d0") + 1).as("d"),
-            floor(col("x") * 1000000).cast("long").as("xi"))
+            transform(col("embedding"),
+              x => floor(x.cast("double") * 1000000).cast("long")).as("xs"))
           .localCheckpoint()
-        // centroids broadcast WIDE (one row per dimension, K columns), so
-        // the distance reduce is ONE groupBy over the un-multiplied xi rows
-        // with a least() argmin — not a K× row explosion and two shuffles.
-        // The K means are computed as K conditional sum/count pairs in a
-        // SINGLE groupBy(d) over the assigned rows (not groupBy(cid,d) then
-        // a pivot — that is a second shuffle per round for the same 512
-        // integers). An emptied cluster's conditional sum over zero rows is
-        // NULL (and the count is nullif-guarded, so ANSI mode cannot raise
-        // on the 0 divisor) → its distance sums to NULL → least() skips
-        // it: the same shrunken candidate set the oracle's centroid join
-        // produces.
-        def reassign(wide: DataFrame): DataFrame = {
-          val distCols = (0 until K).map(j =>
-            sum((col("xi") - col(s"cd$j")) * (col("xi") - col(s"cd$j")))
-              .as(s"dist$j"))
-          xiDf.join(broadcast(wide), "d")
-            .groupBy("vec_id").agg(distCols.head, distCols.tail: _*)
-            .select(col("vec_id"),
-              least((0 until K).map(j => col(s"dist$j") * K + j): _*).as("msc"))
-            .select(col("vec_id"), (col("msc") % K).cast("int").as("cid"))
-        }
+        // exact squared distance: fold over the zipped (x, c) pairs; a NULL
+        // centroid array (emptied cluster / padded seed) nulls the whole
+        // fold, and least() below skips it — the old conditional-sum
+        // semantics verbatim
+        def sqDist(xs: Column, cd: Column): Column =
+          aggregate(zip_with(xs, cd, (x, c) => (x - c) * (x - c)),
+            lit(0L), (acc, v) => acc + v)
+        // argmin over the K broadcast centroid arrays: min(dist·K + j) % K —
+        // the integer trick with its deterministic smallest-cid tie-break,
+        // unchanged from the pre-r16 version
+        def argminCid(xs: Column): Column =
+          (least((0 until K).map(j =>
+            sqDist(xs, col(s"cd$j")) * K + j): _*) % K).cast("int")
         // kmeans++ seeding, deterministic: seed 0 is vec_id 0; seed j is
         // the minimum vec_id whose CUMULATIVE min-squared-distance-to-
         // chosen-seeds crosses the fixed quantile kmSeedFrac(j)/10⁹ of the
@@ -706,15 +719,18 @@ object Similarity {
         var seeds = Seq(0L)
         var minDist: DataFrame = null
         for (j <- 1 until K) {
-          val lastSeed = xiDf.filter(col("vec_id") === seeds.last)
-            .select(col("d"), col("xi").as("cxi"))
-          val dNew = xiDf.join(broadcast(lastSeed), "d")
-            .groupBy("vec_id")
-            .agg(sum((col("xi") - col("cxi")) * (col("xi") - col("cxi")))
-              .as("dist"))
-          val md = (if (minDist == null) dNew
-            else minDist.withColumnRenamed("dist", "pd").join(dNew, "vec_id")
-              .select(col("vec_id"), least(col("pd"), col("dist")).as("dist")))
+          // the chosen seed's vector rides a broadcast 1-row frame; the
+          // running min-distance carries (vec_id, xs, dist) so the next
+          // step needs NO join — least() against the incumbent column
+          val seedRow = packed.filter(col("vec_id") === seeds.last)
+            .select(col("xs").as("cxs"))
+          val dn = sqDist(col("xs"), col("cxs"))
+          val md = (if (minDist == null)
+            packed.crossJoin(broadcast(seedRow))
+              .select(col("vec_id"), col("xs"), dn.as("dist"))
+          else minDist.crossJoin(broadcast(seedRow))
+            .select(col("vec_id"), col("xs"),
+              least(col("dist"), dn).as("dist")))
             .localCheckpoint() // reused by the next step's running min
           pickByCum(md, kmSeedFrac(j)).foreach(v => seeds = seeds :+ v)
           minDist = md
@@ -725,18 +741,26 @@ object Similarity {
         // empty p-CTEs)
         val seedIds = seeds.padTo(K, -1L)
         val seedCols = seedIds.zipWithIndex.map { case (v, j) =>
-          max(when(col("vec_id") === v, col("xi"))).as(s"cd$j") }
-        val cent0 = xiDf.filter(col("vec_id").isInCollection(seeds))
-          .groupBy("d").agg(seedCols.head, seedCols.tail: _*)
-        var assign = reassign(cent0).localCheckpoint()
+          max(when(col("vec_id") === v, col("xs"))).as(s"cd$j") }
+        val cent0 = packed.filter(col("vec_id").isInCollection(seeds))
+          .agg(seedCols.head, seedCols.tail: _*)
+        var assign = packed.crossJoin(broadcast(cent0))
+          .select(col("vec_id"), col("xs"), argminCid(col("xs")).as("cid"))
+          .localCheckpoint()
         val nVecs = assign.count()
         val stableThr = math.max(1L, nVecs / 500L)
         var iters = 0
         var changed = Long.MaxValue
+        // per-cluster element sums (VecSum — NULL over zero rows, exactly
+        // like sum(CASE WHEN ...)) + member counts, as ONE single-row
+        // aggregate; the centroid arrays are the same truncating integer
+        // division per dimension as the pre-r16 groupBy(d) means
+        val sumCols = (0 until K).flatMap(j => Seq(
+          graft.functions.VecSumAgg.vecSum(
+            when(col("cid") === j, col("xs")), Dims).as(s"s$j"),
+          count(when(col("cid") === j, lit(1))).as(s"n$j")))
         val meanCols = (0 until K).map(j =>
-          expr(s"sum(CASE WHEN cid = $j THEN xi END)" +
-            s" div nullif(count(CASE WHEN cid = $j THEN 1 END), 0)")
-            .as(s"cd$j"))
+          expr(s"transform(s$j, x -> x div nullif(n$j, 0))").as(s"cd$j"))
         // Iteration cap (VERDICT r14 #8): "to convergence" holds where the
         // stability criterion is reached inside maxRounds — at sf0.01 it
         // converges in ~17 rounds, but the r13 scale artifact shows the cap
@@ -750,19 +774,24 @@ object Similarity {
         val maxRounds =
           sys.props.get("graft.kmeans.max.rounds").map(_.toInt).getOrElse(50)
         while (changed > stableThr && iters < maxRounds) {
-          val cent = assign.join(xiDf, "vec_id")
-            .groupBy("d").agg(meanCols.head, meanCols.tail: _*)
+          // one-row centroid frame: conditional VecSums + counts over the
+          // loop-carried (vec_id, cid, xs) frame — no join with a static
+          // coordinate table, no groupBy(d); the round's ONLY exchange is
+          // this aggregate's one-buffer-per-task partial merge
+          val cent = assign.agg(sumCols.head, sumCols.tail: _*)
+            .select(meanCols: _*)
           // ONE action per round: the changed-count rides the checkpoint's
           // execution as a CollectMetrics observation instead of a second
           // job over the checkpointed frame
-          val staged = reassign(cent)
-            .join(assign.withColumnRenamed("cid", "pcid"), "vec_id")
+          val staged = assign.crossJoin(broadcast(cent))
+            .select(col("vec_id"), col("xs"),
+              argminCid(col("xs")).as("ncid"), col("cid").as("pcid"))
             .observe(s"kmeans_chg_$iters",
-              coalesce(sum(when(col("cid") =!= col("pcid"), 1L)), lit(0L))
+              coalesce(sum(when(col("ncid") =!= col("pcid"), 1L)), lit(0L))
                 .as("n"))
             // pcid feeds only the observation — project it away before
             // the checkpoint (CollectMetrics still executes below)
-            .select("vec_id", "cid")
+            .select(col("vec_id"), col("ncid").as("cid"), col("xs"))
           // dropOriginStats: the loop-carried frame's size estimate would
           // otherwise compound through the assign⋈cent⋈assign round plan
           // (digits grow per round until the stats visitor dominates —
